@@ -1,13 +1,150 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * One `queries` entry per SURVEY.md §2 inventory line; `oracleSql` holds the
+  * DuckDB-equivalent SQL for the strong hash-compare (omitted only for
+  * rows-only operators whose hash family isn't SQL-portable).
+  */
 object SparkEntry {
+
+  private val kwTerms = Seq("filter", "join", "window")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Relational.q5(
+      Tables.region(spark, dir), Tables.nation(spark, dir),
+      Tables.customer(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir), Tables.supplier(spark, dir))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational / engine core ---
+    "q1_agg" -> ((s, d) => Relational.q1(Tables.lineitem(s, d))),
+    "q3_join" -> ((s, d) =>
+      Relational.q3(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q5_multijoin" -> ((s, d) =>
+      Relational.q5(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q_window" -> ((s, d) => Relational.topOrdersPerCustomer(Tables.orders(s, d))),
+    "q_topk_global" -> ((s, d) => Relational.topKGlobal(Tables.lineitem(s, d))),
+    "q_semijoin" -> ((s, d) =>
+      Relational.customersWithOpenOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_antijoin" -> ((s, d) =>
+      Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_rollup" -> ((s, d) =>
+      Relational.custRollup(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d))),
+    "q_events_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
+    "q_events_window" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
+    // --- RAG / search surface ---
+    "chunk_fixed" -> ((s, d) => Chunking.chunkFixed(Tables.documents(s, d))),
+    "keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), kwTerms)),
+    "rank_files" -> ((s, d) =>
+      Search.rankDocs(Tables.documents(s, d), Seq("spark", "join"), "spark join", "en")),
+    "vector_topk" -> ((s, d) => Search.vectorTopK(Tables.embeddings(s, d))),
+    "knn_join" -> ((s, d) => Search.knnJoin(Tables.embeddings(s, d))),
+    "hybrid_search" -> ((s, d) =>
+      Search.hybrid(Tables.documents(s, d), Tables.embeddings(s, d), kwTerms)),
+    // --- text analysis ---
+    "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+  )
+
+  /** DuckDB-equivalent ANSI SQL per query (column names aligned with the
+    * Spark output — the driver sorts columns by name before hashing). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(CAST(l_extendedprice*(CAST(1.0 AS DOUBLE)-l_discount) AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(CAST(l_extendedprice*(CAST(1.0 AS DOUBLE)-l_discount)*(CAST(1.0 AS DOUBLE)+l_tax) AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |COUNT(*) AS count_order,
+        |CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
+        |CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*) AS avg_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey,
+        |CAST(SUM(CAST(CAST(l_extendedprice*(CAST(1.0 AS DOUBLE)-l_discount) AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(CAST(l_extendedprice*(CAST(1.0 AS DOUBLE)-l_discount) AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_topk_global" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |l_extendedprice*(CAST(1.0 AS DOUBLE)-l_discount) AS val
+        |FROM lineitem ORDER BY val DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |CAST(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+        |COUNT(*) AS n, CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "chunk_fixed" -> Chunking.chunkFixedSql(),
+    "keyword_search" -> Search.keywordSearchSql(kwTerms),
+    "rank_files" -> Search.rankDocsSql(Seq("spark", "join"), "spark join", "en"),
+    "vector_topk" -> Search.vectorTopKSql(),
+    "knn_join" -> Search.knnJoinSql(),
+    "hybrid_search" -> Search.hybridSql(kwTerms),
+    "lang_id" -> TextAnalysis.langIdSql,
+    "quality_score" -> TextAnalysis.qualityScoreSql,
+    "token_count" -> TextAnalysis.tokenCountSql,
+    // doc_fingerprint: rows-only (rolling-hash family not SQL-portable)
+  )
 }

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from codegen'd
+  * higher-order functions (`zip_with`/`aggregate`) — no UDFs, stays inside
+  * whole-stage codegen.
+  *
+  * Re-expresses the vector-similarity retrieval of the reference
+  * (neo4j_knowledge_service.py:922 `search_similar_nodes`) as column
+  * expressions usable in joins/windows at any scale.
+  *
+  * Determinism note: the fold is a sequential left-to-right sum over list
+  * elements in double precision, matching DuckDB's `list_sum` order so the
+  * oracle hash-compares bit-exactly.
+  */
+object VectorOps {
+
+  /** Dot product in double precision (sequential left fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Cosine given a precomputed norm for each side (bench path: compute the
+    * norm once per row instead of three dots per pair). */
+  def cosinePrenorm(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+
+  // ---- DuckDB oracle SQL fragments (kept adjacent so Spark + oracle stay in
+  //      lock-step; both are sequential double-precision folds) ----
+  def dotSql(a: String, b: String, dim: Int = 64): String =
+    s"list_sum(list_transform(range(1,${dim + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
+  def cosineSql(a: String, b: String, dim: Int = 64): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+}

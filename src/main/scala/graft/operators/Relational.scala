@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Engine-core relational operators (aggregation, joins, windows).
+  *
+  * These prove the fundamentals the reference leans on Neo4j/Cypher for —
+  * re-expressed as declarative DataFrame plans so Catalyst handles pushdown,
+  * join strategy, and AQE does runtime re-planning at scale.
+  *
+  * Scale notes are per-operator; dims (`region`/`nation`/`supplier`) are
+  * always broadcast so only fact-fact joins shuffle.
+  */
+object Relational {
+
+  /** Exact, order-independent money sum: cast to decimal, sum, back to
+    * double. Double sums vary with partition order; decimal sums don't, so
+    * results are stable across cluster sizes AND hash-match the oracle. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** Pricing summary (TPC-H Q1 shape): filter → groupBy → 8 aggregates.
+    * Map-side partial aggregation: one shuffle of ~|groups| rows. */
+  def q1(lineitem: DataFrame): DataFrame = {
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order")
+      )
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+  }
+
+  /** Shipping-priority top-k (TPC-H Q3 shape): selective filters push to the
+    * parquet scan; customer⋈orders then ⋈lineitem shuffles on the join keys;
+    * top-k is a TakeOrdered, no global sort. */
+  def q3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Local-supplier revenue (TPC-H Q5 shape): 6-way join. region/nation/
+    * supplier are broadcast (dims); only customer⋈orders⋈lineitem shuffle. */
+  def q5(region: DataFrame, nation: DataFrame, customer: DataFrame,
+         orders: DataFrame, lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val dims = broadcast(
+      region.filter(col("r_name") === "ASIA")
+        .join(nation, col("n_regionkey") === col("r_regionkey")))
+    customer
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** Top-3 orders per customer by price: single shuffle on o_custkey, then
+    * in-partition sort — the scalable per-group top-k shape. */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Global top-k by computed expression — TakeOrdered, no full sort. */
+  def topKGlobal(lineitem: DataFrame, k: Int = 20): DataFrame =
+    lineitem
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("val"))
+      .orderBy(desc("val"), col("l_orderkey"), col("l_linenumber"))
+      .limit(k)
+
+  /** Customers with an open order — left-semi join (EXISTS). */
+  def customersWithOpenOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+      orders.filter(col("o_orderstatus") === "O"),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Customers with no orders — left-anti join (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Customer counts/balances rolled up nation→region→grand-total. */
+  def custRollup(region: DataFrame, nation: DataFrame, customer: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+
+  /** Sessionization over `events`: gap > 30 min starts a new session.
+    * One shuffle on user_id; lag + running sum in-partition. The streaming
+    * analog is graft.streaming.Streams.sessionize. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("tsu"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("tsu") - col("prev") > gapUs, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+  }
+
+  /** Tumbling 1-hour event-time window aggregation (batch form). */
+  def eventsHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Search family: keyword search, heuristic ranking, vector top-k, knn join,
+  * hybrid merge — the reference's retrieval surface re-expressed as
+  * declarative plans.
+  *
+  * - keyword search  ⇐ graph_service.py:474 fulltext_search / :513 fallback
+  * - rankDocs        ⇐ ranker.py:14 rank_files
+  * - vectorTopK      ⇐ neo4j_knowledge_service.py:922 search_similar_nodes
+  * - knnJoin         ⇐ batch retrieval (the 100 TB shape: score many probes at once)
+  * - hybrid          ⇐ neo4j_knowledge_service.py:72 QueryPipeline (vector ⊎ keyword,
+  *                     merge by id keeping max, rank)
+  */
+object Search {
+
+  /** Exact substring-occurrence count, engine-portable (no regex). */
+  def occurrences(c: Column, term: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(term), ""))) / term.length).cast("long")
+
+  private def occSimple(c: Column, term: String): Column =
+    ((length(c) - length(replaceLit(c, term))) / term.length).cast("long")
+
+  private def replaceLit(c: Column, term: String): Column =
+    regexp_replace(c, java.util.regex.Pattern.quote(term), "")
+
+  /** Scored keyword search: score = total occurrences of the query terms.
+    * Narrow scan + TakeOrdered; filters/projection push to parquet. */
+  def keywordSearch(documents: DataFrame, terms: Seq[String], limit: Int = 30): DataFrame = {
+    val score = terms.map(t => occSimple(col("text"), t)).reduce(_ + _)
+    documents
+      .select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(limit)
+  }
+
+  def keywordSearchSql(terms: Seq[String], limit: Int = 30): String = {
+    val score = terms
+      .map(t => s"CAST((length(text) - length(replace(text, '$t', '')))/${t.length} AS BIGINT)")
+      .mkString(" + ")
+    s"""SELECT doc_id, $score AS score FROM documents
+       |WHERE $score > 0 ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
+  }
+
+  /** Multiplicative heuristic ranking (ranker.py:14): phrase boost, per-term
+    * boost, language boost, source-prefix boost. All double products of
+    * exact constants — deterministic across engines. */
+  def rankDocs(documents: DataFrame, queryTerms: Seq[String], phrase: String,
+               lang: String, limit: Int = 30): DataFrame = {
+    val termBoost = queryTerms
+      .map(t => when(col("text").contains(t), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val score = lit(1.0) *
+      when(col("text").contains(phrase), lit(2.0)).otherwise(lit(1.0)) *
+      (lit(1.0) + lit(0.3) * termBoost) *
+      when(col("lang") === lang, lit(1.5)).otherwise(lit(1.0)) *
+      when(col("source").isin("src0", "src1", "src2", "src3"), lit(1.2)).otherwise(lit(1.0))
+    documents
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(limit)
+  }
+
+  def rankDocsSql(queryTerms: Seq[String], phrase: String, lang: String, limit: Int = 30): String = {
+    val termBoost = queryTerms
+      .map(t => s"(CASE WHEN contains(text, '$t') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id,
+       |1.0::DOUBLE
+       | * (CASE WHEN contains(text, '$phrase') THEN 2.0::DOUBLE ELSE 1.0::DOUBLE END)
+       | * (1.0::DOUBLE + 0.3::DOUBLE * ($termBoost))
+       | * (CASE WHEN lang = '$lang' THEN 1.5::DOUBLE ELSE 1.0::DOUBLE END)
+       | * (CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.2::DOUBLE ELSE 1.0::DOUBLE END)
+       | AS score
+       |FROM documents ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
+  }
+
+  /** Brute-force cosine top-k against one query vector (the exact baseline;
+    * the scale path is Dedup.annLsh). Query side is a broadcast of one row —
+    * the scan side streams, no shuffle before the TakeOrdered. */
+  def vectorTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    embeddings
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), VectorOps.cosine(col("embedding"), col("qv")).as("cos"))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(k)
+  }
+
+  def vectorTopKSql(queryVecId: Long = 0L, k: Int = 10): String = {
+    val cos = VectorOps.cosineSql("embedding", "qv")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryVecId)
+       |SELECT vec_id, $cos AS cos FROM embeddings, q
+       |WHERE vec_id <> $queryVecId
+       |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** k-NN join: top-k neighbors for each probe vector. Probe side broadcast
+    * (small); at scale with a large probe side, swap to the LSH-bucketed
+    * plan (Dedup.annLsh) — same output contract. */
+  def knnJoin(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("neighbor_id"))
+    embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(probes))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rn"), col("cos"))
+  }
+
+  def knnJoinSql(nProbes: Int = 10, k: Int = 5): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "p.embedding")
+    s"""SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rn,
+       |$cos AS cos
+       |FROM embeddings e JOIN embeddings p ON p.vec_id < $nProbes AND e.vec_id <> p.vec_id
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
+  /** Hybrid retrieval: vector candidates ⊎ keyword candidates, full-outer
+    * merge by id keeping the max normalized score (QueryPipeline._merge_nodes
+    * semantics), re-ranked. documents.doc_id ↔ embeddings.vec_id. */
+  def hybrid(documents: DataFrame, embeddings: DataFrame,
+             terms: Seq[String], queryVecId: Long = 0L, limit: Int = 20): DataFrame = {
+    val vcand = vectorTopK(embeddings, queryVecId, limit)
+      .select(col("vec_id").as("id"), ((col("cos") + lit(1.0)) / lit(2.0)).as("vscore"))
+    val kraw = keywordSearch(documents, terms, limit)
+    val kmax = kraw.agg(max(col("score")).as("kmax"))
+    val kcand = kraw.crossJoin(broadcast(kmax))
+      .select(col("doc_id").as("id"),
+        (col("score").cast("double") / col("kmax").cast("double")).as("kscore"))
+    vcand.join(kcand, Seq("id"), "full_outer")
+      .select(
+        col("id"),
+        greatest(coalesce(col("vscore"), lit(0.0)), coalesce(col("kscore"), lit(0.0))).as("score"),
+        when(col("vscore").isNotNull && col("kscore").isNotNull, "both")
+          .when(col("vscore").isNotNull, "vector").otherwise("keyword").as("src"))
+      .orderBy(desc("score"), col("id"))
+      .limit(limit)
+  }
+
+  def hybridSql(terms: Seq[String], queryVecId: Long = 0L, limit: Int = 20): String = {
+    val cos = VectorOps.cosineSql("embedding", "qv")
+    val score = terms
+      .map(t => s"CAST((length(text) - length(replace(text, '$t', '')))/${t.length} AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryVecId),
+       |v AS (SELECT vec_id AS id, ($cos + 1.0::DOUBLE)/2.0::DOUBLE AS vscore FROM embeddings, q
+       |      WHERE vec_id <> $queryVecId ORDER BY vscore DESC, vec_id LIMIT $limit),
+       |kraw AS (SELECT doc_id, $score AS score FROM documents WHERE $score > 0
+       |      ORDER BY score DESC, doc_id LIMIT $limit),
+       |k AS (SELECT doc_id AS id, CAST(score AS DOUBLE)/CAST((SELECT MAX(score) FROM kraw) AS DOUBLE) AS kscore FROM kraw)
+       |SELECT COALESCE(v.id, k.id) AS id,
+       |       GREATEST(COALESCE(vscore, 0.0::DOUBLE), COALESCE(kscore, 0.0::DOUBLE)) AS score,
+       |       CASE WHEN vscore IS NOT NULL AND kscore IS NOT NULL THEN 'both'
+       |            WHEN vscore IS NOT NULL THEN 'vector' ELSE 'keyword' END AS src
+       |FROM v FULL OUTER JOIN k ON v.id = k.id
+       |ORDER BY score DESC, id LIMIT $limit""".stripMargin
+  }
+}
