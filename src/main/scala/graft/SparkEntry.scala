@@ -56,6 +56,31 @@ object SparkEntry {
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // --- dedup / ANN ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    "minhash_signature" -> ((s, d) => Dedup.minhashSignature(Tables.documents(s, d))),
+    "ann_lsh" -> ((s, d) => Dedup.annLsh(Tables.embeddings(s, d))),
+    // --- graph ---
+    "graph_stats" -> ((s, d) => GraphOps.stats(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "graph_degree" -> ((s, d) => GraphOps.degrees(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "graph_khop" -> ((s, d) =>
+      GraphOps.khop(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "graph_shortest_path" -> ((s, d) => GraphOps.shortestPaths(Tables.lineitem(s, d))),
+    "impact_analysis" -> ((s, d) =>
+      GraphOps.impactAnalysis(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // --- memory / pack / schema ---
+    "mem_search" -> ((s, d) => Memory.search(Tables.documents(s, d), kwTerms)),
+    "mem_summary" -> ((s, d) => Memory.summary(Tables.documents(s, d))),
+    "mem_supersede" -> ((s, d) => Memory.supersedeResolve(Tables.documents(s, d))),
+    "schema_classify" -> ((s, d) => SchemaClassify.classify(Tables.part(s, d))),
+    "pack_builder" -> ((s, d) => PackBuilder.pack(Tables.documents(s, d), kwTerms)),
+    // --- multimodal (plumbing real, decode stubbed; rows-only) ---
+    "mm_meta" -> ((s, d) => graft.multimodal.Multimodal.metadata(Tables.documents(s, d))),
+    "mm_batch" -> ((s, d) => graft.multimodal.Multimodal.batchFeatures(Tables.documents(s, d))),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (column names aligned with the
@@ -146,5 +171,22 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     // doc_fingerprint: rows-only (rolling-hash family not SQL-portable)
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
+    // (xxhash64-based families not SQL-portable)
+    "dedup_embedding" -> Dedup.embeddingNearDupSql(),
+    "ann_lsh" -> Dedup.annLshSql(),
+    "graph_stats" -> GraphOps.statsSql,
+    "graph_degree" -> GraphOps.degreesSql,
+    "graph_khop" -> GraphOps.khopSql,
+    "graph_shortest_path" -> GraphOps.shortestPathsSql(),
+    "impact_analysis" -> GraphOps.impactAnalysisSql,
+    "mem_search" -> Memory.searchSql(kwTerms),
+    "mem_summary" -> Memory.summarySql,
+    "mem_supersede" -> Memory.supersedeResolveSql,
+    "schema_classify" -> SchemaClassify.classifySql,
+    "pack_builder" -> PackBuilder.packSql(kwTerms),
+    // mm_meta, mm_batch: rows-only (crc32/byte-stats not SQL-portable)
   )
 }

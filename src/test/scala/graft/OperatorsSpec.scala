@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.{Chunking, Dedup, Relational, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val cos = df.select(VectorOps.cosine(col("a"), col("b")).as("c")).as[Double].collect()
+    assert(math.abs(cos(0) - 1.0) < 1e-12)
+    assert(math.abs(cos(1)) < 1e-12)
+  }
+
+  test("chunking covers the text with the configured overlap") {
+    val text = ("x" * 1000)
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Chunking.chunkFixed(df, size = 512, overlap = 64)
+      .orderBy("chunk_index").as[(Long, Long, String)].collect()
+    // 1000 chars, step 448 → ceil((1000-64)/448) = 3 chunks
+    assert(chunks.length == 3)
+    assert(chunks(0)._3.length == 512)
+    assert(chunks(1)._3.length == 512)
+    assert(chunks(2)._3.length == 1000 - 2 * 448)
+    // short text → exactly one chunk
+    val one = Chunking.chunkFixed(Seq((2L, "short")).toDF("doc_id", "text")).collect()
+    assert(one.length == 1)
+  }
+
+  test("shingles produce size-w+1 distinct w-grams") {
+    val df = Seq(("a b c d e")).toDF("text")
+    val sh = df.select(Dedup.shingles(col("text")).as("s")).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+    // shorter than w: single partial shingle
+    val sh2 = Seq(("a b")).toDF("text")
+      .select(Dedup.shingles(col("text")).as("s")).as[Seq[String]].head()
+    assert(sh2 == Seq("a b"))
+  }
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df).orderBy("keeper").as[(String, Long, Long)].collect()
+    assert(out.map(r => (r._2, r._3)).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash signature is deterministic and sized") {
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val s1 = Dedup.minhashSignature(df).as[(Long, Seq[Long])].head()
+    val s2 = Dedup.minhashSignature(df).as[(Long, Seq[Long])].head()
+    assert(s1._2.length == 128)
+    assert(s1 == s2)
+  }
+
+  test("near-identical docs collide in minhash-lsh, unrelated don't") {
+    val a = "the quick brown fox jumps over the lazy dog again and again until done"
+    val b = a.replace("done", "finished")
+    val c = "completely different content with no overlap whatsoever in any shingle at all"
+    val df = Seq((1L, a, "en", 70L), (2L, b, "en", 70L), (3L, c, "en", 77L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = Dedup.minhashLsh(df, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash hamming distance small for near-dups, large for different") {
+    val a = "the quick brown fox jumps over the lazy dog again and again until done"
+    val b = a.replace("done", "finished")
+    val c = "completely different content with no overlap whatsoever in any shingle at all"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fps = Dedup.simhash(df).as[(Long, Long)].collect().toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
+  }
+
+  test("dsum is exact and order-independent") {
+    val df = (1 to 1000).map(i => i / 100.0).toDF("v").repartition(7)
+    val s = df.agg(Relational.dsum(col("v")).as("s")).as[Double].head()
+    assert(s == 5005.0)
+  }
+
+  test("fingerprint is stable") {
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val f1 = TextAnalysis.fingerprint(df).as[(Long, Long)].head()
+    val f2 = TextAnalysis.fingerprint(df).as[(Long, Long)].head()
+    assert(f1 == f2 && f1._2 > 0)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("streaming windowAgg counts events per hour window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(5), 10, "click", 1.0),
+      Event(2, ts(10), 10, "click", 2.0),
+      Event(3, ts(20), 11, "view", 3.0))
+    val q = Streams.windowAgg(input.toDF())
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Event(4, Timestamp.valueOf("2024-01-01 03:00:00"), 10, "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("winagg")
+      .select("event_type", "n", "sum_value").as[(String, Long, Double)].collect().toSet
+    // hour-0 windows close once the watermark passes (3:00 event advances it)
+    assert(rows.contains(("click", 2L, 3.0)))
+    assert(rows.contains(("view", 1L, 3.0)))
+  }
+
+  test("streaming sessionize closes a session on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    // two events 5 min apart, then a 40-min gap → first session closes
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(5), 7, "click", 1.0),
+      Event(3, ts(45), 7, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions")
+      .select("user_id", "session_id", "n_events").as[(Long, Long, Long)].collect()
+    assert(rows.toSeq == Seq((7L, 1L, 2L)))
+  }
+}
