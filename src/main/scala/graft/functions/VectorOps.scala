@@ -17,8 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product in double precision (sequential left fold). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product in double precision (sequential left fold), as a native
+    * codegen'd expression — see [[DotProductFF]]. The HOF formulation
+    * (`aggregate(zip_with(...))`) computes the same value but is
+    * CodegenFallback (interpreted per element); the native kernel keeps
+    * vector scoring inside WholeStageCodegen. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(DotProductFF(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Reference HOF formulation (kept for cross-checking the native kernel). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -49,22 +49,45 @@ object Dedup {
 
   // ---------- n-gram Jaccard ----------
 
-  /** Near-dup pairs by w-gram Jaccard within (lang, length-bucket) blocks.
-    * Block sizes bound the pair count; near-dups have similar length so
-    * recall loss from blocking is negligible — the standard trade at scale. */
+  /** (doc_id, lang, length-bucket, distinct shingle hashes) computed once in
+    * the JVM kernel — the shared input for Jaccard and LSH verification.
+    * 64-bit hashing shingles keeps later set ops on primitive longs
+    * (collision odds at corpus scale ≈ n²/2⁶⁵ — negligible). */
+  private def shingleHashes(documents: DataFrame, w: Int, lenBucket: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    spread(documents.select(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+      .as[(Long, String, Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (docId, lang, nChars, text) =>
+          (docId, lang, nChars / lenBucket, shinglesOf(text, w).map(hashShingle).distinct.sorted)
+        }
+      }
+      .toDF("doc_id", "lang", "len_b", "sh")
+  }
+
+  /** Near-dup pairs by w-gram Jaccard within (lang, length-bucket) blocks,
+    * via an inverted index: explode shingles → equi-join on (block, shingle)
+    * → count common shingles per pair → jaccard = c/(|A|+|B|−c). Pairs
+    * sharing no shingle never materialize, so cost is driven by true
+    * overlap, not block-size² — the shape that survives 100 TB. Blocking by
+    * (lang, length) bounds the worst case; near-dups have similar length so
+    * recall loss is negligible. */
   def ngramJaccard(documents: DataFrame, w: Int = 3, threshold: Double = 0.5,
                    lenBucket: Int = 50): DataFrame = {
-    val sh = documents.select(
-      col("doc_id"), col("lang"),
-      (col("n_chars") / lenBucket).cast("long").as("len_b"),
-      shingles(col("text"), w).as("sh"))
-    val a = sh.select(col("lang"), col("len_b"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("lang"), col("len_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "len_b"))
-      .filter(col("doc_a") < col("doc_b"))
+    val sh = shingleHashes(documents, w, lenBucket)
+    val ex = sh.select(
+      col("lang"), col("len_b"), col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    ex.as("a").join(ex.as("b"),
+        col("a.lang") === col("b.lang") && col("a.len_b") === col("b.len_b") &&
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -87,22 +110,76 @@ object Dedup {
 
   val MinhashPrime = 1000000007L
 
+  /** Ensure CPU-bound per-row work is spread across cores: a single parquet
+    * file reads as one partition locally, serializing the whole operator.
+    * At 100 TB inputs arrive in thousands of files so this is a no-op (the
+    * gate keeps it from adding a shuffle there). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** SplitMix64 finalizer — deterministic, fast, public-domain mixer. */
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def hashShingle(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    splitmix64(h)
+  }
+
+  /** Plain-Scala w-gram shingling (the kernel the mapPartitions operators
+    * use; semantics match the column-expression `shingles`). */
+  private[operators] def shinglesOf(text: String, w: Int = 3): Array[String] = {
+    val toks = text.trim.split("\\s+")
+    val n = math.max(toks.length - w + 1, 1)
+    val out = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i < n) {
+      out += toks.slice(i, math.min(i + w, toks.length)).mkString(" ")
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Per-doc MinHash signature: nPerms universal-hash minima over shingle
-    * hashes. Pure column expressions — codegen'd, no UDF, one narrow pass.
-    * h_i(x) = ((2i+1)·(xxhash64(x) mod p) + i²+7) mod p, p = 1e9+7;
-    * multiplier ≤ 257 so the long product never overflows. */
+    * hashes — h_i(x) = ((2i+1)·(h(x) mod p) + i²+7) mod p, p = 1e9+7.
+    * Computed in a typed mapPartitions: Spark's higher-order functions are
+    * CodegenFallback (interpreted per element), which made the expression
+    * formulation ~100× slower; the JVM kernel is a narrow, fully
+    * distributed pass with identical semantics. */
   def minhashSignature(documents: DataFrame, nPerms: Int = 128): DataFrame = {
-    val p = lit(MinhashPrime)
-    documents
-      .withColumn("hs", transform(shingles(col("text")), s => pmod(xxhash64(s), p)))
-      .select(
-        col("doc_id"),
-        transform(
-          sequence(lit(0), lit(nPerms - 1)),
-          i => aggregate(
-            col("hs"), p,
-            (acc, h) => least(acc, pmod((lit(2L) * i + lit(1L)) * h + i * i + lit(7L), p)))
-        ).as("signature"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val p = MinhashPrime
+    spread(documents.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (docId, text) =>
+          val hs = shinglesOf(text).map(s => java.lang.Math.floorMod(hashShingle(s), p))
+          val sig = new Array[Long](nPerms)
+          var i = 0
+          while (i < nPerms) {
+            var mn = p
+            var j = 0
+            while (j < hs.length) {
+              val v = ((2L * i + 1L) * hs(j) + i.toLong * i + 7L) % p
+              if (v < mn) mn = v
+              j += 1
+            }
+            sig(i) = mn
+            i += 1
+          }
+          (docId, sig)
+        }
+      }
+      .toDF("doc_id", "signature")
   }
 
   /** MinHash-LSH near-dup pairs: signature → bands → bucket groupBy →
@@ -122,13 +199,16 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = documents.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // verify candidates with exact Jaccard over the hashed shingle sets
+    // (computed once per doc in the JVM kernel, intersected on longs)
+    val sh = shingleHashes(documents, 3, Int.MaxValue).select(col("doc_id"), col("sh"))
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("c").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -136,19 +216,31 @@ object Dedup {
   // ---------- SimHash ----------
 
   /** 64-bit SimHash from shingle hashes: for each bit k, sum ±1 contributions
-    * across shingles; bit k of the fingerprint = (sum > 0). Materializes the
-    * shingle-hash array once, then 64 literal-shift folds (shift amounts must
-    * be literals in Spark's shiftright). */
+    * across shingles; bit k of the fingerprint = (sum > 0). Typed
+    * mapPartitions kernel for the same CodegenFallback reason as MinHash. */
   def simhash(documents: DataFrame): DataFrame = {
-    val withHs = documents
-      .withColumn("hs", transform(shingles(col("text")), s => xxhash64(s)))
-    val fp = (0 until 64).map { k =>
-      val bitSum = aggregate(
-        col("hs"), lit(0L),
-        (a, h) => a + when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(bitSum > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    withHs.select(col("doc_id"), fp.as("simhash"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    spread(documents.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (docId, text) =>
+          val counts = new Array[Int](64)
+          shinglesOf(text).foreach { s =>
+            val h = hashShingle(s)
+            var k = 0
+            while (k < 64) {
+              if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+              k += 1
+            }
+          }
+          var fp = 0L
+          var k = 0
+          while (k < 64) { if (counts(k) > 0) fp |= (1L << k); k += 1 }
+          (docId, fp)
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup pairs: 4×16-bit chunk blocking (any pair with hamming

@@ -83,14 +83,27 @@ object TextAnalysis {
 
   /** Rolling polynomial hash fingerprint (base 31, mod 1e9+7 so acc*31+c
     * never overflows a long) over the raw text — deterministic content
-    * address usable for shard-local dedup and change detection. Narrow
-    * transform; rows-only check (not expressible in portable SQL). */
+    * address usable for shard-local dedup and change detection. Typed
+    * mapPartitions kernel (char-level folds via Catalyst HOFs are
+    * CodegenFallback and interpret per character); narrow, fully
+    * distributed; rows-only check (not expressible in portable SQL). */
   def fingerprint(documents: DataFrame): DataFrame = {
-    val mod = lit(1000000007L)
-    val hashExpr = aggregate(
-      transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, c) => pmod(acc * lit(31L) + c, mod))
-    documents.select(col("doc_id"), hashExpr.as("fingerprint"))
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        val mod = 1000000007L
+        iter.map { case (docId, text) =>
+          var acc = 0L
+          var i = 0
+          while (i < text.length) {
+            acc = java.lang.Math.floorMod(acc * 31L + text.charAt(i), mod)
+            i += 1
+          }
+          (docId, acc)
+        }
+      }
+      .toDF("doc_id", "fingerprint")
   }
 }
