@@ -42,6 +42,7 @@ object SparkEntry {
       Relational.custRollup(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d))),
     "q_events_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
     "q_events_window" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
+    "q_events_json" -> ((s, d) => Relational.eventsJson(Tables.events(s, d))),
     // --- RAG / search surface ---
     "chunk_fixed" -> ((s, d) => Chunking.chunkFixed(Tables.documents(s, d))),
     "keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), kwTerms)),
@@ -81,6 +82,11 @@ object SparkEntry {
     // --- multimodal (plumbing real, decode stubbed; rows-only) ---
     "mm_meta" -> ((s, d) => graft.multimodal.Multimodal.metadata(Tables.documents(s, d))),
     "mm_batch" -> ((s, d) => graft.multimodal.Multimodal.batchFeatures(Tables.documents(s, d))),
+    // --- batch embedding pipeline (north star; rows-only: model is a
+    //     deterministic hashed-feature stand-in) ---
+    "embed_docs" -> ((s, d) => Embedding.embed(Tables.documents(s, d), "doc_id", "text")),
+    "rag_retrieve" -> ((s, d) =>
+      Embedding.ragRetrieve(Tables.documents(s, d), Tables.embeddings(s, d))),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (column names aligned with the
@@ -161,6 +167,7 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
         |COUNT(*) AS n, CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_json" -> Relational.eventsJsonSql,
     "chunk_fixed" -> Chunking.chunkFixedSql(),
     "keyword_search" -> Search.keywordSearchSql(kwTerms),
     "rank_files" -> Search.rankDocsSql(Seq("spark", "join"), "spark join", "en"),

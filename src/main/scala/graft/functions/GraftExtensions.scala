@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions registering graft's native expressions as SQL
+  * functions, so `spark.sql("SELECT dot_product(a, b) ...")` works anywhere
+  * (including pure-SQL deployments):
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductFF].getName, "dot_product"),
+      GraftFunctions.dotProductBuilder))
+  }
+}
+
+object GraftFunctions {
+  val dotProductBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] => DotProductFF = { children =>
+    require(children.length == 2, "dot_product expects exactly 2 arguments")
+    DotProductFF(children(0), children(1))
+  }
+
+  /** Register on an already-running session (extensions only apply at
+    * session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.registerTempFunction(
+      spark, "dot_product", dotProductBuilder)
+}

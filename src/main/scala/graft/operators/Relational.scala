@@ -137,6 +137,23 @@ object Relational {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
   }
 
+  /** Semi-structured ingestion: parse the JSON `props` column and aggregate
+    * the extracted field — get_json_object stays inside codegen; at scale
+    * prefer from_json with an explicit schema once fields stabilize. */
+  def eventsJson(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  val eventsJsonSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Tumbling 1-hour event-time window aggregation (batch form). */
   def eventsHourly(events: DataFrame): DataFrame =
     events
