@@ -291,12 +291,14 @@ object Dedup {
   private def hpSql(j: Int): String =
     s"(((i*2654435761 + $j*40503) % 1021) - 510)"
 
-  /** LSH bucket id: sign bits of nPlanes hyperplane dots. */
+  /** LSH bucket id: sign bits of nPlanes hyperplane dots. Planes are
+    * literal arrays (same formula as hpSql) dotted via the native codegen
+    * kernel — no interpreted HOFs in the bucketing scan. */
   def lshBucket(emb: Column, nPlanes: Int = 8): Column =
     (0 until nPlanes).map { j =>
-      val dotJ = aggregate(
-        zip_with(emb, sequence(lit(0L), lit(63L)), (x, i) => x.cast("double") * hp(j, i).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      val plane = (0 until 64).map(i =>
+        (((i.toLong * 2654435761L + j.toLong * 40503L) % 1021L) - 510L).toDouble)
+      val dotJ = VectorOps.dot(emb, typedLit(plane))
       when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -93,9 +93,13 @@ object GraphOps {
     var all = seeds
     var frontier = seeds
     for (h <- 1 to k) {
+      // materialize each level: without it the lineage re-derives every
+      // earlier hop per downstream use (exponential recompute in iterative
+      // DataFrame graph algorithms)
       frontier = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), lit(h.toLong).as("hops"))
         .distinct()
+        .localCheckpoint()
       all = all.unionAll(frontier)
     }
     all.groupBy("node").agg(min(col("hops")).as("hops"))
@@ -135,7 +139,9 @@ object GraphOps {
     * DataFrame BFS: frontier ⋈ edges per level, min-dist dedup — log-depth
     * loop, every step fully distributed. */
   def shortestPaths(lineitem: DataFrame, maxDepth: Int = 3): DataFrame = {
-    val cp = copurchase(lineitem).cache()
+    // materialize the projected edge set and every BFS level: iterative
+    // DataFrame algorithms otherwise re-derive the whole lineage per level
+    val cp = copurchase(lineitem).localCheckpoint()
     val start = cp.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
     var all = start
@@ -145,6 +151,7 @@ object GraphOps {
         .select(col("dst").as("node"), lit(d.toLong).as("dist"))
         .distinct()
         .join(all.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
+        .localCheckpoint()
       all = all.unionAll(frontier)
     }
     all.groupBy("node").agg(min(col("dist")).as("dist"))
