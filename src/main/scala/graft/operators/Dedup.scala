@@ -315,15 +315,16 @@ object Dedup {
     val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding")))
     val probes = bucketed.filter(col("vec_id") < nProbes)
       .select(col("bucket"), col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("neighbor_id"))
     bucketed
       .select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding"))
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("neighbor_id"), col("rn"), col("cos"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
   }
 
   def annLshSql(nProbes: Int = 10, k: Int = 3): String = {

@@ -69,13 +69,14 @@ object Embedding {
       chunks.select((col("doc_id") * 1000 + col("chunk_index")).as("chunk_id"), col("chunk_text")),
       "chunk_id", "chunk_text")
       .select(col("id").as("chunk_id"), col("embedding").as("pv"))
-    val w = Window.partitionBy("chunk_id").orderBy(desc("cos"), col("vec_id"))
     index
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(probeVecs))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("chunk_id"), col("vec_id"), col("rn"), col("cos"))
+      .groupBy(col("chunk_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("vec_id"), k).as("topk"))
+      .select(col("chunk_id"), posexplode(col("topk")))
+      .select(col("chunk_id"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
   }
 }

@@ -105,19 +105,25 @@ object Search {
 
   /** k-NN join: top-k neighbors for each probe vector. Probe side broadcast
     * (small); at scale with a large probe side, swap to the LSH-bucketed
-    * plan (Dedup.annLsh) — same output contract. */
+    * plan (Dedup.annLsh) — same output contract.
+    *
+    * Per-probe top-k uses the native bounded [[graft.functions.TopKAgg]]
+    * aggregate: map-side partial aggregation emits ≤k rows per probe per
+    * task, so the shuffle is O(probes·k) — a window row_number would
+    * shuffle every scored pair. */
   def knnJoin(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
     val probes = embeddings.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("neighbor_id"))
     embeddings
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
       .crossJoin(broadcast(probes))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("neighbor_id"), col("rn"), col("cos"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
   }
 
   def knnJoinSql(nProbes: Int = 10, k: Int = 5): String = {
