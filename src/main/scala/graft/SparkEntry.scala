@@ -57,6 +57,10 @@ object SparkEntry {
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "corpus_filter" -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
+    "pii_scrub" -> ((s, d) => Corpus.piiScrub(Tables.documents(s, d))),
+    "corpus_sample" -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
+    "corpus_stats" -> ((s, d) => Corpus.stats(Tables.documents(s, d))),
     // --- dedup / ANN ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
@@ -178,6 +182,10 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     // doc_fingerprint: rows-only (rolling-hash family not SQL-portable)
+    "corpus_filter" -> Corpus.qualityFilterSql,
+    "pii_scrub" -> Corpus.piiScrubSql,
+    "corpus_sample" -> Corpus.stratifiedSampleSql(),
+    "corpus_stats" -> Corpus.statsSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only

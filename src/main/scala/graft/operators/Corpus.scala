@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the C4/RefinedWeb-style filtering steps every
+  * LLM training-data pipeline runs before dedup: quality gating, PII
+  * scrubbing, deterministic sampling, corpus statistics. All narrow
+  * transforms or single-shuffle rollups; every rule is a codegen'd column
+  * expression, so the whole filter chain fuses into one scan pass.
+  */
+object Corpus {
+
+  private def nTokens: Column =
+    size(split(trim(col("text")), "\\s+")).cast("long")
+
+  private def occ(term: String): Column =
+    ((length(col("text")) - length(regexp_replace(col("text"), java.util.regex.Pattern.quote(term), ""))) / term.length).cast("long")
+
+  /** Quality gate (the C4 recipe shape): length window, mean word length
+    * sane, enough lexical diversity. Emits keep/drop with the reason —
+    * pipelines audit drop reasons at scale. */
+  def qualityFilter(documents: DataFrame): DataFrame = {
+    val toks = nTokens
+    val ttr = size(array_distinct(split(trim(col("text")), "\\s+"))).cast("double") / toks.cast("double")
+    val awl = length(regexp_replace(col("text"), " ", "")).cast("double") / toks.cast("double")
+    documents.select(
+      col("doc_id"),
+      when(toks < 10, "too_short")
+        .when(toks > 100000, "too_long")
+        .when(awl < 2.0, "words_too_short")
+        .when(awl > 12.0, "words_too_long")
+        .when(ttr < 0.3, "too_repetitive")
+        .otherwise("keep").as("verdict"))
+  }
+
+  val qualityFilterSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+      |    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+      |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ttr,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS awl
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN toks < 10 THEN 'too_short'
+      |       WHEN toks > 100000 THEN 'too_long'
+      |       WHEN awl < 2.0 THEN 'words_too_short'
+      |       WHEN awl > 12.0 THEN 'words_too_long'
+      |       WHEN ttr < 0.3 THEN 'too_repetitive'
+      |       ELSE 'keep' END AS verdict
+      |FROM f""".stripMargin
+
+  /** PII scrubbing: redact digit runs and email-shaped tokens. Simple RE2-
+    * compatible patterns so engines (and the oracle) agree byte-for-byte. */
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "[0-9][0-9][0-9]+", "<NUM>").as("scrubbed"))
+
+  val piiScrubSql: String =
+    """SELECT doc_id,
+      |regexp_replace(
+      |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |  '[0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed
+      |FROM documents""".stripMargin
+
+  /** Deterministic stratified sampling: keep ~pct% per language via a
+    * multiplicative hash of doc_id — reproducible across runs/engines, no
+    * RNG state, no sort. The train/test-split primitive at any scale. */
+  def stratifiedSample(documents: DataFrame, pct: Int = 10): DataFrame =
+    documents
+      .filter(pmod(col("doc_id") * 2654435761L, lit(100L)) < pct)
+      .select(col("doc_id"), col("lang"))
+
+  def stratifiedSampleSql(pct: Int = 10): String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE (doc_id * 2654435761) % 100 < $pct""".stripMargin
+
+  /** Corpus statistics rollup: per-language token/char volumes and doc
+    * counts — the dashboard numbers of every curation pipeline. */
+  def stats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTokens).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(occ("the")).as("the_count"))
+
+  val statsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+      |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |CAST(SUM((length(text) - length(replace(text, 'the', '')))/3) AS BIGINT) AS the_count
+      |FROM documents GROUP BY lang""".stripMargin
+}
