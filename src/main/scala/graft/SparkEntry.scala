@@ -78,7 +78,9 @@ object SparkEntry {
     "impact_analysis" -> ((s, d) =>
       GraphOps.impactAnalysis(Tables.orders(s, d), Tables.lineitem(s, d))),
     // --- memory / pack / schema ---
+    "graph_schema" -> ((s, d) => GraphOps.schema(Tables.orders(s, d), Tables.lineitem(s, d))),
     "mem_search" -> ((s, d) => Memory.search(Tables.documents(s, d), kwTerms)),
+    "mem_extract" -> ((s, d) => Memory.extract(Tables.documents(s, d))),
     "mem_summary" -> ((s, d) => Memory.summary(Tables.documents(s, d))),
     "mem_supersede" -> ((s, d) => Memory.supersedeResolve(Tables.documents(s, d))),
     "schema_classify" -> ((s, d) => SchemaClassify.classify(Tables.part(s, d))),
@@ -197,7 +199,9 @@ object SparkEntry {
     "graph_khop" -> GraphOps.khopSql,
     "graph_shortest_path" -> GraphOps.shortestPathsSql(),
     "impact_analysis" -> GraphOps.impactAnalysisSql,
+    "graph_schema" -> GraphOps.schemaSql,
     "mem_search" -> Memory.searchSql(kwTerms),
+    "mem_extract" -> Memory.extractSql,
     "mem_summary" -> Memory.summarySql,
     "mem_supersede" -> Memory.supersedeResolveSql,
     "schema_classify" -> SchemaClassify.classifySql,

@@ -63,6 +63,31 @@ object GraphOps {
        |UNION ALL SELECT 'src_nodes', COUNT(DISTINCT src) FROM e
        |UNION ALL SELECT 'dst_nodes', COUNT(DISTINCT dst) FROM e""".stripMargin
 
+  /** Graph-schema introspection (get_graph_schema analog): the distinct
+    * (src_type)-[rel]->(dst_type) triples with edge counts — node types
+    * recovered from the id-namespace encoding. */
+  def schema(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def typeOf(c: org.apache.spark.sql.Column) =
+      when(c < OrderBase, "customer")
+        .when(c < PartBase, "order")
+        .when(c < SuppBase, "part")
+        .otherwise("supplier")
+    edges(orders, lineitem)
+      .groupBy(typeOf(col("src")).as("src_type"), col("rel"), typeOf(col("dst")).as("dst_type"))
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
+  val schemaSql: String =
+    s"""WITH e AS ($edgesSql),
+       |t AS (SELECT
+       |  CASE WHEN src < $OrderBase THEN 'customer' WHEN src < $PartBase THEN 'order'
+       |       WHEN src < $SuppBase THEN 'part' ELSE 'supplier' END AS src_type,
+       |  rel,
+       |  CASE WHEN dst < $OrderBase THEN 'customer' WHEN dst < $PartBase THEN 'order'
+       |       WHEN dst < $SuppBase THEN 'part' ELSE 'supplier' END AS dst_type
+       |FROM e)
+       |SELECT src_type, rel, dst_type, COUNT(*) AS n_edges FROM t GROUP BY 1, 2, 3""".stripMargin
+
   /** In/out degree per node (get_node_degree analog): two groupBys + one
     * full-outer merge — no row ever holds more than a counter. */
   def degrees(orders: DataFrame, lineitem: DataFrame): DataFrame = {

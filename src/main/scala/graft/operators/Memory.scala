@@ -58,6 +58,32 @@ object Memory {
       |CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY source, lang""".stripMargin
 
+  /** Rule-based memory extraction (memory_extractor.py:735 — "TODO:" → plan,
+    * "FIXME:"/"BUG:" → experience; marker keyword → memory kind), adapted to
+    * the corpus vocabulary: classify each document by its strongest marker
+    * term and emit (doc_id, kind, evidence-count). Single scan, codegen'd. */
+  def extract(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("kind",
+        when(occ("slow") >= 2, "experience")
+          .when(occ("batch") >= 2, "plan")
+          .when(occ("stream") >= 2, "pattern")
+          .when(occ("query") >= 2, "decision")
+          .otherwise("fact"))
+      .withColumn("evidence",
+        occ("slow") + occ("batch") + occ("stream") + occ("query"))
+      .select(col("doc_id"), col("kind"), col("evidence"))
+
+  val extractSql: String =
+    s"""SELECT doc_id,
+       |CASE WHEN ${occSql("slow")} >= 2 THEN 'experience'
+       |     WHEN ${occSql("batch")} >= 2 THEN 'plan'
+       |     WHEN ${occSql("stream")} >= 2 THEN 'pattern'
+       |     WHEN ${occSql("query")} >= 2 THEN 'decision'
+       |     ELSE 'fact' END AS kind,
+       |${occSql("slow")} + ${occSql("batch")} + ${occSql("stream")} + ${occSql("query")} AS evidence
+       |FROM documents""".stripMargin
+
   /** supersede_memory (:490) resolution: each lineage (doc_id mod 100) forms
     * a supersede chain; resolve to the latest valid version per lineage. */
   def supersedeResolve(documents: DataFrame): DataFrame = {
