@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductFF].getName, "dot_product"),
       GraftFunctions.dotProductBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimFF].getName, "cosine_sim"),
+      GraftFunctions.cosineSimBuilder))
   }
 }
 
@@ -30,9 +34,18 @@ object GraftFunctions {
     DotProductFF(children(0), children(1))
   }
 
+  val cosineSimBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] => CosineSimFF = { children =>
+    require(children.length == 2, "cosine_sim expects exactly 2 arguments")
+    CosineSimFF(children(0), children(1))
+  }
+
   /** Register on an already-running session (extensions only apply at
     * session construction). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.Bridge.registerTempFunction(
       spark, "dot_product", dotProductBuilder)
+    org.apache.spark.sql.graftbridge.Bridge.registerTempFunction(
+      spark, "cosine_sim", cosineSimBuilder)
+  }
 }

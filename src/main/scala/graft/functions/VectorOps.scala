@@ -38,9 +38,13 @@ object VectorOps {
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+  /** Cosine similarity — fused single-pass native kernel ([[CosineSimFF]]):
+    * dot + both norms accumulated in one loop, bit-identical to the
+    * composed dot/sqrt formulation. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(CosineSimFF(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   /** Cosine given a precomputed norm for each side (bench path: compute the
     * norm once per row instead of three dots per pair). */

@@ -51,6 +51,20 @@ class EmbeddingSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("cosine_sim SQL function and fused kernel match composed dot form") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array.tabulate(64)(i => (i * 0.37 - 5).toFloat),
+                  Array.tabulate(64)(i => (3.1 - i * 0.11).toFloat))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val fused = df.select(VectorOps.cosine(col("a"), col("b"))).as[Double].head()
+    val composed = df.select(
+      VectorOps.dot(col("a"), col("b")) /
+        (sqrt(VectorOps.dot(col("a"), col("a"))) * sqrt(VectorOps.dot(col("b"), col("b")))))
+      .as[Double].head()
+    val viaSql = spark.sql("SELECT cosine_sim(a, b) FROM vecs").as[Double].head()
+    assert(fused == composed && viaSql == fused)
+  }
+
   test("native dot matches the HOF formulation bit-exactly") {
     val df = Seq((Array.tabulate(64)(i => (i * 0.37 - 5).toFloat),
                   Array.tabulate(64)(i => (3.1 - i * 0.11).toFloat))).toDF("a", "b")
