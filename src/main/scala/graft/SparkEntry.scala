@@ -33,6 +33,8 @@ object SparkEntry {
       Relational.q5(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q_window" -> ((s, d) => Relational.topOrdersPerCustomer(Tables.orders(s, d))),
+    "q_moving_avg" -> ((s, d) => Relational.movingAvg(Tables.orders(s, d))),
+    "q_above_avg" -> ((s, d) => Relational.aboveNationAvg(Tables.customer(s, d))),
     "q_topk_global" -> ((s, d) => Relational.topKGlobal(Tables.lineitem(s, d))),
     "q_semijoin" -> ((s, d) =>
       Relational.customersWithOpenOrders(Tables.customer(s, d), Tables.orders(s, d))),
@@ -137,6 +139,8 @@ object SparkEntry {
         |SELECT o_custkey, o_orderkey, o_totalprice,
         |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_moving_avg" -> Relational.movingAvgSql,
+    "q_above_avg" -> Relational.aboveNationAvgSql,
     "q_topk_global" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |l_extendedprice*(CAST(1.0 AS DOUBLE)-l_discount) AS val

@@ -137,6 +137,48 @@ object Relational {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
   }
 
+  /** Sliding-frame window: 4-order moving average of spend per customer
+    * (ROWS 3 PRECEDING..CURRENT). Decimal-sum/count keeps the frame
+    * arithmetic exact and engine-portable. */
+  def movingAvg(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      (sum(col("o_totalprice").cast(DecimalType(38, 6))).over(w).cast("double") /
+        count(lit(1)).over(w)).as("moving_avg"))
+  }
+
+  val movingAvgSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,6))) OVER w AS DOUBLE)
+      |  / COUNT(*) OVER w AS moving_avg
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Aggregate-then-join: customers above their nation's average balance.
+    * The per-nation aggregate is tiny → broadcast back against the fact —
+    * the scalable shape for every "compare to group statistic" query. */
+  def aboveNationAvg(customer: DataFrame): DataFrame = {
+    val navg = customer.groupBy(col("c_nationkey").as("nk"))
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("nation_avg"))
+    customer
+      .join(broadcast(navg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("nation_avg"))
+  }
+
+  val aboveNationAvgSql: String =
+    """WITH navg AS (
+      |  SELECT c_nationkey AS nk,
+      |    CAST(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS nation_avg
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT c_custkey, c_nationkey, c_acctbal, nation_avg
+      |FROM customer JOIN navg ON c_nationkey = nk
+      |WHERE c_acctbal > nation_avg""".stripMargin
+
   /** Semi-structured ingestion: parse the JSON `props` column and aggregate
     * the extracted field — get_json_object stays inside codegen; at scale
     * prefer from_json with an explicit schema once fields stabilize. */
