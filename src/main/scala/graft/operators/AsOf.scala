@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the temporal operator Spark lacks natively (and the example
+  * the scale brief calls out). For each left row, match the greatest
+  * right-side timestamp ≤ the left timestamp per key.
+  *
+  * NOT implemented as an inequality join (which Spark can only execute as a
+  * broadcast nested loop — O(|L|·|R|) per key): instead union both sides and
+  * take a running `max(right_ts)` window per key — one shuffle on the key,
+  * one in-partition sort, O((|L|+|R|) log) total. This is the same plan an
+  * ASOF-native engine builds internally.
+  */
+object AsOf {
+
+  /** Purchase→click attribution over `events`: each purchase joined to the
+    * same user's most recent click at-or-before it. Within-timestamp ties
+    * order clicks first (= at-or-before semantics, matching ASOF's >=). */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("tsu"),
+        (col("event_type") === "click").cast("int").as("is_click"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsu"), desc("is_click"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_tsu",
+        max(when(col("is_click") === 1, col("tsu"))).over(w))
+      .filter(col("is_click") === 0 && col("last_click_tsu").isNotNull)
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+        date_format(timestamp_micros(col("last_click_tsu")), "yyyy-MM-dd HH:mm:ss").as("c_ts"))
+  }
+
+  /** Oracle: DuckDB's native ASOF JOIN — an independent implementation of
+    * the same semantics. */
+  val purchaseAttributionSql: String =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id,
+      |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+      |strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+}
