@@ -46,6 +46,7 @@ object SparkEntry {
     "q_events_window" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
     "q_events_json" -> ((s, d) => Relational.eventsJson(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
+    "range_join" -> ((s, d) => AsOf.priceRangeJoin(Tables.lineitem(s, d))),
     // --- RAG / search surface ---
     "chunk_fixed" -> ((s, d) => Chunking.chunkFixed(Tables.documents(s, d))),
     "keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), kwTerms)),
@@ -180,6 +181,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_events_json" -> Relational.eventsJsonSql,
     "asof_join" -> AsOf.purchaseAttributionSql,
+    "range_join" -> AsOf.priceRangeJoinSql,
     "chunk_fixed" -> Chunking.chunkFixedSql(),
     "keyword_search" -> Search.keywordSearchSql(kwTerms),
     "rank_files" -> Search.rankDocsSql(Seq("spark", "join"), "spark join", "en"),

@@ -48,4 +48,41 @@ object AsOf {
       |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
       |strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  /** Price bands for the range join: (label, lo inclusive, hi exclusive). */
+  val PriceBands: Seq[(String, Double, Double)] = Seq(
+    ("budget", 0.0, 1000.0),
+    ("mid", 1000.0, 10000.0),
+    ("premium", 10000.0, 50000.0),
+    ("luxury", 50000.0, 10000000.0))
+
+  /** Range (interval) join — each lineitem matched to its price band.
+    * The band side is tiny and broadcast, so the inequality predicate is
+    * evaluated inside a broadcast join (no shuffle of the fact side at
+    * all). When BOTH sides are large, the scale plan is to bucket both
+    * sides by floor(value/width) on a common grid and equi-join on the
+    * bucket with the interval predicate as a post-filter — same output,
+    * shuffle-bounded. */
+  def priceRangeJoin(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val bands = PriceBands.toDF("band", "lo", "hi")
+    lineitem
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        Relational.dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val priceRangeJoinSql: String = {
+    val values = PriceBands
+      .map { case (b, lo, hi) => s"('$b', ${lo}::DOUBLE, ${hi}::DOUBLE)" }
+      .mkString(", ")
+    s"""WITH bands(band, lo, hi) AS (VALUES $values)
+       |SELECT band, COUNT(*) AS n,
+       |CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+       |FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+       |GROUP BY band""".stripMargin
+  }
 }
