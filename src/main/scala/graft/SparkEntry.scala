@@ -65,6 +65,7 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => Corpus.piiScrub(Tables.documents(s, d))),
     "corpus_sample" -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => Corpus.stats(Tables.documents(s, d))),
+    "sketch_stats" -> ((s, d) => Corpus.sketchStats(Tables.events(s, d))),
     // --- dedup / ANN ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),

@@ -80,6 +80,19 @@ object Corpus {
     s"""SELECT doc_id, lang FROM documents
        |WHERE (doc_id * 2654435761) % 100 < $pct""".stripMargin
 
+  /** Sketch-based statistics — the O(1)-memory cardinality/quantile tools
+    * that replace exact distincts at 100 TB: HyperLogLog++ distinct users
+    * and an approximate median per event type. rows-only (sketch estimates
+    * are engine-specific by construction); the spec bounds estimate error
+    * against exact values. */
+  def sketchStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"))
+
   /** Corpus statistics rollup: per-language token/char volumes and doc
     * counts — the dashboard numbers of every curation pipeline. */
   def stats(documents: DataFrame): DataFrame =
