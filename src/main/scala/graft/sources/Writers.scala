@@ -25,4 +25,15 @@ object Writers {
   /** Append-mode variant for incremental ingestion batches. */
   def appendBatch(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("append").partitionBy(partitionCol).parquet(path)
+
+  /** Bucketed catalog table: pre-hash-partition + sort by the join key at
+    * write time so every later equi-join/aggregation on that key runs with
+    * ZERO shuffle (co-located, sort-merge without exchange). The right
+    * answer for fact tables joined repeatedly on the same key at 100 TB —
+    * pay the shuffle once at ingest, never again. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }
