@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "minhash_signature" -> ((s, d) => Dedup.minhashSignature(Tables.documents(s, d))),
     "ann_lsh" -> ((s, d) => Dedup.annLsh(Tables.embeddings(s, d))),
+    "ann_ivf" -> ((s, d) => Dedup.annIvf(Tables.embeddings(s, d))),
     // --- graph ---
     "graph_stats" -> ((s, d) => GraphOps.stats(Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_degree" -> ((s, d) => GraphOps.degrees(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -203,6 +204,7 @@ object SparkEntry {
     // (xxhash64-based families not SQL-portable)
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
     "ann_lsh" -> Dedup.annLshSql(),
+    "ann_ivf" -> Dedup.annIvfSql(),
     "graph_stats" -> GraphOps.statsSql,
     "graph_degree" -> GraphOps.degreesSql,
     "graph_khop" -> GraphOps.khopSql,

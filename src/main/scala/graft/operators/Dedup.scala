@@ -327,6 +327,51 @@ object Dedup {
         (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (first nCells vectors
+    * as centroids — at scale: k-means trained once, broadcast) assigns each
+    * vector to its nearest cell; probes search only their own cell. The
+    * inverted-file layout every billion-vector index uses: cell assignment
+    * is a broadcast argmax (narrow), search cost drops by ~nCells×. */
+  def annIvf(embeddings: DataFrame, nCells: Int = 16, nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+    // argmax cosine over centroids, deterministic ties by cell_id
+    val assigned = embeddings
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", VectorOps.cosine(col("embedding"), col("cv")))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(max(struct(col("ccos"), (-col("cell_id")).as("negid"))).as("best"))
+      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("cell"))
+    val probes = assigned.filter(col("vec_id") < nProbes)
+      .select(col("cell"), col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    assigned
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
+  }
+
+  def annIvfSql(nCells: Int = 16, nProbes: Int = 10, k: Int = 3): String = {
+    val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
+    val cos = VectorOps.cosineSql("a.embedding", "p.embedding")
+    s"""WITH cents AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $nCells),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, c.cell_id AS cell
+       |  FROM embeddings e CROSS JOIN cents c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $ccos DESC, c.cell_id) = 1),
+       |probes AS (SELECT cell, vec_id AS probe_id, embedding FROM assigned WHERE vec_id < $nProbes)
+       |SELECT p.probe_id, a.vec_id AS neighbor_id,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY $cos DESC, a.vec_id) AS BIGINT) AS rn,
+       |$cos AS cos
+       |FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.probe_id
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
   def annLshSql(nProbes: Int = 10, k: Int = 3): String = {
     val cos = VectorOps.cosineSql("e.embedding", "p.embedding")
     s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings)
