@@ -28,6 +28,42 @@ object Streams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  case class Doc(doc_id: Long, text: String)
+  case class DedupDecision(doc_id: Long, content_hash: Long, is_duplicate: Boolean)
+
+  /** Incremental streaming dedup: exact-dup detection over an unbounded
+    * document feed. Keyed by content hash, one tiny state cell per distinct
+    * content — the streaming complement of Dedup.exact for ingest-time
+    * filtering (first arrival wins, replays/duplicates flagged). At scale
+    * the key space shards across executors and state lives in the state
+    * store (RocksDB in production). */
+  def streamingDedup(docs: Dataset[Doc]): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+
+    def contentHash(s: String): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+      h
+    }
+
+    def fn(hash: Long, batch: Iterator[Doc],
+           state: GroupState[Long]): Iterator[DedupDecision] = {
+      val sorted = batch.toSeq.sortBy(_.doc_id)
+      val out = scala.collection.mutable.ArrayBuffer[DedupDecision]()
+      var seen = state.getOption.isDefined
+      sorted.foreach { d =>
+        out += DedupDecision(d.doc_id, hash, is_duplicate = seen)
+        if (!seen) { state.update(d.doc_id); seen = true }
+      }
+      out.iterator
+    }
+
+    docs
+      .groupByKey(d => contentHash(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Streaming sessionization: gap > gapMinutes starts a new session.
     * One state object per user (ProcessingTimeTimeout not needed for the
     * deterministic test path; event-time gap logic only). Emits a session

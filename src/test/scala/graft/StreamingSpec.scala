@@ -34,6 +34,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("view", 1L, 3.0)))
   }
 
+  test("streaming dedup flags duplicates across batches, first arrival wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Doc]
+    val q = Streams.streamingDedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Streams.Doc(1, "alpha"), Streams.Doc(2, "beta"), Streams.Doc(3, "alpha"))
+    q.processAllAvailable()
+    input.addData(Streams.Doc(4, "alpha"), Streams.Doc(5, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup")
+      .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    assert(rows == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true, 5L -> false))
+  }
+
   test("streaming sessionize closes a session on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
