@@ -294,7 +294,7 @@ object Dedup {
   /** LSH bucket id: sign bits of nPlanes hyperplane dots. Planes are
     * literal arrays (same formula as hpSql) dotted via the native codegen
     * kernel — no interpreted HOFs in the bucketing scan. */
-  def lshBucket(emb: Column, nPlanes: Int = 8): Column =
+  def lshBucket(emb: Column, nPlanes: Int = 4): Column =
     (0 until nPlanes).map { j =>
       val plane = (0 until 64).map(i =>
         (((i.toLong * 2654435761L + j.toLong * 40503L) % 1021L) - 510L).toDouble)
@@ -302,7 +302,7 @@ object Dedup {
       when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  def lshBucketSql(embCol: String, nPlanes: Int = 8): String =
+  def lshBucketSql(embCol: String, nPlanes: Int = 4): String =
     (0 until nPlanes).map { j =>
       val dotJ = s"list_sum(list_transform(range(0, 64), i -> CAST($embCol[i+1] AS DOUBLE) * CAST(${hpSql(j)} AS DOUBLE)))"
       s"(CASE WHEN $dotJ > 0 THEN ${1L << j} ELSE 0 END)"
@@ -310,7 +310,10 @@ object Dedup {
 
   /** Approximate NN: probes join only their own LSH bucket, then per-probe
     * top-k by exact cosine. At scale: buckets shrink the candidate set by
-    * ~2^planes; multi-probe or bucket repetition raises recall. */
+    * ~2^planes; tune planes to corpus size (recall spec measured 8 planes →
+    * 256 buckets over 500 vectors = near-singleton buckets, recall 0.17;
+    * 4 planes ≈ 0.5 at 1/16 search cost). Multi-probe (flipping the
+    * lowest-margin bits) is the production recall lever. */
   def annLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3): DataFrame = {
     val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding")))
     val probes = bucketed.filter(col("vec_id") < nProbes)
