@@ -35,6 +35,8 @@ object SparkEntry {
     "q_window" -> ((s, d) => Relational.topOrdersPerCustomer(Tables.orders(s, d))),
     "q_moving_avg" -> ((s, d) => Relational.movingAvg(Tables.orders(s, d))),
     "q_above_avg" -> ((s, d) => Relational.aboveNationAvg(Tables.customer(s, d))),
+    "q_median" -> ((s, d) => Relational.medianBalance(Tables.customer(s, d))),
+    "q_pivot" -> ((s, d) => Relational.langPivot(Tables.documents(s, d))),
     "q_topk_global" -> ((s, d) => Relational.topKGlobal(Tables.lineitem(s, d))),
     "q_semijoin" -> ((s, d) =>
       Relational.customersWithOpenOrders(Tables.customer(s, d), Tables.orders(s, d))),
@@ -145,6 +147,8 @@ object SparkEntry {
         |FROM orders) WHERE rn <= 3""".stripMargin,
     "q_moving_avg" -> Relational.movingAvgSql,
     "q_above_avg" -> Relational.aboveNationAvgSql,
+    "q_median" -> Relational.medianBalanceSql,
+    "q_pivot" -> Relational.langPivotSql,
     "q_topk_global" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |l_extendedprice*(CAST(1.0 AS DOUBLE)-l_discount) AS val

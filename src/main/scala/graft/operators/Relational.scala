@@ -179,6 +179,44 @@ object Relational {
       |FROM customer JOIN navg ON c_nationkey = nk
       |WHERE c_acctbal > nation_avg""".stripMargin
 
+  /** Exact per-group median (lower-middle for even counts) via rank — no
+    * percentile-interpolation semantics to disagree on between engines, and
+    * the rank formulation distributes (one shuffle, in-partition sort). */
+  def medianBalance(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+    customer
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("c_nationkey")))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast("long"))
+      .select(col("c_nationkey"), col("c_acctbal").as("median_bal"))
+  }
+
+  val medianBalanceSql: String =
+    """SELECT c_nationkey, c_acctbal AS median_bal FROM (
+      |  SELECT c_nationkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_nationkey) AS cnt
+      |  FROM customer)
+      |WHERE rn = (cnt + 1) // 2""".stripMargin
+
+  /** Pivot: per-source document counts spread across language columns —
+    * groupBy + pivot compiles to one aggregation with conditional counts. */
+  def langPivot(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("source"))
+      .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
+      .count()
+      .na.fill(0L, Seq("en", "de", "es", "fr", "zh"))
+
+  val langPivotSql: String =
+    """SELECT source,
+      |CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+      |CAST(COUNT(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+      |CAST(COUNT(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+      |CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+      |CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+      |FROM documents GROUP BY source""".stripMargin
+
   /** Semi-structured ingestion: parse the JSON `props` column and aggregate
     * the extracted field — get_json_object stays inside codegen; at scale
     * prefer from_json with an explicit schema once fields stabilize. */
