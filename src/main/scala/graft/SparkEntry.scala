@@ -14,13 +14,13 @@ object SparkEntry {
 
   private val kwTerms = Seq("filter", "join", "window")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * north-star RAG pipeline end-to-end — chunk documents, batch-embed each
+    * chunk, cosine-retrieve top-k from the corpus index via the native
+    * codegen kernel + bounded top-k aggregate. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    Relational.q5(
-      Tables.region(spark, dir), Tables.nation(spark, dir),
-      Tables.customer(spark, dir), Tables.orders(spark, dir),
-      Tables.lineitem(spark, dir), Tables.supplier(spark, dir))
+    Embedding.ragRetrieve(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
