@@ -36,6 +36,8 @@ object SparkEntry {
     "q_moving_avg" -> ((s, d) => Relational.movingAvg(Tables.orders(s, d))),
     "q_above_avg" -> ((s, d) => Relational.aboveNationAvg(Tables.customer(s, d))),
     "q_median" -> ((s, d) => Relational.medianBalance(Tables.customer(s, d))),
+    "q_cube" -> ((s, d) => Relational.segmentCube(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_setops" -> ((s, d) => Relational.setOps(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_pivot" -> ((s, d) => Relational.langPivot(Tables.documents(s, d))),
     "q_topk_global" -> ((s, d) => Relational.topKGlobal(Tables.lineitem(s, d))),
     "q_semijoin" -> ((s, d) =>
@@ -70,6 +72,9 @@ object SparkEntry {
     "sketch_stats" -> ((s, d) => Corpus.sketchStats(Tables.events(s, d))),
     // --- dedup / ANN ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_edit_distance" -> ((s, d) => TermStats.editDistancePairs(Tables.documents(s, d))),
+    "term_freq" -> ((s, d) => TermStats.termFreq(Tables.documents(s, d))),
+    "tfidf" -> ((s, d) => TermStats.tfidf(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
@@ -148,6 +153,8 @@ object SparkEntry {
     "q_moving_avg" -> Relational.movingAvgSql,
     "q_above_avg" -> Relational.aboveNationAvgSql,
     "q_median" -> Relational.medianBalanceSql,
+    "q_cube" -> Relational.segmentCubeSql,
+    "q_setops" -> Relational.setOpsSql,
     "q_pivot" -> Relational.langPivotSql,
     "q_topk_global" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -203,6 +210,9 @@ object SparkEntry {
     "corpus_sample" -> Corpus.stratifiedSampleSql(),
     "corpus_stats" -> Corpus.statsSql,
     "dedup_exact" -> Dedup.exactSql,
+    "dedup_edit_distance" -> TermStats.editDistancePairsSql(),
+    "term_freq" -> TermStats.termFreqSql(),
+    "tfidf" -> TermStats.tfidfSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)

@@ -199,6 +199,31 @@ object Relational {
       |  FROM customer)
       |WHERE rn = (cnt + 1) // 2""".stripMargin
 
+  /** Full cube over (segment, orderstatus): every grouping-set combination
+    * in one pass (Expand + single aggregation). */
+  def segmentCube(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  val segmentCubeSql: String =
+    """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+      |CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY CUBE(c_mktsegment, o_orderstatus)""".stripMargin
+
+  /** Set operations: nations that supply but have no customers (EXCEPT),
+    * expressed with distinct projections — compiles to anti-joins. */
+  def setOps(customer: DataFrame, supplier: DataFrame): DataFrame =
+    supplier.select(col("s_nationkey").as("nationkey")).distinct()
+      .exceptAll(customer.select(col("c_nationkey").as("nationkey")).distinct())
+
+  val setOpsSql: String =
+    """SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+      |EXCEPT
+      |SELECT DISTINCT c_nationkey AS nationkey FROM customer""".stripMargin
+
   /** Pivot: per-source document counts spread across language columns —
     * groupBy + pivot compiles to one aggregation with conditional counts. */
   def langPivot(documents: DataFrame): DataFrame =

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Term-level statistics — the inverted-index / feature-extraction building
+  * blocks (TF, DF, TF-IDF). explode → groupBy is the canonical two-shuffle
+  * shape; document counts broadcast back for scoring.
+  */
+object TermStats {
+
+  /** Global top-N term frequencies (the word-count of LLM-corpus tooling). */
+  def termFreq(documents: DataFrame, topN: Int = 20): DataFrame =
+    documents
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), col("term"))
+      .limit(topN)
+
+  def termFreqSql(topN: Int = 20): String =
+    s"""SELECT term, COUNT(*) AS tf FROM (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents)
+       |GROUP BY term ORDER BY tf DESC, term LIMIT $topN""".stripMargin
+
+  /** TF-IDF-style scores per (doc, term), log-free: score = tf · N / df
+    * (rational arithmetic — engine-exact; a log() variant differs in last
+    * ulp across libm implementations). Top terms per doc for the heaviest
+    * documents. */
+  def tfidf(documents: DataFrame, minTf: Int = 3): DataFrame = {
+    val terms = documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    tf.filter(col("tf") >= minTf)
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+          .as("score"))
+  }
+
+  def tfidfSql(minTf: Int = 3): String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+       |CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(dfx.df AS DOUBLE) AS score
+       |FROM tf JOIN dfx USING (term) CROSS JOIN n
+       |WHERE tf.tf >= $minTf""".stripMargin
+
+  /** Edit-distance near-dup pairs: exact-length + language blocking, then
+    * Levenshtein on a fixed prefix — identical DP semantics in both
+    * engines. (Full-text Levenshtein is O(len²) per pair; prefix screening
+    * is the standard first pass, refined only on survivors.) */
+  def editDistancePairs(documents: DataFrame, prefixLen: Int = 40, maxDist: Int = 10): DataFrame = {
+    val d = documents.select(
+      col("lang"), col("n_chars"), col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("p"))
+    val a = d.select(col("lang"), col("n_chars"), col("doc_id").as("doc_a"), col("p").as("pa"))
+    val b = d.select(col("lang"), col("n_chars"), col("doc_id").as("doc_b"), col("p").as("pb"))
+    a.join(b, Seq("lang", "n_chars"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  def editDistancePairsSql(prefixLen: Int = 40, maxDist: Int = 10): String =
+    s"""WITH d AS (SELECT lang, n_chars, doc_id, substr(text, 1, $prefixLen) AS p FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+       |FROM d a JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.p, b.p) <= $maxDist""".stripMargin
+}
