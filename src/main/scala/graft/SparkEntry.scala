@@ -88,6 +88,7 @@ object SparkEntry {
     "graph_khop" -> ((s, d) =>
       GraphOps.khop(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_shortest_path" -> ((s, d) => GraphOps.shortestPaths(Tables.lineitem(s, d))),
+    "graph_pagerank" -> ((s, d) => GraphOps.pageRank(Tables.lineitem(s, d))),
     "impact_analysis" -> ((s, d) =>
       GraphOps.impactAnalysis(Tables.orders(s, d), Tables.lineitem(s, d))),
     // --- memory / pack / schema ---

@@ -192,6 +192,36 @@ object GraphOps {
        |(SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
        |GROUP BY node""".stripMargin
 
+  /** PageRank over the sampled co-purchase graph: the canonical iterative
+    * distributed graph computation. Each iteration is one join + one
+    * aggregation (contributions = rank/out-degree flowing along edges),
+    * materialized per level; dangling mass folds into the damping term.
+    * Deterministic: decimal-free but order-independent (sum of identical
+    * double contributions per node — grouped sums use the same partial
+    * aggregation tree only within a run; we round to 10 dp for stability).
+    * rows-only. */
+  def pageRank(lineitem: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val edges = copurchase(lineitem).localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nNodes = nodes.count().toDouble
+    var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks, col("src") === col("node"))
+        .join(outDeg, "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (lit((1.0 - damping) / nNodes) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank") * nNodes, 10).as("scaled_rank"))
+  }
+
   /** Impact analysis (graph_service.py:546): reverse dependencies of the
     * hottest part — orders containing it (depth 1) and customers who placed
     * those orders (depth 2), with depth-decayed scores. */

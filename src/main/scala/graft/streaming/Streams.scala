@@ -28,6 +28,24 @@ object Streams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks within the preceding hour. Watermarks on BOTH sides bound the
+    * join state (Spark drops buffered rows once the watermark passes —
+    * without them a stream-stream join grows unboundedly). */
+  def clickAttributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   case class Doc(doc_id: Long, text: String)
   case class DedupDecision(doc_id: Long, content_hash: Long, is_duplicate: Boolean)
 

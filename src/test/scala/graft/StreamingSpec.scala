@@ -50,6 +50,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true, 5L -> false))
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.clickAttributionJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 8, "click", 1.0))
+    purchases.addData(
+      Event(10, ts(30), 7, "purchase", 5.0),   // 30 min after click 1 → match
+      Event(11, ts(30), 9, "purchase", 5.0))   // no click for user 9
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set((10L, 1L)))
+  }
+
   test("streaming sessionize closes a session on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
