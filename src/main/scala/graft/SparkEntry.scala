@@ -32,6 +32,9 @@ object SparkEntry {
     "q5_multijoin" -> ((s, d) =>
       Relational.q5(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q17_corr_agg" -> ((s, d) => Relational.q17(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q18_having" -> ((s, d) =>
+      Relational.q18(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_window" -> ((s, d) => Relational.topOrdersPerCustomer(Tables.orders(s, d))),
     "q_moving_avg" -> ((s, d) => Relational.movingAvg(Tables.orders(s, d))),
     "q_above_avg" -> ((s, d) => Relational.aboveNationAvg(Tables.customer(s, d))),
@@ -151,6 +154,8 @@ object SparkEntry {
         |SELECT o_custkey, o_orderkey, o_totalprice,
         |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |FROM orders) WHERE rn <= 3""".stripMargin,
+    "q17_corr_agg" -> Relational.q17Sql,
+    "q18_having" -> Relational.q18Sql(),
     "q_moving_avg" -> Relational.movingAvgSql,
     "q_above_avg" -> Relational.aboveNationAvgSql,
     "q_median" -> Relational.medianBalanceSql,

@@ -199,6 +199,63 @@ object Relational {
       |  FROM customer)
       |WHERE rn = (cnt + 1) // 2""".stripMargin
 
+  /** Small-quantity-order revenue (TPC-H Q17 shape): correlated aggregate
+    * de-correlated into a per-part average joined back to the fact — the
+    * aggregate side is |parts|-sized, broadcast when it fits. */
+  def q17(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val avgQty = lineitem.groupBy(col("l_partkey").as("pk"))
+      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    lineitem
+      .join(broadcast(part.filter(col("p_brand") === "Brand#1")),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17Sql: String =
+    """WITH a AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT
+      |CAST(SUM(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) / CAST(7.0 AS DOUBLE) AS avg_yearly,
+      |COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+      |JOIN a ON l_partkey = pk
+      |WHERE l_quantity < CAST(0.5 AS DOUBLE) * avg_qty""".stripMargin
+
+  /** Large-volume customers (TPC-H Q18 shape): HAVING over a fact rollup,
+    * then join back to dimensions, top-k. */
+  def q18(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+          minQty: Double = 150.0): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  def q18Sql(minQty: Double = 150.0): String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |    CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING CAST(SUM(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) > $minQty)
+       |SELECT c_custkey, c_name, o_orderkey,
+       |strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, sum_qty
+       |FROM orders JOIN big ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
   /** Full cube over (segment, orderstatus): every grouping-set combination
     * in one pass (Expand + single aggregation). */
   def segmentCube(customer: DataFrame, orders: DataFrame): DataFrame =
