@@ -92,6 +92,7 @@ object SparkEntry {
       GraphOps.khop(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_shortest_path" -> ((s, d) => GraphOps.shortestPaths(Tables.lineitem(s, d))),
     "graph_pagerank" -> ((s, d) => GraphOps.pageRank(Tables.lineitem(s, d))),
+    "graph_components" -> ((s, d) => GraphOps.connectedComponents(Tables.lineitem(s, d))),
     "impact_analysis" -> ((s, d) =>
       GraphOps.impactAnalysis(Tables.orders(s, d), Tables.lineitem(s, d))),
     // --- memory / pack / schema ---

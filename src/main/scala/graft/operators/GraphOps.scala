@@ -192,6 +192,38 @@ object GraphOps {
        |(SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
        |GROUP BY node""".stripMargin
 
+  /** Connected components over the sampled co-purchase graph: iterative
+    * min-label propagation (each round every node takes the min label in
+    * its neighborhood; converges in diameter rounds). Per-round
+    * materialization; early-exits when a round changes nothing. rows-only
+    * (spec asserts edge-consistency of labels). */
+  def connectedComponents(lineitem: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = copurchase(lineitem).localCheckpoint()
+    // undirected: propagate both ways
+    val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neighborMin = sym
+        .join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.as("u").join(labels.as("l"), col("u.node") === col("l.node"))
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels = updated
+      it += 1
+    }
+    labels
+  }
+
   /** PageRank over the sampled co-purchase graph: the canonical iterative
     * distributed graph computation. Each iteration is one join + one
     * aggregation (contributions = rank/out-degree flowing along edges),
