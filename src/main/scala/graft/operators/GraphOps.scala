@@ -211,14 +211,25 @@ object GraphOps {
       val neighborMin = sym
         .join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
-      val updated = labels
+      // carry the change flag through the update so convergence detection
+      // is a cheap count on the materialized round, not a second join
+      val propagated = labels
         .join(neighborMin, col("node") === col("dst"), "left_outer")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      changed = updated.as("u").join(labels.as("l"), col("u.node") === col("l.node"))
-        .filter(col("u.label") =!= col("l.label")).count()
-      labels = updated
+      changed = propagated.filter(col("chg")).count()
+      // pointer jumping: follow label → label-of-label, halving chain depth
+      // each round (label propagation alone needs diameter rounds; with
+      // compression convergence is O(log diameter))
+      val cur = propagated.select(col("node"), col("new_label").as("label"))
+      labels = cur.as("a")
+        .join(cur.select(col("node").as("ln"), col("label").as("ll")).as("b"),
+          col("a.label") === col("b.ln"), "left_outer")
+        .select(col("a.node").as("node"),
+          least(col("a.label"), coalesce(col("ll"), col("a.label"))).as("label"))
+        .localCheckpoint()
       it += 1
     }
     labels
