@@ -52,6 +52,8 @@ object SparkEntry {
     "q_events_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
     "q_events_window" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
     "q_events_json" -> ((s, d) => Relational.eventsJson(Tables.events(s, d))),
+    "q_retention" -> ((s, d) => Relational.retention(Tables.events(s, d))),
+    "q_funnel" -> ((s, d) => Relational.funnel(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
     "range_join" -> ((s, d) => AsOf.priceRangeJoin(Tables.lineitem(s, d))),
     // --- RAG / search surface ---
@@ -200,6 +202,8 @@ object SparkEntry {
         |COUNT(*) AS n, CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_events_json" -> Relational.eventsJsonSql,
+    "q_retention" -> Relational.retentionSql,
+    "q_funnel" -> Relational.funnelSql,
     "asof_join" -> AsOf.purchaseAttributionSql,
     "range_join" -> AsOf.priceRangeJoinSql,
     "chunk_fixed" -> Chunking.chunkFixedSql(),

@@ -316,6 +316,63 @@ object Relational {
       |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Daily active users + next-day retention: distinct (day, user) rollup
+    * self-joined one day forward — two shuffles total, both on user-sized
+    * data, the standard product-analytics shape. */
+  def retention(events: DataFrame): DataFrame = {
+    val du = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    du.as("a")
+      .join(du.as("b"),
+        col("b.user_id") === col("a.user_id") && col("b.day") === date_add(col("a.day"), 1),
+        "left_outer")
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("b.day").isNotNull, 1L).otherwise(0L)).as("returned_next_day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("returned_next_day"))
+  }
+
+  val retentionSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+      |SELECT strftime(a.day, '%Y-%m-%d') AS day, COUNT(*) AS dau,
+      |CAST(SUM(CASE WHEN b.day IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS returned_next_day
+      |FROM du a LEFT JOIN du b ON b.user_id = a.user_id AND b.day = a.day + 1
+      |GROUP BY a.day""".stripMargin
+
+  /** Loose funnel (view → click → purchase ordered by first occurrence):
+    * per-user min timestamps, then one global rollup — sequence analytics
+    * without any per-user sort. */
+  def funnel(events: DataFrame): DataFrame = {
+    val mins = events
+      .withColumn("tsu", unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("tsu"))).as("tv"),
+        min(when(col("event_type") === "click", col("tsu"))).as("tc"),
+        min(when(col("event_type") === "purchase", col("tsu"))).as("tp"))
+    mins.agg(
+      sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("tv").isNotNull && col("tc").isNotNull && col("tc") > col("tv"), 1L)
+        .otherwise(0L)).as("n_view_click"),
+      sum(when(col("tv").isNotNull && col("tc").isNotNull && col("tp").isNotNull &&
+          col("tc") > col("tv") && col("tp") > col("tc"), 1L)
+        .otherwise(0L)).as("n_full_funnel"))
+  }
+
+  val funnelSql: String =
+    """WITH mins AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+      |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+      |  FROM events GROUP BY user_id)
+      |SELECT
+      |CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |CAST(SUM(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tc > tv THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+      |CAST(SUM(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+      |          AND tc > tv AND tp > tc THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM mins""".stripMargin
+
   /** Tumbling 1-hour event-time window aggregation (batch form). */
   def eventsHourly(events: DataFrame): DataFrame =
     events
