@@ -53,6 +53,8 @@ object SparkEntry {
     "q_events_window" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
     "q_events_json" -> ((s, d) => Relational.eventsJson(Tables.events(s, d))),
     "q_retention" -> ((s, d) => Relational.retention(Tables.events(s, d))),
+    "q_string_agg" -> ((s, d) =>
+      Relational.nationsPerRegion(Tables.region(s, d), Tables.nation(s, d))),
     "q_funnel" -> ((s, d) => Relational.funnel(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
     "range_join" -> ((s, d) => AsOf.priceRangeJoin(Tables.lineitem(s, d))),
@@ -203,6 +205,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_events_json" -> Relational.eventsJsonSql,
     "q_retention" -> Relational.retentionSql,
+    "q_string_agg" -> Relational.nationsPerRegionSql,
     "q_funnel" -> Relational.funnelSql,
     "asof_join" -> AsOf.purchaseAttributionSql,
     "range_join" -> AsOf.priceRangeJoinSql,

@@ -316,6 +316,22 @@ object Relational {
       |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Ordered string aggregation: nations per region as a deterministic
+    * comma-joined list (collect → sort → join; sorting inside the row makes
+    * the result independent of partitioning). */
+  def nationsPerRegion(region: DataFrame, nation: DataFrame): DataFrame =
+    nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+
+  val nationsPerRegionSql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
   /** Daily active users + next-day retention: distinct (day, user) rollup
     * self-joined one day forward — two shuffles total, both on user-sized
     * data, the standard product-analytics shape. */
