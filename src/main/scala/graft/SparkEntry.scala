@@ -55,6 +55,7 @@ object SparkEntry {
     "q_retention" -> ((s, d) => Relational.retention(Tables.events(s, d))),
     "q_string_agg" -> ((s, d) =>
       Relational.nationsPerRegion(Tables.region(s, d), Tables.nation(s, d))),
+    "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_funnel" -> ((s, d) => Relational.funnel(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
     "range_join" -> ((s, d) => AsOf.priceRangeJoin(Tables.lineitem(s, d))),
@@ -206,6 +207,7 @@ object SparkEntry {
     "q_events_json" -> Relational.eventsJsonSql,
     "q_retention" -> Relational.retentionSql,
     "q_string_agg" -> Relational.nationsPerRegionSql,
+    "q_histogram" -> Relational.priceHistogramSql(),
     "q_funnel" -> Relational.funnelSql,
     "asof_join" -> AsOf.purchaseAttributionSql,
     "range_join" -> AsOf.priceRangeJoinSql,

@@ -316,6 +316,22 @@ object Relational {
       |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Fixed-width histogram of order prices — the data-profiling primitive
+    * (one groupBy on the bucket id; at scale this is how you choose join
+    * strategies and detect skew before running the real query). */
+  def priceHistogram(orders: DataFrame, width: Double = 20000.0): DataFrame =
+    orders
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("bucket_lo", col("bucket") * width)
+
+  def priceHistogramSql(width: Double = 20000.0): String =
+    s"""SELECT CAST(FLOOR(o_totalprice / $width) AS BIGINT) AS bucket, COUNT(*) AS n,
+       |CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+       |CAST(FLOOR(o_totalprice / $width) AS BIGINT) * $width AS bucket_lo
+       |FROM orders GROUP BY 1""".stripMargin
+
   /** Ordered string aggregation: nations per region as a deterministic
     * comma-joined list (collect → sort → join; sorting inside the row makes
     * the result independent of partitioning). */
