@@ -40,7 +40,7 @@ object SparkEntry {
     "q_above_avg" -> ((s, d) => Relational.aboveNationAvg(Tables.customer(s, d))),
     "q_median" -> ((s, d) => Relational.medianBalance(Tables.customer(s, d))),
     "q_cube" -> ((s, d) => Relational.segmentCube(Tables.customer(s, d), Tables.orders(s, d))),
-    "q_setops" -> ((s, d) => Relational.setOps(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_setops" -> ((s, d) => Relational.setOps(Tables.orders(s, d))),
     "q_pivot" -> ((s, d) => Relational.langPivot(Tables.documents(s, d))),
     "q_topk_global" -> ((s, d) => Relational.topKGlobal(Tables.lineitem(s, d))),
     "q_semijoin" -> ((s, d) =>
@@ -87,7 +87,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
-    "minhash_signature" -> ((s, d) => Dedup.minhashSignature(Tables.documents(s, d))),
+    "minhash_signature" -> ((s, d) => Dedup.minhashDigest(Tables.documents(s, d))),
     "ann_lsh" -> ((s, d) => Dedup.annLsh(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Dedup.annIvf(Tables.embeddings(s, d))),
     // --- graph ---
@@ -113,7 +113,7 @@ object SparkEntry {
     "mm_batch" -> ((s, d) => graft.multimodal.Multimodal.batchFeatures(Tables.documents(s, d))),
     // --- batch embedding pipeline (north star; rows-only: model is a
     //     deterministic hashed-feature stand-in) ---
-    "embed_docs" -> ((s, d) => Embedding.embed(Tables.documents(s, d), "doc_id", "text")),
+    "embed_docs" -> ((s, d) => Embedding.embedDigest(Tables.documents(s, d))),
     "rag_retrieve" -> ((s, d) =>
       Embedding.ragRetrieve(Tables.documents(s, d), Tables.embeddings(s, d))),
   )
@@ -177,7 +177,7 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
     "q_antijoin" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
     "q_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
         |CAST(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal

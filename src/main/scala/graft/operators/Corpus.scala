@@ -73,12 +73,16 @@ object Corpus {
     * RNG state, no sort. The train/test-split primitive at any scale. */
   def stratifiedSample(documents: DataFrame, pct: Int = 10): DataFrame =
     documents
-      .filter(pmod(col("doc_id") * 2654435761L, lit(100L)) < pct)
+      // mask to 31 bits before the multiply: (2^31-1)·2654435761 < 2^63, so
+      // the product never wraps — Spark wraps silently on BIGINT overflow
+      // while DuckDB raises, which would break cross-engine reproducibility
+      // exactly at large ids
+      .filter(pmod(col("doc_id").bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L, lit(100L)) < pct)
       .select(col("doc_id"), col("lang"))
 
   def stratifiedSampleSql(pct: Int = 10): String =
     s"""SELECT doc_id, lang FROM documents
-       |WHERE (doc_id * 2654435761) % 100 < $pct""".stripMargin
+       |WHERE ((doc_id & 2147483647) * 2654435761) % 100 < $pct""".stripMargin
 
   /** Sketch-based statistics — the O(1)-memory cardinality/quantile tools
     * that replace exact distincts at 100 TB: HyperLogLog++ distinct users

@@ -181,12 +181,24 @@ object Dedup {
       .toDF("doc_id", "signature")
   }
 
+  /** Harness-facing MinHash view: the raw `array<bigint>` signature is for
+    * pipeline use (LSH banding); the driver's comparator needs scalar
+    * columns, so the registered query emits a 64-bit digest of the
+    * signature instead (order-sensitive, so any signature change shows). */
+  def minhashDigest(documents: DataFrame, nPerms: Int = 128): DataFrame =
+    minhashSignature(documents, nPerms)
+      .select(col("doc_id"), xxhash64(col("signature")).as("sig_digest"))
+
   /** MinHash-LSH near-dup pairs: signature → bands → bucket groupBy →
     * in-bucket candidate pairs → exact-Jaccard verification. Rows-only
     * (hash family not SQL-portable); the Jaccard verify step reuses the
     * oracle-checked shingle machinery. */
   def minhashLsh(documents: DataFrame, nPerms: Int = 128, bands: Int = 32,
                  threshold: Double = 0.5): DataFrame = {
+    // bands must tile the signature exactly: otherwise rowsPerBand floors to
+    // 0 and every doc lands in one bucket per band — a quadratic self-join
+    require(bands > 0 && nPerms % bands == 0,
+      s"bands ($bands) must divide nPerms ($nPerms) exactly")
     val rowsPerBand = nPerms / bands
     val sigs = minhashSignature(documents, nPerms)
     val bandHashes = array((0 until bands).map(b =>

@@ -56,6 +56,14 @@ object Embedding {
       .toDF("id", "embedding")
   }
 
+  /** Harness-facing embedding view: raw `array<float>` vectors are for
+    * pipeline use; the driver's comparator needs scalar columns, so the
+    * registered query emits a 64-bit digest per vector (bit-exact — any
+    * kernel change flips it). */
+  def embedDigest(documents: DataFrame, dim: Int = 64): DataFrame =
+    embed(documents, "doc_id", "text", dim)
+      .select(col("id").as("doc_id"), xxhash64(col("embedding")).as("emb_digest"))
+
   /** End-to-end RAG ingestion + retrieval (the north-star pipeline:
     * "batch embedding generation + DataFrame joins for retrieval"):
     * chunk documents → embed each chunk → cosine-join the corpus index →

@@ -104,9 +104,13 @@ object Relational {
       col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
 
-  /** Customers with no orders — left-anti join (NOT EXISTS). */
+  /** Customers with no FINISHED order — left-anti join (NOT EXISTS). The
+    * status filter keeps the result non-trivial at every test SF (every
+    * customer in the generator has at least one order). */
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
-    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+    customer.join(
+      orders.filter(col("o_orderstatus") === "F"),
+      col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
   /** Customer counts/balances rolled up nation→region→grand-total. */
@@ -270,16 +274,18 @@ object Relational {
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY CUBE(c_mktsegment, o_orderstatus)""".stripMargin
 
-  /** Set operations: nations that supply but have no customers (EXCEPT),
-    * expressed with distinct projections — compiles to anti-joins. */
-  def setOps(customer: DataFrame, supplier: DataFrame): DataFrame =
-    supplier.select(col("s_nationkey").as("nationkey")).distinct()
-      .exceptAll(customer.select(col("c_nationkey").as("nationkey")).distinct())
+  /** Set operations: customers who have ordered but have no OPEN order —
+    * EXCEPT over distinct projections, compiles to anti-joins. (Non-trivial
+    * at every test SF, unlike set differences over dimension keys.) */
+  def setOps(orders: DataFrame): DataFrame =
+    orders.select(col("o_custkey").as("custkey")).distinct()
+      .exceptAll(orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey")).distinct())
 
   val setOpsSql: String =
-    """SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """SELECT DISTINCT o_custkey AS custkey FROM orders
       |EXCEPT
-      |SELECT DISTINCT c_nationkey AS nationkey FROM customer""".stripMargin
+      |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
 
   /** Pivot: per-source document counts spread across language columns —
     * groupBy + pivot compiles to one aggregation with conditional counts. */

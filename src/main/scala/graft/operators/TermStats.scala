@@ -54,27 +54,31 @@ object TermStats {
        |FROM tf JOIN dfx USING (term) CROSS JOIN n
        |WHERE tf.tf >= $minTf""".stripMargin
 
-  /** Edit-distance near-dup pairs: exact-length + language blocking, then
+  /** Edit-distance near-dup pairs: (language, length-bucket) blocking, then
     * Levenshtein on a fixed prefix — identical DP semantics in both
     * engines. (Full-text Levenshtein is O(len²) per pair; prefix screening
-    * is the standard first pass, refined only on survivors.) */
-  def editDistancePairs(documents: DataFrame, prefixLen: Int = 40, maxDist: Int = 10): DataFrame = {
+    * is the standard first pass, refined only on survivors. Length BUCKETS
+    * rather than exact length: near-dups differ by a few chars, so exact
+    * blocking loses them — and produced an empty, vacuous result set.) */
+  def editDistancePairs(documents: DataFrame, prefixLen: Int = 30, maxDist: Int = 12,
+                        lenBucket: Int = 64): DataFrame = {
     val d = documents.select(
-      col("lang"), col("n_chars"), col("doc_id"),
+      col("lang"), (col("n_chars") / lenBucket).cast("long").as("len_b"), col("doc_id"),
       substring(col("text"), 1, prefixLen).as("p"))
-    val a = d.select(col("lang"), col("n_chars"), col("doc_id").as("doc_a"), col("p").as("pa"))
-    val b = d.select(col("lang"), col("n_chars"), col("doc_id").as("doc_b"), col("p").as("pb"))
-    a.join(b, Seq("lang", "n_chars"))
+    val a = d.select(col("lang"), col("len_b"), col("doc_id").as("doc_a"), col("p").as("pa"))
+    val b = d.select(col("lang"), col("len_b"), col("doc_id").as("doc_b"), col("p").as("pb"))
+    a.join(b, Seq("lang", "len_b"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
-  def editDistancePairsSql(prefixLen: Int = 40, maxDist: Int = 10): String =
-    s"""WITH d AS (SELECT lang, n_chars, doc_id, substr(text, 1, $prefixLen) AS p FROM documents)
+  def editDistancePairsSql(prefixLen: Int = 30, maxDist: Int = 12, lenBucket: Int = 64): String =
+    s"""WITH d AS (SELECT lang, n_chars // $lenBucket AS len_b, doc_id,
+       |           substr(text, 1, $prefixLen) AS p FROM documents)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
-       |FROM d a JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+       |FROM d a JOIN d b ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id
        |WHERE levenshtein(a.p, b.p) <= $maxDist""".stripMargin
 }
