@@ -12,7 +12,7 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  private val kwTerms = Seq("filter", "join", "window")
+  val kwTerms = Seq("filter", "join", "window")
 
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * north-star RAG pipeline end-to-end — chunk documents, batch-embed each
