@@ -100,6 +100,12 @@ object SparkEntry {
     "graph_components" -> ((s, d) => GraphOps.connectedComponents(Tables.lineitem(s, d))),
     "impact_analysis" -> ((s, d) =>
       GraphOps.impactAnalysis(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // --- code intelligence (CodeTransformer analog over a derived corpus) ---
+    "code_edges" -> ((s, d) =>
+      CodeEdges.edges(CodeEdges.syntheticCodeView(Tables.documents(s, d)))),
+    "code_graph_degree" -> ((s, d) =>
+      CodeEdges.moduleDegree(
+        CodeEdges.edges(CodeEdges.syntheticCodeView(Tables.documents(s, d))))),
     // --- memory / pack / schema ---
     "graph_schema" -> ((s, d) => GraphOps.schema(Tables.orders(s, d), Tables.lineitem(s, d))),
     "mem_search" -> ((s, d) => Memory.search(Tables.documents(s, d), kwTerms)),
@@ -241,6 +247,8 @@ object SparkEntry {
     "graph_shortest_path" -> GraphOps.shortestPathsSql(),
     "impact_analysis" -> GraphOps.impactAnalysisSql,
     "graph_schema" -> GraphOps.schemaSql,
+    "code_edges" -> CodeEdges.edgesSql,
+    "code_graph_degree" -> CodeEdges.moduleDegreeSql(),
     "mem_search" -> Memory.searchSql(kwTerms),
     "mem_extract" -> Memory.extractSql,
     "mem_summary" -> Memory.summarySql,
