@@ -113,6 +113,8 @@ object SparkEntry {
     "mem_summary" -> ((s, d) => Memory.summary(Tables.documents(s, d))),
     "mem_supersede" -> ((s, d) => Memory.supersedeResolve(Tables.documents(s, d))),
     "schema_classify" -> ((s, d) => SchemaClassify.classify(Tables.part(s, d))),
+    "schema_parse" -> ((s, d) =>
+      SchemaParse.parse(SchemaParse.syntheticDdlView(Tables.documents(s, d)))),
     "pack_builder" -> ((s, d) => PackBuilder.pack(Tables.documents(s, d), kwTerms)),
     // --- multimodal (plumbing real, decode stubbed; rows-only) ---
     "mm_meta" -> ((s, d) => graft.multimodal.Multimodal.metadata(Tables.documents(s, d))),
@@ -254,6 +256,7 @@ object SparkEntry {
     "mem_summary" -> Memory.summarySql,
     "mem_supersede" -> Memory.supersedeResolveSql,
     "schema_classify" -> SchemaClassify.classifySql,
+    "schema_parse" -> SchemaParse.parseSql,
     "pack_builder" -> PackBuilder.packSql(kwTerms),
     // mm_meta, mm_batch: rows-only (crc32/byte-stats not SQL-portable)
   )
