@@ -61,6 +61,9 @@ object SparkEntry {
     "range_join" -> ((s, d) => AsOf.priceRangeJoin(Tables.lineitem(s, d))),
     // --- RAG / search surface ---
     "chunk_fixed" -> ((s, d) => Chunking.chunkFixed(Tables.documents(s, d))),
+    "chunk_markdown" -> ((s, d) =>
+      graft.sources.Loaders.splitMarkdownSections(
+        graft.sources.Loaders.syntheticMarkdownView(Tables.documents(s, d)))),
     "keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), kwTerms)),
     "rank_files" -> ((s, d) =>
       Search.rankDocs(Tables.documents(s, d), Seq("spark", "join"), "spark join", "en")),
@@ -220,6 +223,7 @@ object SparkEntry {
     "asof_join" -> AsOf.purchaseAttributionSql,
     "range_join" -> AsOf.priceRangeJoinSql,
     "chunk_fixed" -> Chunking.chunkFixedSql(),
+    "chunk_markdown" -> graft.sources.Loaders.splitMarkdownSql,
     "keyword_search" -> Search.keywordSearchSql(kwTerms),
     "rank_files" -> Search.rankDocsSql(Seq("spark", "join"), "spark join", "en"),
     "vector_topk" -> Search.vectorTopKSql(),

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-format document loading — the reference's ingestion loaders
@@ -35,15 +36,102 @@ object Loaders {
         decode(col("content"), "UTF-8").as("text"),
         col("length").as("n_bytes"))
 
-  /** Markdown header split (transformers.py:91 _split_by_headers): explode a
-    * markdown document into (header, section) rows — distributed, per-doc. */
-  def splitMarkdownSections(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("section", explode(split(col("text"), "(?m)^(?=#{1,6} )")))
-      .filter(length(trim(col("section"))) > 0)
-      .withColumn("header",
-        when(col("section").startsWith("#"),
-          trim(regexp_extract(col("section"), "^(#{1,6} [^\n]*)", 1)))
-          .otherwise(lit(null)))
-      .select(col("path"), col("header"), col("section"))
+  /** Markdown header split, reference-exact (transformers.py:91
+    * `_split_by_headers` + the `_transform_markdown` section loop): a
+    * `^#{1,6}\s` line STARTS a section; the title is the header minus the
+    * hashes; the header line itself is NOT part of the content; content
+    * before the first header carries a null title (surfaced as
+    * "Section i+1"); a header with no following lines produces nothing;
+    * all-blank sections consume an index but emit no row.
+    *
+    * Formulated as: explode lines → running header count = section id
+    * (one per-doc window — the per-key sort Spark's WindowExec does
+    * anyway) → group to (title, ordered content join). Scales per-doc. */
+  def splitMarkdownSections(docs: DataFrame): DataFrame = {
+    val lines = docs.select(col("path"), posexplode(split(col("text"), "\n")))
+      .withColumnRenamed("col", "line")
+    val isH = col("line").rlike("""^#{1,6}\s""")
+    val wsec = Window.partitionBy("path").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = lines.withColumn("is_h", isH)
+      .withColumn("sec", sum(col("is_h").cast("long")).over(wsec))
+    val grouped = marked.groupBy(col("path"), col("sec"))
+      .agg(
+        max(when(col("is_h"),
+          trim(regexp_replace(col("line"), """^#{1,6}\s+""", "")))).as("title"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("is_h"), struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("content"),
+        count(when(!col("is_h"), lit(1))).as("n_lines"))
+    val widx = Window.partitionBy("path").orderBy("sec")
+    grouped.filter(col("n_lines") > 0)
+      .withColumn("section_index", (row_number().over(widx) - 1).cast("long"))
+      .filter(trim(col("content")) =!= "")
+      .select(col("path"), col("section_index"),
+        coalesce(col("title"),
+          concat(lit("Section "), (col("section_index") + 1).cast("string"))).as("title"),
+        col("content"), length(col("content")).cast("long").as("n_chars"))
+  }
+
+  /** Deterministic markdown corpus derived from `documents` — exercises
+    * preamble-without-header, blank lines inside a section, a header
+    * immediately followed by another header, and a trailing header with no
+    * content. The DuckDB oracle rebuilds it identically. */
+  def syntheticMarkdownView(documents: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    def wd(i: Int) = element_at(ws, i)
+    val id = col("doc_id").cast("string")
+    val nl = lit("\n")
+    documents.select(
+      concat(col("source"), lit("/m"), id, lit(".md")).as("path"),
+      concat(
+        lit("intro for "), col("source"), nl,
+        lit("# Overview "), wd(1), nl,
+        lit("body alpha"), nl,
+        lit("## Details "), wd(2), nl,
+        lit("body beta "), wd(4), nl, nl,
+        lit("## Usage "), wd(3), nl,
+        lit("body gamma"), nl,
+        lit("### Trailing "), wd(1)).as("text"))
+  }
+
+  /** DuckDB oracle: identical corpus + header-split semantics. */
+  val splitMarkdownSql: String =
+    raw"""WITH w AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |md AS (
+       |  SELECT source || '/m' || doc_id || '.md' AS path,
+       |    'intro for ' || source || chr(10) ||
+       |    '# Overview ' || ws[1] || chr(10) ||
+       |    'body alpha' || chr(10) ||
+       |    '## Details ' || ws[2] || chr(10) ||
+       |    'body beta ' || ws[4] || chr(10) || chr(10) ||
+       |    '## Usage ' || ws[3] || chr(10) ||
+       |    'body gamma' || chr(10) ||
+       |    '### Trailing ' || ws[1] AS text
+       |  FROM w),
+       |l AS (
+       |  SELECT path,
+       |    unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
+       |    unnest(string_split(text, chr(10))) AS line
+       |  FROM md),
+       |h AS (
+       |  SELECT path, pos, line, regexp_matches(line, '^#{1,6}\s') AS is_h FROM l),
+       |s AS (
+       |  SELECT *, SUM(CASE WHEN is_h THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY path ORDER BY pos) AS sec FROM h),
+       |g AS (
+       |  SELECT path, sec,
+       |    max(CASE WHEN is_h THEN trim(regexp_replace(line, '^#{1,6}\s+', '')) END) AS title,
+       |    string_agg(CASE WHEN NOT is_h THEN line END, chr(10) ORDER BY pos) AS content,
+       |    count(CASE WHEN NOT is_h THEN 1 END) AS n_lines
+       |  FROM s GROUP BY path, sec),
+       |e AS (
+       |  SELECT path, title, content,
+       |    row_number() OVER (PARTITION BY path ORDER BY sec) - 1 AS section_index
+       |  FROM g WHERE n_lines > 0)
+       |SELECT path, CAST(section_index AS BIGINT) AS section_index,
+       |  COALESCE(title, 'Section ' || (section_index + 1)) AS title,
+       |  content, CAST(length(content) AS BIGINT) AS n_chars
+       |FROM e WHERE trim(content) <> ''""".stripMargin
 }

@@ -22,9 +22,10 @@ class SourcesSpec extends SparkSpec {
     assert(byType("python").contains("print"))
 
     val sections = Loaders.splitMarkdownSections(docs.filter(col("doc_type") === "markdown"))
-      .select("header", "section").as[(Option[String], String)].collect()
+      .select("title", "content").as[(String, String)].collect()
     assert(sections.length == 2)
-    assert(sections.flatMap(_._1).toSet == Set("# Title", "## Sub"))
+    assert(sections.map(_._1).toSet == Set("Title", "Sub"))
+    assert(sections.find(_._1 == "Sub").get._2.contains("more"))
   }
 
   test("writePartitioned round-trips with partition pruning") {
