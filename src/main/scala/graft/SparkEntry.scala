@@ -99,6 +99,11 @@ object SparkEntry {
     "graph_khop" -> ((s, d) =>
       GraphOps.khop(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_shortest_path" -> ((s, d) => GraphOps.shortestPaths(Tables.lineitem(s, d))),
+    "graph_path_trace" -> ((s, d) => GraphOps.shortestPathTrace(Tables.lineitem(s, d))),
+    "graph_nodes_by_label" -> ((s, d) =>
+      GraphOps.nodesByLabel(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "graph_rels_by_type" -> ((s, d) =>
+      GraphOps.relsByType(Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_pagerank" -> ((s, d) => GraphOps.pageRank(Tables.lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.connectedComponents(Tables.lineitem(s, d))),
     "impact_analysis" -> ((s, d) =>
@@ -251,6 +256,9 @@ object SparkEntry {
     "graph_degree" -> GraphOps.degreesSql,
     "graph_khop" -> GraphOps.khopSql,
     "graph_shortest_path" -> GraphOps.shortestPathsSql(),
+    "graph_path_trace" -> GraphOps.shortestPathTraceSql(),
+    "graph_nodes_by_label" -> GraphOps.nodesByLabelSql(),
+    "graph_rels_by_type" -> GraphOps.relsByTypeSql(),
     "impact_analysis" -> GraphOps.impactAnalysisSql,
     "graph_schema" -> GraphOps.schemaSql,
     "code_edges" -> CodeEdges.edgesSql,

@@ -182,6 +182,89 @@ object GraphOps {
     all.groupBy("node").agg(min(col("dist")).as("dist"))
   }
 
+  /** BFS shortest paths WITH path reconstruction (graph_service.py:268
+    * `find_shortest_path` returns the node path, not just the distance):
+    * the frontier carries the path string; when several predecessors reach
+    * a node in the same level, the path of the MINIMUM predecessor id wins
+    * (`min_by`) — a deterministic tie-break both engines implement, so the
+    * whole path column is hash-comparable. Same per-level materialized
+    * loop as shortestPaths; the extra state per frontier row is one
+    * bounded string (≤ maxDepth ids). */
+  def shortestPathTrace(lineitem: DataFrame, maxDepth: Int = 3): DataFrame = {
+    val cp = copurchase(lineitem).localCheckpoint()
+    val start = cp.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(0L).as("dist"), col("node").cast("string").as("path"))
+    var all = start
+    var frontier = start
+    for (d <- 1 to maxDepth) {
+      frontier = frontier.join(cp, col("node") === col("src"))
+        .select(col("dst"), col("node").as("pred"),
+          concat(col("path"), lit("->"), col("dst").cast("string")).as("npath"))
+        .join(all.select(col("node").as("seen")), col("dst") === col("seen"), "left_anti")
+        .groupBy(col("dst")).agg(min_by(col("npath"), col("pred")).as("path"))
+        .select(col("dst").as("node"), lit(d.toLong).as("dist"), col("path"))
+        .localCheckpoint()
+      all = all.unionAll(frontier)
+    }
+    all
+  }
+
+  def shortestPathTraceSql(maxDepth: Int = 3): String = {
+    require(maxDepth == 3, "oracle is written for depth 3")
+    s"""WITH cp AS ($copurchaseSql),
+       |s0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist,
+       |       CAST(MIN(src) AS VARCHAR) AS path FROM cp),
+       |s1 AS (SELECT cp.dst AS node, CAST(1 AS BIGINT) AS dist,
+       |       arg_min(s0.path || '->' || cp.dst, s0.node) AS path
+       |       FROM s0 JOIN cp ON s0.node = cp.src
+       |       WHERE cp.dst NOT IN (SELECT node FROM s0) GROUP BY cp.dst),
+       |s2 AS (SELECT cp.dst AS node, CAST(2 AS BIGINT) AS dist,
+       |       arg_min(s1.path || '->' || cp.dst, s1.node) AS path
+       |       FROM s1 JOIN cp ON s1.node = cp.src
+       |       WHERE cp.dst NOT IN (SELECT node FROM s0 UNION ALL SELECT node FROM s1)
+       |       GROUP BY cp.dst),
+       |s3 AS (SELECT cp.dst AS node, CAST(3 AS BIGINT) AS dist,
+       |       arg_min(s2.path || '->' || cp.dst, s2.node) AS path
+       |       FROM s2 JOIN cp ON s2.node = cp.src
+       |       WHERE cp.dst NOT IN (SELECT node FROM s0 UNION ALL SELECT node FROM s1
+       |                            UNION ALL SELECT node FROM s2)
+       |       GROUP BY cp.dst)
+       |SELECT node, dist, path FROM
+       |(SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       | UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)""".stripMargin
+  }
+
+  /** find_nodes_by_label analog (graph_service.py:248): distinct node ids
+    * of one label, recovered from the id-namespace encoding. */
+  def nodesByLabel(orders: DataFrame, lineitem: DataFrame, label: String = "order"): DataFrame = {
+    def typeOf(c: org.apache.spark.sql.Column) =
+      when(c < OrderBase, "customer")
+        .when(c < PartBase, "order")
+        .when(c < SuppBase, "part")
+        .otherwise("supplier")
+    val e = edges(orders, lineitem)
+    e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .filter(typeOf(col("node")) === label)
+      .select(col("node"), lit(label).as("label"))
+  }
+
+  def nodesByLabelSql(label: String = "order"): String =
+    s"""WITH e AS ($edgesSql),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+       |SELECT node, '$label' AS label FROM n
+       |WHERE CASE WHEN node < $OrderBase THEN 'customer' WHEN node < $PartBase THEN 'order'
+       |           WHEN node < $SuppBase THEN 'part' ELSE 'supplier' END = '$label'""".stripMargin
+
+  /** find_relationships_by_type analog (graph_service.py:254): all edges of
+    * one relationship type. */
+  def relsByType(orders: DataFrame, lineitem: DataFrame, rel: String = "PLACED"): DataFrame =
+    edges(orders, lineitem).filter(col("rel") === rel)
+
+  def relsByTypeSql(rel: String = "PLACED"): String =
+    s"""WITH e AS ($edgesSql)
+       |SELECT src, dst, rel FROM e WHERE rel = '$rel'""".stripMargin
+
   def shortestPathsSql(maxDepth: Int = 3): String =
     s"""WITH cp AS ($copurchaseSql),
        |s0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM cp),
