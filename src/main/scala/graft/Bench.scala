@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Dedup, Recall, Search}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,19 +17,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def esc(s: String) = s.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
     // absorb session/filesystem warmup outside the timed region, and run in
     // sorted order so per-query numbers are comparable across rounds
     try graft.sources.Tables.lineitem(spark, sfDir).count()
     catch { case _: Throwable => () }
+    var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a crashed query must be visible, not a misleadingly fast number:
+      // its time is recorded as -1 and the message lands in "errors"
+      try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        errors += name -> esc(String.valueOf(e.getMessage))
+        name -> -1.0
+      }
     }
+    // recall@k of the approximate ANN indexes vs exact brute force — the
+    // accuracy/cost tradeoff tracked per round next to the wall times
+    val recalls =
+      try {
+        val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        val exact = Search.knnJoin(emb, nProbes = 10, k = 3)
+        Map(
+          "ann_lsh@3" -> Recall.recallAtK(exact, Dedup.annLsh(emb, nProbes = 10, k = 3)),
+          "ann_ivf@3" -> Recall.recallAtK(exact, Dedup.annIvf(emb, nProbes = 10, k = 3)))
+      } catch { case _: Throwable => Map.empty[String, Double] }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rs = recalls.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

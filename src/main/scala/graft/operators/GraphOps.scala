@@ -19,6 +19,20 @@ object GraphOps {
   val PartBase  = 2000000L
   val SuppBase  = 3000000L
 
+  /** Materialize an iteration step of an iterative graph algorithm
+    * (truncates the otherwise-exponential lineage). `localCheckpoint()`
+    * stores blocks in executor memory — the right call single-node, but
+    * NOT fault-tolerant: on a 1000-executor run a lost executor kills the
+    * query. Set `spark.graft.reliableCheckpoint=true` (and a
+    * `sparkContext.setCheckpointDir`) to switch every per-round
+    * materialization to reliable `checkpoint()` on cluster storage. */
+  private implicit class Materialize(df: DataFrame) {
+    def materialize: DataFrame =
+      if (df.sparkSession.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean)
+        df.checkpoint()
+      else df.localCheckpoint()
+  }
+
   /** Derived edge table: customer −PLACED→ order −CONTAINS→ part,
     *                                  order −SUPPLIED_BY→ supplier. */
   def edges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
@@ -45,9 +59,13 @@ object GraphOps {
        |UNION ALL
        |SELECT l_orderkey + $OrderBase, l_suppkey + $SuppBase, 'SUPPLIED_BY' FROM lineitem""".stripMargin
 
-  /** Per-relationship and node-role counts (get_database_stats analog). */
+  /** Per-relationship and node-role counts (get_database_stats analog).
+    * The three branches each scan the edge union (itself two scans of
+    * lineitem), so the edge table is persisted — one materialization,
+    * three cached reads. */
   def stats(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val e = edges(orders, lineitem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.groupBy(col("rel").as("kind")).agg(count(lit(1)).as("n"))
       .unionAll(e.select(col("src").as("node")).distinct()
         .select(lit("src_nodes").as("kind"), lit(1L))
@@ -123,8 +141,7 @@ object GraphOps {
       // DataFrame graph algorithms)
       frontier = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), lit(h.toLong).as("hops"))
-        .distinct()
-        .localCheckpoint()
+        .distinct().materialize
       all = all.unionAll(frontier)
     }
     all.groupBy("node").agg(min(col("hops")).as("hops"))
@@ -166,7 +183,7 @@ object GraphOps {
   def shortestPaths(lineitem: DataFrame, maxDepth: Int = 3): DataFrame = {
     // materialize the projected edge set and every BFS level: iterative
     // DataFrame algorithms otherwise re-derive the whole lineage per level
-    val cp = copurchase(lineitem).localCheckpoint()
+    val cp = copurchase(lineitem).materialize
     val start = cp.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
     var all = start
@@ -175,8 +192,7 @@ object GraphOps {
       frontier = frontier.join(cp, col("node") === col("src"))
         .select(col("dst").as("node"), lit(d.toLong).as("dist"))
         .distinct()
-        .join(all.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
-        .localCheckpoint()
+        .join(all.select(col("node").as("seen")), col("node") === col("seen"), "left_anti").materialize
       all = all.unionAll(frontier)
     }
     all.groupBy("node").agg(min(col("dist")).as("dist"))
@@ -191,7 +207,7 @@ object GraphOps {
     * loop as shortestPaths; the extra state per frontier row is one
     * bounded string (≤ maxDepth ids). */
   def shortestPathTrace(lineitem: DataFrame, maxDepth: Int = 3): DataFrame = {
-    val cp = copurchase(lineitem).localCheckpoint()
+    val cp = copurchase(lineitem).materialize
     val start = cp.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"), col("node").cast("string").as("path"))
     var all = start
@@ -202,8 +218,7 @@ object GraphOps {
           concat(col("path"), lit("->"), col("dst").cast("string")).as("npath"))
         .join(all.select(col("node").as("seen")), col("dst") === col("seen"), "left_anti")
         .groupBy(col("dst")).agg(min_by(col("npath"), col("pred")).as("path"))
-        .select(col("dst").as("node"), lit(d.toLong).as("dist"), col("path"))
-        .localCheckpoint()
+        .select(col("dst").as("node"), lit(d.toLong).as("dist"), col("path")).materialize
       all = all.unionAll(frontier)
     }
     all
@@ -281,13 +296,11 @@ object GraphOps {
     * materialization; early-exits when a round changes nothing. rows-only
     * (spec asserts edge-consistency of labels). */
   def connectedComponents(lineitem: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = copurchase(lineitem).localCheckpoint()
+    val edges = copurchase(lineitem).materialize
     // undirected: propagate both ways
-    val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))).materialize
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+      .withColumn("label", col("node")).materialize
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -300,8 +313,7 @@ object GraphOps {
         .join(neighborMin, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint()
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg")).materialize
       changed = propagated.filter(col("chg")).count()
       // pointer jumping: follow label → label-of-label, halving chain depth
       // each round (label propagation alone needs diameter rounds; with
@@ -311,8 +323,7 @@ object GraphOps {
         .join(cur.select(col("node").as("ln"), col("label").as("ll")).as("b"),
           col("a.label") === col("b.ln"), "left_outer")
         .select(col("a.node").as("node"),
-          least(col("a.label"), coalesce(col("ll"), col("a.label"))).as("label"))
-        .localCheckpoint()
+          least(col("a.label"), coalesce(col("ll"), col("a.label"))).as("label")).materialize
       it += 1
     }
     labels
@@ -327,9 +338,9 @@ object GraphOps {
     * aggregation tree only within a run; we round to 10 dp for stability).
     * rows-only. */
   def pageRank(lineitem: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
-    val edges = copurchase(lineitem).localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val edges = copurchase(lineitem).materialize
+    val nodes = edges.select(col("src").as("node")).distinct().materialize
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).materialize
     val nNodes = nodes.count().toDouble
     var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
     for (_ <- 1 to iters) {
@@ -342,8 +353,7 @@ object GraphOps {
         .join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (lit((1.0 - damping) / nNodes) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint()
+            .as("rank")).materialize
     }
     ranks.select(col("node"), round(col("rank") * nNodes, 10).as("scaled_rank"))
   }
