@@ -64,6 +64,9 @@ object SparkEntry {
     "chunk_markdown" -> ((s, d) =>
       graft.sources.Loaders.splitMarkdownSections(
         graft.sources.Loaders.syntheticMarkdownView(Tables.documents(s, d)))),
+    // rows-only: the reference's word-overlap split is a stateful per-doc
+    // loop (boundaries depend on all prior boundaries) — not SQL-portable
+    "chunk_words" -> ((s, d) => Chunking.chunkWords(Tables.documents(s, d))),
     "keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), kwTerms)),
     "rank_files" -> ((s, d) =>
       Search.rankDocs(Tables.documents(s, d), Seq("spark", "join"), "spark join", "en")),

@@ -326,6 +326,11 @@ object GraphOps {
           least(col("a.label"), coalesce(col("ll"), col("a.label"))).as("label")).materialize
       it += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents exited at maxIters=$maxIters still " +
+          s"changing ($changed label updates in the last round) — labels " +
+          "may be inconsistent; raise maxIters")
     labels
   }
 

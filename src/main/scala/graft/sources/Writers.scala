@@ -9,18 +9,16 @@ import org.apache.spark.sql.DataFrame
   */
 object Writers {
 
-  /** Write a chunk/embedding table partitioned by a low-cardinality key.
-    * `targetFileRows` compacts tiny tasks into sane file counts (small-file
-    * problem is the #1 operational failure of big ingestion jobs). */
-  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
-                       targetFileRows: Long = 1000000L): Unit = {
-    val n = math.max(1, math.min(df.sparkSession.sparkContext.defaultParallelism,
-      (df.count() / targetFileRows + 1).toInt))
-    df.repartition(n, org.apache.spark.sql.functions.col(partitionCol))
+  /** Write a chunk/embedding table partitioned by a low-cardinality key,
+    * compacted to sane file counts (the small-file problem is the #1
+    * operational failure of big ingestion jobs). The REBALANCE hint lets
+    * AQE size the output partitions from the runtime shuffle statistics —
+    * one pass over the data, vs the count()+repartition two-pass. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.hint("rebalance", org.apache.spark.sql.functions.col(partitionCol))
       .write.mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(path)
-  }
 
   /** Append-mode variant for incremental ingestion batches. */
   def appendBatch(df: DataFrame, path: String, partitionCol: String): Unit =

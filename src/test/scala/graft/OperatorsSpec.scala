@@ -33,6 +33,23 @@ class OperatorsSpec extends SparkSpec {
     assert(one.length == 1)
   }
 
+  test("word-mode chunking matches the reference's greedy char-budget loop") {
+    // chunkSize 10, overlap 1: words of 2 chars (+1 space each) → the
+    // 4th word overflows (9+3>10), chunk saved, last word carried over
+    val df = Seq((1L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val chunks = Chunking.chunkWords(df, chunkSize = 10, overlapWords = 1)
+      .orderBy("chunk_index").as[(Long, Long, String)].collect().map(_._3)
+    assert(chunks.toSeq == Seq("aa bb cc", "cc dd ee"))
+    // a single word longer than the budget still yields one chunk
+    val long = Chunking.chunkWords(Seq((2L, "x" * 40)).toDF("doc_id", "text"),
+      chunkSize = 10, overlapWords = 1).collect()
+    assert(long.length == 1)
+    // whitespace runs collapse like str.split() in the reference
+    val ws = Chunking.chunkWords(Seq((3L, "  a   b  ")).toDF("doc_id", "text"),
+      chunkSize = 100, overlapWords = 1).as[(Long, Long, String)].collect()
+    assert(ws.head._3 == "a b")
+  }
+
   test("shingles produce size-w+1 distinct w-grams") {
     val df = Seq(("a b c d e")).toDF("text")
     val sh = df.select(Dedup.shingles(col("text")).as("s")).as[Seq[String]].head()
