@@ -39,6 +39,11 @@ object CodeEdges {
   private val GoFunc     = """^func\s+(\w+)"""
   private val GoBlock    = """import\s*\(([^)]*)\)"""
   private val Quoted     = """"([^"]+)""""
+  private val PhpUse     = """use\s+(?:function\s+|const\s+)?([a-zA-Z_][\w\\]*)(?:\s+as\s+\w+)?\s*;"""
+  private val PhpRequire = """(?:require|require_once|include|include_once)\s*\(?['"]([^'"]+)['"]\)?"""
+  private val PhpFunc    = """function\s+(\w+)\s*\("""
+  private val PhpClass   = """class\s+(\w+)"""
+  private val PhpExtends = """class\s+(\w+)\s+extends\s+(\w+)"""
 
   /** Extract dependency edges from a `(path, language, content)` corpus.
     * IMPORTS: file → module; DEFINES: file → symbol; INHERITS: class →
@@ -76,7 +81,12 @@ object CodeEdges {
       fileRule("java", JavaClass, "DEFINES", "class"),
       symRule("java", JavaExtends, "INHERITS", "class"),
       fileRule("go", GoImport, "IMPORTS", "import"),
-      fileRule("go", GoFunc, "DEFINES", "function"))
+      fileRule("go", GoFunc, "DEFINES", "function"),
+      fileRule("php", PhpUse, "IMPORTS", "use"),
+      fileRule("php", PhpRequire, "IMPORTS", "require"),
+      fileRule("php", PhpFunc, "DEFINES", "function"),
+      fileRule("php", PhpClass, "DEFINES", "class"),
+      symRule("php", PhpExtends, "INHERITS", "class"))
     lines.select(explode(cands).as("e"))
       .filter(col("e").isNotNull && col("e.src") =!= "" && col("e.dst") =!= "")
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
@@ -114,7 +124,7 @@ object CodeEdges {
     def wd(i: Int) = element_at(ws, i)
     def cap(c: Column) = concat(upper(substring(c, 1, 1)), substring(c, 2, 1000))
     val id = col("doc_id").cast("string")
-    val m = pmod(col("doc_id"), lit(4))
+    val m = pmod(col("doc_id"), lit(5))
     val nl = lit("\n")
     val py = concat(
       lit("import "), wd(1), lit("."), wd(2), nl,
@@ -139,27 +149,33 @@ object CodeEdges {
       lit("    \""), wd(3), lit("/"), wd(4), lit("\""), nl,
       lit(")"), nl, nl,
       lit("func Fn"), id, lit("() {}"))
+    val php = concat(
+      lit("<?php"), nl,
+      lit("use "), wd(2), lit("\\"), wd(3), lit(";"), nl,
+      lit("require_once '"), wd(4), lit(".php';"), nl,
+      lit("function fn"), id, lit("() {}"), nl,
+      lit("class C"), id, lit(" extends "), cap(wd(1)), lit(" {}"))
     documents.select(
       concat(col("source"), lit("/f"), id,
         when(m === 0, ".py").when(m === 1, ".js")
-          .when(m === 2, ".java").otherwise(".go")).as("path"),
+          .when(m === 2, ".java").when(m === 3, ".go").otherwise(".php")).as("path"),
       when(m === 0, "python").when(m === 1, "javascript")
-        .when(m === 2, "java").otherwise("go").as("language"),
-      when(m === 0, py).when(m === 1, js).when(m === 2, jv).otherwise(go)
-        .as("content"))
+        .when(m === 2, "java").when(m === 3, "go").otherwise("php").as("language"),
+      when(m === 0, py).when(m === 1, js).when(m === 2, jv).when(m === 3, go)
+        .otherwise(php).as("content"))
   }
 
   /** Shared CTE: the synthetic corpus + exploded lines, in DuckDB SQL —
     * kept in lock-step with syntheticCodeView(). */
   private val filesCte: String =
     """wsplit AS (
-      |  SELECT doc_id, source, doc_id % 4 AS m, string_split(text, ' ') AS ws
+      |  SELECT doc_id, source, doc_id % 5 AS m, string_split(text, ' ') AS ws
       |  FROM documents),
       |files AS (
       |  SELECT
       |    source || '/f' || doc_id ||
-      |      (CASE m WHEN 0 THEN '.py' WHEN 1 THEN '.js' WHEN 2 THEN '.java' ELSE '.go' END) AS path,
-      |    CASE m WHEN 0 THEN 'python' WHEN 1 THEN 'javascript' WHEN 2 THEN 'java' ELSE 'go' END AS language,
+      |      (CASE m WHEN 0 THEN '.py' WHEN 1 THEN '.js' WHEN 2 THEN '.java' WHEN 3 THEN '.go' ELSE '.php' END) AS path,
+      |    CASE m WHEN 0 THEN 'python' WHEN 1 THEN 'javascript' WHEN 2 THEN 'java' WHEN 3 THEN 'go' ELSE 'php' END AS language,
       |    CASE m
       |      WHEN 0 THEN 'import ' || ws[1] || '.' || ws[2] || chr(10) ||
       |        'from ' || ws[3] || ' import ' || ws[4] || chr(10) ||
@@ -173,13 +189,18 @@ object CodeEdges {
       |        'import ' || ws[2] || '.' || ws[3] || '.*;' || chr(10) ||
       |        'import static ' || ws[4] || '.Util;' || chr(10) ||
       |        'public class C' || doc_id || ' extends ' || upper(substr(ws[1],1,1)) || substr(ws[1],2,1000) || ' {}'
-      |      ELSE 'package ' || ws[1] || chr(10) || chr(10) ||
+      |      WHEN 3 THEN 'package ' || ws[1] || chr(10) || chr(10) ||
       |        'import "fmt"' || chr(10) || chr(10) ||
       |        'import (' || chr(10) ||
       |        '    "' || ws[2] || '"' || chr(10) ||
       |        '    "' || ws[3] || '/' || ws[4] || '"' || chr(10) ||
       |        ')' || chr(10) || chr(10) ||
       |        'func Fn' || doc_id || '() {}'
+      |      ELSE '<?php' || chr(10) ||
+      |        'use ' || ws[2] || '\' || ws[3] || ';' || chr(10) ||
+      |        'require_once ''' || ws[4] || '.php'';' || chr(10) ||
+      |        'function fn' || doc_id || '() {}' || chr(10) ||
+      |        'class C' || doc_id || ' extends ' || upper(substr(ws[1],1,1)) || substr(ws[1],2,1000) || ' {}'
       |    END AS content
       |  FROM wsplit),
       |lines AS (
@@ -214,7 +235,12 @@ object CodeEdges {
       rule("java", JavaClass, "DEFINES", "class"),
       symRuleSql("java", JavaExtends, "INHERITS", "class"),
       rule("go", GoImport, "IMPORTS", "import"),
-      rule("go", GoFunc, "DEFINES", "function"))
+      rule("go", GoFunc, "DEFINES", "function"),
+      rule("php", PhpUse, "IMPORTS", "use"),
+      rule("php", PhpRequire, "IMPORTS", "require"),
+      rule("php", PhpFunc, "DEFINES", "function"),
+      rule("php", PhpClass, "DEFINES", "class"),
+      symRuleSql("php", PhpExtends, "INHERITS", "class"))
     val goBlock =
       s"""SELECT path AS src, unnest(regexp_extract_all(q, '${Quoted.replace("'", "''")}', 1)) AS dst,
          |'IMPORTS' AS rel, 'block_import' AS detail FROM (

@@ -74,6 +74,24 @@ class CodeEdgesSpec extends SparkSpec {
     assert(e.contains(("f", "Serve", "DEFINES", "function")))
   }
 
+  test("php use / require variants, function, class extends") {
+    val e = edgesOf("php",
+      """<?php
+        |use App\Models\User;
+        |use function App\Helpers\format as fmt;
+        |require_once 'bootstrap.php';
+        |include("legacy.php");
+        |function handle() {}
+        |class Ctrl extends BaseCtrl {}""".stripMargin)
+    assert(e.contains(("f", """App\Models\User""", "IMPORTS", "use")))
+    assert(e.contains(("f", """App\Helpers\format""", "IMPORTS", "use")))
+    assert(e.contains(("f", "bootstrap.php", "IMPORTS", "require")))
+    assert(e.contains(("f", "legacy.php", "IMPORTS", "require")))
+    assert(e.contains(("f", "handle", "DEFINES", "function")))
+    assert(e.contains(("f", "Ctrl", "DEFINES", "class")))
+    assert(e.contains(("Ctrl", "BaseCtrl", "INHERITS", "class")))
+  }
+
   test("unknown language yields no edges") {
     assert(edgesOf("ruby", "require 'json'").isEmpty)
   }
