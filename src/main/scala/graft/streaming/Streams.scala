@@ -13,6 +13,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Production state-store settings: the default HDFS-backed store keeps
+    * every key in executor heap — fine in tests, OOM-prone with
+    * billions of session/dedup keys. RocksDB spills to local disk with
+    * changelog checkpointing (incremental, not full-snapshot). Apply to
+    * the session builder before starting stateful queries at scale. */
+  val productionStateStoreConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(sessionId: Long, start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, start_us: Long, end_us: Long)
