@@ -130,6 +130,8 @@ object SparkEntry {
     // --- multimodal (plumbing real, decode stubbed; rows-only) ---
     "mm_meta" -> ((s, d) => graft.multimodal.Multimodal.metadata(Tables.documents(s, d))),
     "mm_batch" -> ((s, d) => graft.multimodal.Multimodal.batchFeatures(Tables.documents(s, d))),
+    "mm_frames" -> ((s, d) => graft.multimodal.Multimodal.frameSample(Tables.documents(s, d))),
+    "mm_resize" -> ((s, d) => graft.multimodal.Multimodal.resizeDigest(Tables.documents(s, d))),
     // --- batch embedding pipeline (north star; rows-only: model is a
     //     deterministic hashed-feature stand-in) ---
     "embed_docs" -> ((s, d) => Embedding.embedDigest(Tables.documents(s, d))),

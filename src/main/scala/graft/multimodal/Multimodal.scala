@@ -50,6 +50,58 @@ object Multimodal {
       col("media_meta.width").as("width"),
       col("media_meta.height").as("height"))
 
+  /** Frame sampling — the video-ingest shape: one payload row explodes
+    * into every `every`-th fixed-span frame. Fully declarative (sequence +
+    * explode + binary substring, all codegen'd); a real codec would only
+    * replace the slicing with keyframe offsets. rows-only: DuckDB cannot
+    * slice blobs, so the spec carries verification (boundaries, stride,
+    * reconstruction). */
+  def frameSample(documents: DataFrame, frameBytes: Int = 256, every: Int = 4): DataFrame =
+    withPayload(documents)
+      .withColumn("n_frames",
+        greatest(ceil(col("media_meta.n_bytes") / lit(frameBytes.toDouble)).cast("long"), lit(1L)))
+      .withColumn("frame_index", explode(sequence(lit(0L), col("n_frames") - 1)))
+      .filter(pmod(col("frame_index"), lit(every.toLong)) === 0)
+      .select(col("doc_id"), col("frame_index"),
+        expr(s"substring(payload, CAST(frame_index*$frameBytes + 1 AS INT), $frameBytes)")
+          .as("frame"))
+      .select(col("doc_id"), col("frame_index"),
+        md5(col("frame")).as("frame_digest"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"))
+
+  /** Resize — deterministic fake: stride-subsample the payload bytes to a
+    * target "pixel" budget and update the metadata, preserving the
+    * binary-in/binary-out contract a real resampler would have. Batch
+    * kernel shape (mapPartitions = the mapInPandas contract). */
+  def resizeBatch(documents: DataFrame, targetW: Int = 64, targetH: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val budget = targetW * targetH
+    withPayload(documents)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (docId, payload) =>
+          val n = if (payload == null) 0 else payload.length
+          val out =
+            if (n <= budget) payload
+            else {
+              val stride = n.toDouble / budget
+              Array.tabulate(budget)(i => payload((i * stride).toInt.min(n - 1)))
+            }
+          (docId, targetW.toLong, targetH.toLong, out.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_bytes", "payload")
+  }
+
+  /** Harness-facing resize view: scalar digest instead of the raw binary
+    * column (same convention as embed_docs/minhash_signature). */
+  def resizeDigest(documents: DataFrame): DataFrame =
+    resizeBatch(documents)
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+        md5(col("payload")).as("payload_digest"))
+
   /** Batch feature extraction over payload partitions: iterate each
     * partition once, decode per row, emit a feature row. This is exactly
     * the mapInPandas batch contract (iterator-of-batches in, iterator out)

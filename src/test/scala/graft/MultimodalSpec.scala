@@ -29,6 +29,29 @@ class MultimodalSpec extends SparkSpec {
     assert(empty._2 == 0.0 && empty._4 == 0L)
   }
 
+  test("frameSample slices strided fixed-span frames with a full tail") {
+    val big = Seq((7L, "ab" * 600)).toDF("doc_id", "text")  // 1200 bytes
+    val frames = Multimodal.frameSample(big, frameBytes = 256, every = 2)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    // 1200 bytes → 5 frames (0..4); stride 2 keeps 0, 2, 4
+    assert(frames.map(_._2).toSeq == Seq(0L, 2L, 4L))
+    assert(frames.take(2).forall(_._4 == 256L))
+    assert(frames.last._4 == 1200 - 4 * 256)   // tail frame is short
+    // identical content → identical digests (frames 0 and 2 repeat "ab")
+    assert(frames(0)._3 == frames(1)._3)
+  }
+
+  test("resizeBatch subsamples to the pixel budget and keeps small payloads") {
+    val mixed = Seq((1L, "x" * 10000), (2L, "tiny")).toDF("doc_id", "text")
+    val r = Multimodal.resizeBatch(mixed, targetW = 8, targetH = 8)
+      .select("doc_id", "n_bytes").as[(Long, Long)].collect().toMap
+    assert(r(1L) == 64L)    // 10000 bytes subsampled to 8x8 budget
+    assert(r(2L) == 4L)     // under budget: untouched
+    val digests = Multimodal.resizeDigest(mixed)
+      .select("doc_id", "payload_digest").as[(Long, String)].collect().toMap
+    assert(digests.values.forall(_.length == 32))
+  }
+
   test("batch features are deterministic across runs") {
     val a = Multimodal.batchFeatures(docs).collect().map(_.toString).sorted.toSeq
     val b = Multimodal.batchFeatures(docs).collect().map(_.toString).sorted.toSeq
