@@ -117,6 +117,8 @@ object SparkEntry {
     "code_graph_degree" -> ((s, d) =>
       CodeEdges.moduleDegree(
         CodeEdges.edges(CodeEdges.syntheticCodeView(Tables.documents(s, d))))),
+    "code_calls" -> ((s, d) =>
+      CodeEdges.callEdges(CodeEdges.syntheticCodeView(Tables.documents(s, d)))),
     // --- memory / pack / schema ---
     "graph_schema" -> ((s, d) => GraphOps.schema(Tables.orders(s, d), Tables.lineitem(s, d))),
     "mem_search" -> ((s, d) => Memory.search(Tables.documents(s, d), kwTerms)),
@@ -268,6 +270,7 @@ object SparkEntry {
     "graph_schema" -> GraphOps.schemaSql,
     "code_edges" -> CodeEdges.edgesSql,
     "code_graph_degree" -> CodeEdges.moduleDegreeSql(),
+    "code_calls" -> CodeEdges.callEdgesSql,
     "mem_search" -> Memory.searchSql(kwTerms),
     "mem_extract" -> Memory.extractSql,
     "mem_summary" -> Memory.summarySql,

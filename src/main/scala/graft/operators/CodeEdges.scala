@@ -93,6 +93,65 @@ object CodeEdges {
         col("e.rel").as("rel"), col("e.detail").as("detail"))
   }
 
+  /** Python function-call relations (transformers.py:300
+    * `_extract_function_relations`: every plain-name Call inside a
+    * FunctionDef → (function, callee, CALLS)). The AST walk is
+    * approximated line-based: a `def` line (any indent — methods count,
+    * as in ast.walk) opens a scope carried forward by a window; any
+    * top-level statement closes it; `name(` occurrences on in-scope
+    * lines are callees, minus the python keywords a regex would
+    * false-match (`if (x)` is not a Call node). Dedents to class-level
+    * assignments are the one known misattribution — documented, rare. */
+  def callEdges(files: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = files.filter(col("language") === "python")
+      .select(col("path"), posexplode(split(col("content"), "\n")))
+      .withColumnRenamed("col", "line")
+    val w = Window.partitionBy("path").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scoped = lines
+      .withColumn("marker",
+        when(col("line").rlike("""^\s*def\s+\w+"""),
+          regexp_extract(col("line"), """^\s*def\s+(\w+)""", 1))
+          .when(col("line").rlike("""^\S"""), lit("")))
+      .withColumn("scope", last(col("marker"), ignoreNulls = true).over(w))
+    scoped
+      .filter(col("scope").isNotNull && col("scope") =!= "" && col("marker").isNull)
+      .select(col("scope").as("src"),
+        explode(regexp_extract_all(col("line"), lit("""(\w+)\s*\("""), lit(1))).as("dst"))
+      .filter(!col("dst").isin(PyKeywords: _*))
+      .select(col("src"), col("dst"), lit("CALLS").as("rel"), lit("call").as("detail"))
+  }
+
+  private val PyKeywords = Seq("if", "elif", "while", "for", "return", "yield",
+    "with", "assert", "except", "raise", "lambda", "def", "class", "not",
+    "and", "or", "in", "is")
+
+  def callEdgesSql: String = {
+    val kws = PyKeywords.map(k => s"'$k'").mkString(", ")
+    raw"""WITH $filesCte,
+       |plines AS (
+       |  SELECT path,
+       |    unnest(generate_series(1, len(string_split(content, chr(10))))) AS pos,
+       |    unnest(string_split(content, chr(10))) AS line
+       |  FROM files WHERE language = 'python'),
+       |marked AS (
+       |  SELECT path, pos, line,
+       |    CASE WHEN regexp_matches(line, '^\s*def\s+\w+')
+       |           THEN regexp_extract(line, '^\s*def\s+(\w+)', 1)
+       |         WHEN regexp_matches(line, '^\S') THEN '' END AS marker
+       |  FROM plines),
+       |scoped AS (
+       |  SELECT *, last_value(marker IGNORE NULLS) OVER
+       |    (PARTITION BY path ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scope
+       |  FROM marked),
+       |calls AS (
+       |  SELECT scope AS src, unnest(regexp_extract_all(line, '(\w+)\s*\(', 1)) AS dst
+       |  FROM scoped WHERE scope IS NOT NULL AND scope <> '' AND marker IS NULL)
+       |SELECT src, dst, 'CALLS' AS rel, 'call' AS detail FROM calls
+       |WHERE dst NOT IN ($kws)""".stripMargin
+  }
+
   /** Go parenthesized import blocks span lines (transformers.py:855), so
     * they are extracted from the whole content: block body → quoted paths. */
   private def goBlockEdges(files: DataFrame): DataFrame =
@@ -129,7 +188,9 @@ object CodeEdges {
     val py = concat(
       lit("import "), wd(1), lit("."), wd(2), nl,
       lit("from "), wd(3), lit(" import "), wd(4), nl,
-      lit("def fn_"), id, lit("():"), nl, lit("    pass"), nl,
+      lit("def fn_"), id, lit("():"), nl,
+      lit("    h_"), wd(3), lit("(load(x))"), nl,
+      lit("    return "), wd(4), lit("(x)"), nl,
       lit("class C"), id, lit("("), cap(wd(1)), lit("):"), nl, lit("    pass"))
     val js = concat(
       lit("import { "), wd(1), lit(" } from './"), wd(2), lit("'"), nl,
@@ -179,7 +240,9 @@ object CodeEdges {
       |    CASE m
       |      WHEN 0 THEN 'import ' || ws[1] || '.' || ws[2] || chr(10) ||
       |        'from ' || ws[3] || ' import ' || ws[4] || chr(10) ||
-      |        'def fn_' || doc_id || '():' || chr(10) || '    pass' || chr(10) ||
+      |        'def fn_' || doc_id || '():' || chr(10) ||
+      |        '    h_' || ws[3] || '(load(x))' || chr(10) ||
+      |        '    return ' || ws[4] || '(x)' || chr(10) ||
       |        'class C' || doc_id || '(' || upper(substr(ws[1],1,1)) || substr(ws[1],2,1000) || '):' || chr(10) || '    pass'
       |      WHEN 1 THEN 'import { ' || ws[1] || ' } from ''./' || ws[2] || '''' || chr(10) ||
       |        'const ' || ws[3] || ' = require(''' || ws[4] || ''')' || chr(10) ||

@@ -95,4 +95,26 @@ class CodeEdgesSpec extends SparkSpec {
   test("unknown language yields no edges") {
     assert(edgesOf("ruby", "require 'json'").isEmpty)
   }
+
+  test("call edges attribute callees to the enclosing def only") {
+    val calls = CodeEdges.callEdges(Seq(("f", "python",
+      """import os
+        |def alpha():
+        |    helper(load(x))
+        |    if (cond):
+        |        return fmt(x)
+        |top_level(call)
+        |class K(Base):
+        |    helper2(y)
+        |    def beta(self):
+        |        inner(z)""".stripMargin)).toDF("path", "language", "content"))
+      .as[(String, String, String, String)].collect().map(t => (t._1, t._2)).toSet
+    assert(calls.contains(("alpha", "helper")))
+    assert(calls.contains(("alpha", "load")))
+    assert(calls.contains(("alpha", "fmt")))        // keyword 'if'/'return' excluded
+    assert(!calls.exists(_._2 == "if"))
+    assert(!calls.exists(_._2 == "top_level"))      // module-level call: no scope
+    assert(!calls.exists(_._2 == "K"))              // class line resets scope
+    assert(calls.contains(("beta", "inner")))       // methods open scopes too
+  }
 }
