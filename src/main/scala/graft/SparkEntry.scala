@@ -90,6 +90,8 @@ object SparkEntry {
     "term_freq" -> ((s, d) => TermStats.termFreq(Tables.documents(s, d))),
     "tfidf" -> ((s, d) => TermStats.tfidf(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    // rows-only: transitive clustering is not bounded-depth SQL
+    "dedup_resolve" -> ((s, d) => Dedup.resolve(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),

@@ -105,6 +105,22 @@ object Dedup {
        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= $threshold""".stripMargin
 
+  /** Dedup RESOLUTION — the step after pair generation that actually
+    * shrinks the corpus: cluster the verified near-dup pairs (connected
+    * components over the pair graph — only near-dup docs enter it, so the
+    * graph is tiny relative to the corpus), elect the canonical survivor
+    * per cluster (min doc_id), and emit keep/drop verdicts. Transitive
+    * closure matters: A~B and B~C must collapse to ONE survivor even when
+    * A and C were never compared. rows-only (iterative clustering is not
+    * bounded-depth SQL); spec asserts transitivity and canonical choice. */
+  def resolve(documents: DataFrame, w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(documents, w, threshold)
+    GraphOps.labelPropagation(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("node").as("doc_id"), col("label").as("canonical_id"),
+        (col("node") === col("label")).as("keep"))
+  }
+
   // ---------- MinHash + LSH ----------
 
   val MinhashPrime = 1000000007L

@@ -295,8 +295,16 @@ object GraphOps {
     * its neighborhood; converges in diameter rounds). Per-round
     * materialization; early-exits when a round changes nothing. rows-only
     * (spec asserts edge-consistency of labels). */
-  def connectedComponents(lineitem: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = copurchase(lineitem).materialize
+  def connectedComponents(lineitem: DataFrame, maxIters: Int = 10): DataFrame =
+    labelPropagation(copurchase(lineitem), maxIters)
+
+  /** Generic min-label propagation over ANY `(src, dst)` edge table —
+    * reused by connectedComponents (co-purchase graph) and by dedup
+    * cluster resolution (near-dup pair graph). Returns (node, label)
+    * where label = min node id reachable (pointer-jumped, O(log d)
+    * rounds). */
+  def labelPropagation(edgeTable: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = edgeTable.select(col("src"), col("dst")).materialize
     // undirected: propagate both ways
     val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))).materialize
     var labels = sym.select(col("src").as("node")).distinct()
