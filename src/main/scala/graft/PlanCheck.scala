@@ -17,7 +17,9 @@ object PlanCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_agg", "q3_join", "q5_multijoin", "vector_topk", "knn_join")
+      else Seq("q1_agg", "q3_join", "q5_multijoin", "vector_topk", "knn_join",
+        "pack_builder", "code_edges", "schema_parse", "chunk_markdown",
+        "dedup_minhash_lsh")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
