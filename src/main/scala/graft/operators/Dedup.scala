@@ -363,15 +363,23 @@ object Dedup {
     * inverted-file layout every billion-vector index uses: cell assignment
     * is a broadcast argmax (narrow), search cost drops by ~nCells×. */
   def annIvf(embeddings: DataFrame, nCells: Int = 16, nProbes: Int = 10, k: Int = 3): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+    // The coarse quantizer is a MODEL PARAMETER — nCells centroid vectors
+    // (here: first-n stand-in; production: KMeans.fit output). Collecting
+    // those nCells rows and inlining them as literals is the IVF contract,
+    // and turns cell assignment into a narrow codegen'd projection:
+    // the old crossJoin+groupBy(vec_id, embedding) forced an array-keyed
+    // SortAggregate (arrays aren't hash-aggregable) plus an extra
+    // exchange — all gone.
+    import embeddings.sparkSession.implicits._
+    val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
     // argmax cosine over centroids, deterministic ties by cell_id
-    val assigned = embeddings
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", VectorOps.cosine(col("embedding"), col("cv")))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(max(struct(col("ccos"), (-col("cell_id")).as("negid"))).as("best"))
-      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("cell"))
+    val cands = cents.sortBy(_._1).map { case (id, v) =>
+      struct(VectorOps.cosine(col("embedding"), typedlit(v)).as("c"),
+        lit(-id).as("negid"))
+    }
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+      (-greatest(cands.toSeq: _*).getField("negid")).as("cell"))
     val probes = assigned.filter(col("vec_id") < nProbes)
       .select(col("cell"), col("vec_id").as("probe_id"), col("embedding").as("pv"))
     assigned

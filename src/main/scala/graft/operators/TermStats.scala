@@ -69,8 +69,13 @@ object TermStats {
     val b = d.select(col("lang"), col("len_b"), col("doc_id").as("doc_b"), col("p").as("pb"))
     a.join(b, Seq("lang", "len_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // lev(x,y) >= |len(x)-len(y)| — a theorem, so this prune can never
+      // change the result; it just skips the DP for hopeless pairs
+      .filter(abs(length(col("pa")) - length(col("pb"))) <= maxDist)
+      // banded levenshtein: the threshold variant early-exits at O(len·k)
+      // per pair instead of O(len²), returning -1 past the threshold
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
@@ -80,5 +85,6 @@ object TermStats {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
        |FROM d a JOIN d b ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id
-       |WHERE levenshtein(a.p, b.p) <= $maxDist""".stripMargin
+       |WHERE abs(length(a.p) - length(b.p)) <= $maxDist
+       |  AND levenshtein(a.p, b.p) <= $maxDist""".stripMargin
 }
