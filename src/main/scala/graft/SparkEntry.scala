@@ -127,6 +127,7 @@ object SparkEntry {
     "mem_extract" -> ((s, d) => Memory.extract(Tables.documents(s, d))),
     "mem_summary" -> ((s, d) => Memory.summary(Tables.documents(s, d))),
     "mem_supersede" -> ((s, d) => Memory.supersedeResolve(Tables.documents(s, d))),
+    "mem_relate" -> ((s, d) => Memory.relate(Tables.documents(s, d))),
     "schema_classify" -> ((s, d) => SchemaClassify.classify(Tables.part(s, d))),
     "schema_parse" -> ((s, d) =>
       SchemaParse.parse(SchemaParse.syntheticDdlView(Tables.documents(s, d)))),
@@ -277,6 +278,7 @@ object SparkEntry {
     "mem_extract" -> Memory.extractSql,
     "mem_summary" -> Memory.summarySql,
     "mem_supersede" -> Memory.supersedeResolveSql,
+    "mem_relate" -> Memory.relateSql,
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,
     "pack_builder" -> PackBuilder.packSql(kwTerms),

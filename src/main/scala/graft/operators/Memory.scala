@@ -46,6 +46,30 @@ object Memory {
        |ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
   }
 
+  /** _link_related_refs (:207): RELATES_TO edges between memories sharing
+    * a ref. Refs here are the document's leading bigram (real refs are
+    * ticket ids/URLs — sparse by nature, which is what bounds the
+    * per-ref bucket and keeps the self-join linear-ish; an unbounded hot
+    * ref would need the same salting story as any hot key). Inverted-index
+    * self-join: memories sharing no ref never materialize a pair. */
+  def relate(documents: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val refs = documents.select(col("doc_id"),
+      concat(element_at(ws, 1), lit("-"), element_at(ws, 2)).as("ref"))
+    refs.as("a").join(refs.as("b"),
+        col("a.ref") === col("b.ref") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("mem_a"), col("b.doc_id").as("mem_b"),
+        col("a.ref").as("ref"), lit("RELATES_TO").as("rel"))
+  }
+
+  val relateSql: String =
+    """WITH r AS (SELECT doc_id,
+      |  string_split(text, ' ')[1] || '-' || string_split(text, ' ')[2] AS ref
+      |  FROM documents)
+      |SELECT a.doc_id AS mem_a, b.doc_id AS mem_b, a.ref AS ref,
+      |  'RELATES_TO' AS rel
+      |FROM r a JOIN r b ON a.ref = b.ref AND a.doc_id < b.doc_id""".stripMargin
+
   /** get_project_summary (:561): per-project/type counts + latest entry. */
   def summary(documents: DataFrame): DataFrame =
     documents.groupBy(col("source"), col("lang"))
