@@ -84,6 +84,11 @@ object SparkEntry {
     "corpus_sample" -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => Corpus.stats(Tables.documents(s, d))),
     "sketch_stats" -> ((s, d) => Corpus.sketchStats(Tables.events(s, d))),
+    "text_normalize" -> ((s, d) => Normalize.textNormalize(Tables.documents(s, d))),
+    "gopher_quality" -> ((s, d) => Normalize.gopherQuality(Tables.documents(s, d))),
+    "line_dedup" -> ((s, d) => Boilerplate.lineDedup(Tables.documents(s, d))),
+    "decontaminate" -> ((s, d) => Decontaminate.decontaminate(Tables.documents(s, d))),
+    "domain_mix" -> ((s, d) => DomainMix.domainMix(Tables.documents(s, d))),
     // --- dedup / ANN ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_edit_distance" -> ((s, d) => TermStats.editDistancePairs(Tables.documents(s, d))),
@@ -98,6 +103,9 @@ object SparkEntry {
     "minhash_signature" -> ((s, d) => Dedup.minhashDigest(Tables.documents(s, d))),
     "ann_lsh" -> ((s, d) => Dedup.annLsh(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Dedup.annIvf(Tables.embeddings(s, d))),
+    "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
+    "semdedup" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
+    "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
     // --- graph ---
     "graph_stats" -> ((s, d) => GraphOps.stats(Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_degree" -> ((s, d) => GraphOps.degrees(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -252,6 +260,14 @@ object SparkEntry {
     "pii_scrub" -> Corpus.piiScrubSql,
     "corpus_sample" -> Corpus.stratifiedSampleSql(),
     "corpus_stats" -> Corpus.statsSql,
+    "text_normalize" -> Normalize.textNormalizeSql,
+    "gopher_quality" -> Normalize.gopherQualitySql(),
+    "line_dedup" -> Boilerplate.lineDedupSql(),
+    "decontaminate" -> Decontaminate.decontaminateSql(),
+    "domain_mix" -> DomainMix.domainMixSql(),
+    "doc_cluster" -> Cluster.kmeansSql(),
+    "semdedup" -> Cluster.semdedupSql(),
+    "ann_pq" -> ProductQuant.pqSearchSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_edit_distance" -> TermStats.editDistancePairsSql(),
     "term_freq" -> TermStats.termFreqSql(),

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Distributed k-means over the embedding column + SemDeDup-style semantic
+  * deduplication (near-dup pairs searched only WITHIN a learned cluster —
+  * the SemDeDup recipe for pruning web-scale corpora without an all-pairs
+  * join).
+  *
+  * Scale shape (the Lloyd iteration every billion-vector pipeline runs):
+  *   - assignment — centroids are a bounded MODEL PARAMETER (k rows),
+  *     collected once and inlined as literals, so assignment is a narrow
+  *     codegen'd argmax projection over the scan: zero shuffle;
+  *   - update — posexplode + groupBy (cell, dim): ONE shuffle of
+  *     O(rows·dim) with full map-side partial aggregation down to
+  *     k·dim rows.
+  * Iterations multiply that by a constant; nothing grows with corpus².
+  *
+  * Cross-engine determinism (for the DuckDB oracle): centroid components are
+  * accumulated as DECIMAL(38,18) over the floats' shortest string reprs —
+  * exact and summation-order-independent, where a double sum would drift by
+  * partition order — then divided in double and truncated back to float.
+  * Ties in the argmax break to the smaller cell id on both engines.
+  */
+object Cluster {
+
+  /** Narrow argmax-cosine assignment over inlined centroid literals;
+    * ties break to the smaller cell id via the negated-id struct field. */
+  private def best(cents: Array[(Long, Array[Float])]): Column =
+    greatest(cents.sortBy(_._1).map { case (id, v) =>
+      struct(VectorOps.cosine(col("embedding"), typedlit(v)).as("c"),
+        lit(-id).as("negid"))
+    }.toSeq: _*)
+
+  /** One Lloyd update: per-(cell, dim) exact-decimal mean of the assigned
+    * vectors, collected as the next k (bounded) centroid literals. */
+  private def updateCentroids(assigned: DataFrame): Array[(Long, Array[Float])] = {
+    val comp = assigned
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(
+        sum(col("col").cast("string").cast("decimal(38,18)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (col("s").cast("double") / col("n").cast("double")).as("comp"))
+    comp.collect()
+      .groupBy(_.getLong(0))
+      .map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
+      }
+      .toArray
+  }
+
+  /** k-means (k clusters, `iters` Lloyd updates; init = first k vectors,
+    * the deterministic stand-in for k-means|| at scale). Returns
+    * (vec_id, cluster, cos_to_centroid). */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 1): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    var cents: Array[(Long, Array[Float])] = embeddings
+      .filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    for (_ <- 0 until iters) {
+      val assigned = embeddings.select(col("vec_id"), col("embedding"),
+        (-best(cents).getField("negid")).as("cell"))
+      cents = updateCentroids(assigned)
+    }
+    val b = best(cents)
+    embeddings.select(
+      col("vec_id"),
+      (-b.getField("negid")).as("cluster"),
+      b.getField("c").as("cos_to_centroid"))
+  }
+
+  /** SemDeDup: cosine near-dup pairs searched only within a k-means cluster
+    * — candidate generation is bucket-bounded by the learned partition (the
+    * within-cell join is the same inverted-file shape as ann_ivf), never an
+    * all-pairs corpus join. */
+  def semdedup(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
+               threshold: Double = 0.3): DataFrame = {
+    val clustered = kmeans(embeddings, k, iters)
+      .join(embeddings, "vec_id")
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+    val a = clustered.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = clustered.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  // ---- DuckDB oracle ----
+
+  private def centsSql(k: Int, iters: Int): String = {
+    // cents_0 = first-k init; cents_{i+1} = decimal-exact per-dim mean of the
+    // argmax-cosine assignment against cents_i (cells losing all members
+    // drop out on both engines)
+    val init = s"cents_0 AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < $k)"
+    val steps = (0 until iters).map { i =>
+      val cos = VectorOps.cosineSql("e.embedding", "c.embedding")
+      s"""a_$i AS (
+         |  SELECT e.vec_id, e.embedding, c.cell
+         |  FROM embeddings e CROSS JOIN cents_$i c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell) = 1),
+         |comp_$i AS (
+         |  SELECT cell, pos,
+         |    CAST(SUM(CAST(CAST(val AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE) AS s,
+         |    COUNT(*) AS n
+         |  FROM (
+         |    SELECT cell,
+         |      unnest(range(0, CAST(len(embedding) AS BIGINT))) AS pos,
+         |      unnest(embedding) AS val
+         |    FROM a_$i)
+         |  GROUP BY 1, 2),
+         |cents_${i + 1} AS (
+         |  SELECT cell, list(CAST(s / CAST(n AS DOUBLE) AS FLOAT) ORDER BY pos) AS embedding
+         |  FROM comp_$i GROUP BY cell)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  def kmeansSql(k: Int = 8, iters: Int = 1): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding")
+    s"""WITH ${centsSql(k, iters)}
+       |SELECT e.vec_id, c.cell AS cluster, $cos AS cos_to_centroid
+       |FROM embeddings e CROSS JOIN cents_$iters c
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell) = 1""".stripMargin
+  }
+
+  def semdedupSql(k: Int = 8, iters: Int = 1, threshold: Double = 0.3): String = {
+    val cosC = VectorOps.cosineSql("e.embedding", "c.embedding")
+    val cos = VectorOps.cosineSql("a.embedding", "b.embedding")
+    s"""WITH ${centsSql(k, iters)},
+       |clustered AS (
+       |  SELECT e.vec_id, e.embedding, c.cell AS cluster
+       |  FROM embeddings e CROSS JOIN cents_$iters c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosC DESC, c.cell) = 1)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos
+       |FROM clustered a JOIN clustered b
+       |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE $cos >= $threshold""".stripMargin
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Semantic assertions for the round-2 curation operators — properties the
+  * hash oracle can't express (flattening direction, reassembly invariants,
+  * clustering sanity).
+  */
+class CurationSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def docs = Tables.documents(spark, dir)
+  private def emb = Tables.embeddings(spark, dir)
+
+  test("domain_mix upweights minority domains relative to the majority") {
+    val rates = DomainMix.domainMix(docs)
+      .groupBy("lang").agg(first("rate").as("rate"), count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // en dominates the corpus (218/500 docs) — temperature sampling must
+    // give it the LOWEST keep-rate
+    assert(rates("en") == rates.values.min,
+      s"majority lang should have the lowest keep-rate: $rates")
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+  }
+
+  test("line_dedup preserves every block as either kept or dropped") {
+    val out = Boilerplate.lineDedup(docs)
+    val span = 3
+    val bad = out
+      .join(docs, "doc_id")
+      .withColumn("n_blocks",
+        ((size(split(trim(col("text")), "\\s+")) - 1) / span).cast("int") + 1)
+      .filter(col("n_kept") + col("n_dropped") =!= col("n_blocks"))
+      .count()
+    assert(bad == 0, s"$bad docs where kept+dropped != total blocks")
+    // the pass must actually remove something on this corpus
+    assert(out.agg(sum("n_dropped")).head.getLong(0) > 0)
+  }
+
+  test("decontaminate never flags eval docs and only flags true overlaps") {
+    val out = Decontaminate.decontaminate(docs)
+    assert(out.filter(col("doc_id") % 29 === 0).count() == 0,
+      "eval docs must not appear as contaminated training docs")
+    // inner-join semantics: every reported doc has at least one real overlap
+    assert(out.filter(col("n_hit_ngrams") < 1 || col("n_eval_docs") < 1).count() == 0,
+      "reported contamination must have >= 1 hit n-gram and eval doc")
+  }
+
+  test("doc_cluster emits at most k clusters and improves over init") {
+    val out = Cluster.kmeans(emb, k = 8, iters = 1).cache()
+    val clusters = out.select("cluster").distinct().count()
+    assert(clusters <= 8 && clusters > 1)
+    // every vector lands somewhere, exactly once
+    assert(out.count() == emb.count())
+    // one Lloyd update must not lose cohesion vs the first-k init
+    // assignment (tolerance for the cosine-vs-mean objective mismatch);
+    // absolute cohesion is low on this corpus by construction — true
+    // neighbors sit near cos 0.4 (see RecallSpec)
+    val after = out.agg(avg("cos_to_centroid")).head.getDouble(0)
+    val init = Cluster.kmeans(emb, k = 8, iters = 0)
+      .agg(avg("cos_to_centroid")).head.getDouble(0)
+    assert(after >= init - 0.01, f"Lloyd update lost cohesion: $init%.3f -> $after%.3f")
+    assert(after > 0.1, f"suspiciously low cohesion: $after%.3f")
+  }
+
+  test("pq codes stay in range and reconstruct a plausible score") {
+    val enc = ProductQuant.pqEncode(emb)
+    val codeCols = (0 until 8).map(s => col(s"code_$s"))
+    val bad = enc.filter(codeCols.map(c => c < 0 || c > 15).reduce(_ || _)).count()
+    assert(bad == 0, "PQ code out of [0,16) range")
+    val res = ProductQuant.pqSearch(emb, nProbes = 5, k = 3)
+    assert(res.count() == 15, "5 probes × top-3 expected")
+  }
+
+  test("text_normalize is idempotent") {
+    val once = Normalize.textNormalize(docs)
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val twice = Normalize.textNormalize(once)
+    val changed = once.select(col("doc_id"), col("text").as("a"))
+      .join(twice.select(col("doc_id"), col("norm_text").as("b")), "doc_id")
+      .filter(col("a") =!= col("b")).count()
+    assert(changed == 0, "normalization must be a fixpoint after one pass")
+  }
+}

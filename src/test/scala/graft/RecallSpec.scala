@@ -27,4 +27,16 @@ class RecallSpec extends SparkSpec {
     assert(rLsh >= 0.10, f"lsh recall degraded: $rLsh%.2f")
     assert(rIvf >= 0.80, f"ivf recall degraded: $rIvf%.2f")
   }
+
+  test("ann_pq recall@3 vs exact knn") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Search.knnJoin(emb, nProbes = 10, k = 3)
+    val rPq = graft.operators.Recall.recallAtK(
+      exact, graft.operators.ProductQuant.pqSearch(emb, nProbes = 10, k = 3))
+    info(f"recall@3: pq=$rPq%.2f")
+    // PQ scores all rows (no candidate pruning — it's a COMPRESSION layer,
+    // 32× smaller corpus residency), so recall is bounded only by
+    // quantization error of the untrained first-n codebooks.
+    assert(rPq >= 0.30, f"pq recall degraded: $rPq%.2f")
+  }
 }
