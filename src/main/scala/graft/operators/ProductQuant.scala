@@ -1,36 +1,48 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
 
 /** Product quantization (PQ) — the memory layout behind every billion-vector
   * ANN index (FAISS IVF-PQ): split each d-dim vector into m subvectors,
-  * quantize each against a per-subspace codebook of 2^b entries, and search
-  * with asymmetric distance (probe stays exact, corpus side is its m codes).
-  * A 64-dim float vector (256 B) compresses to m=8 one-byte codes — 32×.
+  * quantize each against a per-subspace codebook of nCodes entries, and
+  * search with asymmetric distance (probe stays exact, corpus side is its m
+  * codes). A 64-dim float vector (256 B) compresses to m=8 small codes — the
+  * compression that lets a 100 TB embedding corpus live in executor memory.
   *
-  * Scale shape:
+  * Scale shape (all narrow, zero shuffle until the bounded top-k):
   *   - codebooks are a bounded MODEL PARAMETER (m × nCodes subvectors;
   *     production trains them with k-means per subspace, here the
-  *     deterministic first-nCodes stand-in) — inlined as literals, so
-  *     ENCODING is a narrow codegen argmax projection: zero shuffle;
-  *   - SEARCH broadcasts the probes, scores each encoded row via m codebook
-  *     lookups + 8-dim dots, and bounds the shuffle with the TopKAgg
-  *     partial aggregate: O(probes·k) shuffle rows, never O(corpus).
+  *     deterministic first-nCodes stand-in);
+  *   - ENCODE is a typed mapPartitions kernel (the 128-literal argmax
+  *     expression tree compiled fine but cost seconds of codegen per run;
+  *     the JVM kernel is bit-identical and compiles once with the jar);
+  *   - SEARCH is the FAISS ADC trick: per probe, the m × nCodes partial
+  *     dot products are precomputed ONCE into a lookup table (driver-side,
+  *     bounded by probes·m·nCodes), broadcast, and each encoded row is
+  *     scored by m table lookups — no per-pair vector math anywhere.
+  *     TopKAgg bounds the only shuffle to O(probes·k).
   *
-  * Cross-engine determinism: the m per-subspace dot contributions are added
-  * in a FIXED left-associated order and the oracle spells out the identical
-  * parenthesization — IEEE doubles make the result bit-exact (a SUM()
-  * aggregate would be summation-order-dependent).
+  * Cross-engine determinism: dots are sequential double MACs (the
+  * DotProductFF/list_sum order) and the m contributions are added in a fixed
+  * left-associated order; the oracle spells out the same parenthesization,
+  * so results are bit-exact.
   */
 object ProductQuant {
 
   val Dim = 64
 
-  /** First-nCodes codebooks: subspace s → nCodes subvectors of width
-    * Dim/m, sliced from the first nCodes embeddings. */
+  /** Sequential double MAC — same order as DotProductFF / DuckDB list_sum. */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** First-nCodes codebooks: subspace s → nCodes subvectors of width Dim/m. */
   private def codebooks(embeddings: DataFrame, m: Int, nCodes: Int): Array[Array[Array[Float]]] = {
     import embeddings.sparkSession.implicits._
     val base = embeddings.filter(col("vec_id") < nCodes)
@@ -40,43 +52,68 @@ object ProductQuant {
     Array.tabulate(m)(s => base.map(v => v.slice(s * w, s * w + w)))
   }
 
-  private def sub(c: Column, s: Int, w: Int): Column = slice(c, s * w + 1, w)
-
   /** PQ-encode every vector: per subspace, argmax-dot code (ties → smaller
-    * code id). Narrow projection; emits codes + a scalar digest for the
-    * harness (the codes array itself feeds pqSearch). */
+    * code, via strict-greater ascending scan). Narrow kernel, zero shuffle. */
   def pqEncode(embeddings: DataFrame, m: Int = 8, nCodes: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val cbs = codebooks(embeddings, m, nCodes)
     val w = Dim / m
-    val codeCols = (0 until m).map { s =>
-      val cands = (0 until nCodes).map { c =>
-        struct(VectorOps.dot(sub(col("embedding"), s, w), typedlit(cbs(s)(c))).as("d"),
-          lit(-c.toLong).as("negc"))
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        iter.map { case (id, v) =>
+          val codes = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            val sub = v.slice(s * w, s * w + w)
+            var bestC = 0
+            var bestD = Double.NegativeInfinity
+            var c = 0
+            while (c < nCodes) {
+              val d = dotD(sub, cbs(s)(c))
+              if (d > bestD) { bestD = d; bestC = c }
+              c += 1
+            }
+            codes(s) = bestC
+            s += 1
+          }
+          (id, codes)
+        }
       }
-      (-greatest(cands: _*).getField("negc")).as(s"code_$s")
-    }
-    embeddings.select(col("vec_id") +: codeCols: _*)
+      .toDF("vec_id", "codes")
   }
 
-  /** ANN search over the PQ-compressed corpus: probes (vec_id < nProbes)
-    * score every encoded row by asymmetric distance — sum over subspaces of
-    * dot(probe subvector, codebook[code]) — then keep top-k per probe. */
+  /** ANN search over the PQ-compressed corpus with per-probe ADC lookup
+    * tables: lut(p)(s)(c) = dot(probe p's subvector s, codebook entry c),
+    * computed once and broadcast; every encoded row scores as m lookups. */
   def pqSearch(embeddings: DataFrame, m: Int = 8, nCodes: Int = 16,
                nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val cbs = codebooks(embeddings, m, nCodes)
     val w = Dim / m
-    val encoded = pqEncode(embeddings, m, nCodes)
-      .withColumnRenamed("vec_id", "neighbor_id")
-    val probes = embeddings.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    // fixed left-associated double chain — the oracle writes the identical
-    // parenthesization, so the sum is bit-exact without decimal round-trips
-    val contrib = (0 until m).map { s =>
-      val lut = typedlit(cbs(s).map(_.toSeq).toSeq)
-      VectorOps.dot(sub(col("pv"), s, w), element_at(lut, (col(s"code_$s") + 1).cast("int")))
+    val probes: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    // bounded: nProbes × m × nCodes doubles (FAISS's per-query distance table)
+    val lut: Array[(Long, Array[Array[Double]])] = probes.map { case (pid, pv) =>
+      (pid, Array.tabulate(m, nCodes)((s, c) => dotD(pv.slice(s * w, s * w + w), cbs(s)(c))))
     }
-    encoded.join(broadcast(probes), col("neighbor_id") =!= col("probe_id"))
-      .withColumn("approx_score", contrib.reduce(_ + _).cast("double"))
+    val scored = pqEncode(embeddings, m, nCodes)
+      .as[(Long, Array[Int])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (nid, codes) =>
+          lut.iterator.collect { case (pid, t) if pid != nid =>
+            var score = 0.0
+            var s = 0
+            while (s < m) { score += t(s)(codes(s)); s += 1 }
+            (pid, nid, score)
+          }
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "approx_score")
+    scored
       .groupBy(col("probe_id"))
       .agg(graft.functions.TopKAgg.topK(col("approx_score"), col("neighbor_id"), k).as("topk"))
       .select(col("probe_id"), posexplode(col("topk")))

@@ -68,9 +68,9 @@ class CurationSpec extends SparkSpec {
 
   test("pq codes stay in range and reconstruct a plausible score") {
     val enc = ProductQuant.pqEncode(emb)
-    val codeCols = (0 until 8).map(s => col(s"code_$s"))
-    val bad = enc.filter(codeCols.map(c => c < 0 || c > 15).reduce(_ || _)).count()
-    assert(bad == 0, "PQ code out of [0,16) range")
+    val bad = enc.filter(
+      exists(col("codes"), c => c < 0 || c > 15) || size(col("codes")) =!= 8).count()
+    assert(bad == 0, "PQ code out of [0,16) range or wrong arity")
     val res = ProductQuant.pqSearch(emb, nProbes = 5, k = 3)
     assert(res.count() == 15, "5 probes × top-3 expected")
   }
