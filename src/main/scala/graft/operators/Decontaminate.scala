@@ -20,12 +20,24 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   def decontaminate(documents: DataFrame, w: Int = 3, evalMod: Int = 29): DataFrame = {
-    val sh = documents.select(
-      col("doc_id"), explode(Dedup.shingles(col("text"), w)).as("shingle"))
-    val eval = sh.filter(col("doc_id") % evalMod === 0)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // typed kernel for shingling — Catalyst HOFs (transform/array_distinct)
+    // are CodegenFallback and interpret per element, which dominated this
+    // query's wall time; same precedent as the MinHash kernels in Dedup.
+    // The eval/train split happens BEFORE the kernel: a filter cannot push
+    // below an opaque mapPartitions, so filtering after would shingle the
+    // whole corpus twice.
+    def shingled(df: DataFrame) = df.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(iter => iter.flatMap { case (id, t) =>
+        Dedup.shinglesOf(t, w).iterator.map(s => (id, s))
+      })
+      .toDF("doc_id", "shingle")
+    val eval = shingled(documents.filter(col("doc_id") % evalMod === 0))
       .select(md5(col("shingle")).as("h"), col("doc_id").as("eval_id"))
       .distinct()
-    val train = sh.filter(col("doc_id") % evalMod =!= 0)
+    val train = shingled(documents.filter(col("doc_id") % evalMod =!= 0))
       .select(col("doc_id"), md5(col("shingle")).as("h"))
     train.join(broadcast(eval), "h")
       .groupBy(col("doc_id"))
