@@ -74,6 +74,7 @@ object SparkEntry {
     "knn_join" -> ((s, d) => Search.knnJoin(Tables.embeddings(s, d))),
     "hybrid_search" -> ((s, d) =>
       Search.hybrid(Tables.documents(s, d), Tables.embeddings(s, d), kwTerms)),
+    "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d), kwTerms)),
     // --- text analysis ---
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -89,6 +90,8 @@ object SparkEntry {
     "line_dedup" -> ((s, d) => Boilerplate.lineDedup(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => Decontaminate.decontaminate(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => DomainMix.domainMix(Tables.documents(s, d))),
+    "snapshot_diff" -> ((s, d) => SnapshotDiff.snapshotDiff(Tables.documents(s, d))),
+    "bloom_dedup" -> ((s, d) => BloomDedup.bloomDedup(Tables.documents(s, d))),
     // --- dedup / ANN ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_edit_distance" -> ((s, d) => TermStats.editDistancePairs(Tables.documents(s, d))),
@@ -117,6 +120,7 @@ object SparkEntry {
       GraphOps.nodesByLabel(Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_rels_by_type" -> ((s, d) =>
       GraphOps.relsByType(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "graph_triangles" -> ((s, d) => GraphOps.triangles(Tables.lineitem(s, d))),
     "graph_pagerank" -> ((s, d) => GraphOps.pageRank(Tables.lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.connectedComponents(Tables.lineitem(s, d))),
     "impact_analysis" -> ((s, d) =>
@@ -252,6 +256,10 @@ object SparkEntry {
     "vector_topk" -> Search.vectorTopKSql(),
     "knn_join" -> Search.knnJoinSql(),
     "hybrid_search" -> Search.hybridSql(kwTerms),
+    "bm25_search" -> Search.bm25Sql(kwTerms),
+    "graph_triangles" -> GraphOps.trianglesSql,
+    "snapshot_diff" -> SnapshotDiff.snapshotDiffSql,
+    "bloom_dedup" -> BloomDedup.bloomDedupSql(),
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "token_count" -> TextAnalysis.tokenCountSql,

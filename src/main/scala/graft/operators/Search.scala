@@ -174,4 +174,68 @@ object Search {
        |FROM v FULL OUTER JOIN k ON v.id = k.id
        |ORDER BY score DESC, id LIMIT $limit""".stripMargin
   }
+
+  /** BM25 ranking — the standard full-text relevance function behind every
+    * serious keyword index (what the reference's Neo4j fulltext index
+    * computes internally; `fulltext_search` at graph_service.py:474 returns
+    * its scores). One narrow scan computes per-doc term frequencies and
+    * length; ONE tiny aggregate (N, Σlen, per-term df) broadcasts back; the
+    * score is a codegen'd expression — corpus never shuffles, TakeOrdered
+    * bounds the result. idf uses the log-free rational variant
+    * (N−df+0.5)/(df+0.5) — monotone in the classic idf, and exactly
+    * reproducible cross-engine where ln() is libm-dependent (same
+    * precedent as tfidf).
+    */
+  def bm25(documents: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, limit: Int = 30): DataFrame = {
+    val len = size(split(trim(col("text")), "\\s+")).cast("long")
+    val withTf = documents.select(
+      col("doc_id") +: len.as("len") +:
+        terms.indices.map(i => occSimple(col("text"), terms(i)).as(s"tf_$i")): _*)
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("len")).as("sum_len") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+    val avgdl = col("sum_len").cast("double") / col("n_docs").cast("double")
+    def tscore(i: Int): Column = {
+      val tf = col(s"tf_$i").cast("double")
+      val idf = ((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5)) /
+        (col(s"df_$i").cast("double") + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len").cast("double") / avgdl)))
+    }
+    val score = terms.indices.map(tscore).reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(limit)
+  }
+
+  def bm25Sql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+              limit: Int = 30): String = {
+    val tfCols = terms.indices.map(i =>
+      s"CAST((length(text) - length(replace(text, '${terms(i)}', '')))/${terms(i).length} AS BIGINT) AS tf_$i")
+      .mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(", ")
+    val avgdl = "(CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val score = terms.indices.map { i =>
+      val idf = s"((CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))"
+      s"$idf * (CAST(tf_$i AS DOUBLE) * ${k1 + 1.0}) / " +
+        s"(CAST(tf_$i AS DOUBLE) + $k1 * (${1.0 - b} + $b * (CAST(len AS DOUBLE) / $avgdl)))"
+    }.reduce((a, c) => s"($a + $c)")
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS len,
+       |    $tfCols
+       |  FROM documents),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len, $dfCols
+       |  FROM f),
+       |sc AS (
+       |  SELECT doc_id, $score AS score FROM f CROSS JOIN st)
+       |SELECT doc_id, score FROM sc
+       |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
+  }
 }
