@@ -144,6 +144,7 @@ object SparkEntry {
     "schema_parse" -> ((s, d) =>
       SchemaParse.parse(SchemaParse.syntheticDdlView(Tables.documents(s, d)))),
     "pack_builder" -> ((s, d) => PackBuilder.pack(Tables.documents(s, d), kwTerms)),
+    "seq_pack" -> ((s, d) => PackBuilder.seqPack(Tables.documents(s, d))),
     // --- multimodal (plumbing real, decode stubbed; rows-only) ---
     "mm_meta" -> ((s, d) => graft.multimodal.Multimodal.metadata(Tables.documents(s, d))),
     "mm_batch" -> ((s, d) => graft.multimodal.Multimodal.batchFeatures(Tables.documents(s, d))),
@@ -306,6 +307,7 @@ object SparkEntry {
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,
     "pack_builder" -> PackBuilder.packSql(kwTerms),
+    "seq_pack" -> PackBuilder.seqPackSql(),
     // mm_meta, mm_batch: rows-only (crc32/byte-stats not SQL-portable)
   )
 }

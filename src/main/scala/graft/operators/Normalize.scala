@@ -49,11 +49,11 @@ object Normalize {
   /** Fixed-span token blocks ("lines" for a corpus without newlines): block
     * j = tokens [j*span, j*span+span). Proxy for line-level metrics on
     * documents that carry no layout. */
-  private[operators] def tokenBlocks(t: Column, span: Int): Column =
+  def tokenBlocks(t: Column, span: Int): Column =
     transform(sequence(lit(0), ((size(t) - 1) / span).cast("int")),
       j => concat_ws(" ", slice(t, j * span + 1, lit(span))))
 
-  private[operators] def tokenBlocksSql(t: String, span: Int): String =
+  def tokenBlocksSql(t: String, span: Int): String =
     s"list_transform(range(0, CAST((len($t) + ${span - 1}) // $span AS BIGINT)), " +
       s"j -> array_to_string($t[j*$span+1 : j*$span+$span], ' '))"
 

@@ -73,4 +73,43 @@ object PackBuilder {
        |  FROM scored)
        |SELECT doc_id, score, cum_chars FROM c WHERE cum_chars <= $budgetChars""".stripMargin
   }
+
+  /** Sequence packing — the GPT-style concat-and-chunk step that turns a
+    * curated corpus into fixed-token training sequences: within a shard,
+    * documents are concatenated in a deterministic order and cut every
+    * `maxTokens`; each doc learns its sequence id and offset.
+    *
+    * Scale shape: packing is SHARD-LOCAL by construction (shard =
+    * hash-mod of doc_id), so the running sum is a window partitioned by
+    * (lang, shard) — bounded partitions, embarrassingly parallel, and no
+    * global ordering anywhere. One shuffle. At 100 TB the shard count
+    * scales with the corpus and each training file is one shard's output.
+    */
+  def seqPack(documents: DataFrame, maxTokens: Int = 512, nShards: Int = 8): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"), nTok.as("n_tok"))
+      .withColumn("prior_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        expr(s"prior_tok div $maxTokens").as("seq_id"),
+        pmod(col("prior_tok"), lit(maxTokens.toLong)).as("seq_offset"))
+  }
+
+  def seqPackSql(maxTokens: Int = 512, nShards: Int = 8): String =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, doc_id % $nShards AS shard,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, shard, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior_tok
+       |  FROM f)
+       |SELECT doc_id, lang, shard, n_tok,
+       |  CAST(prior_tok // $maxTokens AS BIGINT) AS seq_id,
+       |  CAST(prior_tok % $maxTokens AS BIGINT) AS seq_offset
+       |FROM c""".stripMargin
 }
