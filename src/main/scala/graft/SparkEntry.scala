@@ -133,6 +133,9 @@ object SparkEntry {
         CodeEdges.edges(CodeEdges.syntheticCodeView(Tables.documents(s, d))))),
     "code_calls" -> ((s, d) =>
       CodeEdges.callEdges(CodeEdges.syntheticCodeView(Tables.documents(s, d)))),
+    "repo_scan" -> ((s, d) =>
+      RepoScan.repoScan(RepoScan.syntheticPathView(Tables.documents(s, d)))),
+    "cdc_apply" -> ((s, d) => CdcApply.cdcApply(Tables.documents(s, d))),
     // --- memory / pack / schema ---
     "graph_schema" -> ((s, d) => GraphOps.schema(Tables.orders(s, d), Tables.lineitem(s, d))),
     "mem_search" -> ((s, d) => Memory.search(Tables.documents(s, d), kwTerms)),
@@ -299,6 +302,8 @@ object SparkEntry {
     "code_edges" -> CodeEdges.edgesSql,
     "code_graph_degree" -> CodeEdges.moduleDegreeSql(),
     "code_calls" -> CodeEdges.callEdgesSql,
+    "repo_scan" -> RepoScan.repoScanSql(),
+    "cdc_apply" -> CdcApply.cdcApplySql,
     "mem_search" -> Memory.searchSql(kwTerms),
     "mem_extract" -> Memory.extractSql,
     "mem_summary" -> Memory.summarySql,
