@@ -41,6 +41,8 @@ object Bench {
         val exact = Search.knnJoin(emb, nProbes = 10, k = 3)
         Map(
           "ann_lsh@3" -> Recall.recallAtK(exact, Dedup.annLsh(emb, nProbes = 10, k = 3)),
+          "ann_lsh_mp@3" -> Recall.recallAtK(
+            exact, Dedup.annLshMultiprobe(emb, nProbes = 10, k = 3)),
           "ann_ivf@3" -> Recall.recallAtK(exact, Dedup.annIvf(emb, nProbes = 10, k = 3)),
           "ann_pq@3" -> Recall.recallAtK(
             exact, graft.operators.ProductQuant.pqSearch(emb, nProbes = 10, k = 3)))

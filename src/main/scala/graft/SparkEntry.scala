@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "minhash_signature" -> ((s, d) => Dedup.minhashDigest(Tables.documents(s, d))),
     "ann_lsh" -> ((s, d) => Dedup.annLsh(Tables.embeddings(s, d))),
+    "ann_lsh_mp" -> ((s, d) => Dedup.annLshMultiprobe(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Dedup.annIvf(Tables.embeddings(s, d))),
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
     "semdedup" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
@@ -289,6 +290,7 @@ object SparkEntry {
     // (xxhash64-based families not SQL-portable)
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
     "ann_lsh" -> Dedup.annLshSql(),
+    "ann_lsh_mp" -> Dedup.annLshMultiprobeSql(),
     "ann_ivf" -> Dedup.annIvfSql(),
     "graph_stats" -> GraphOps.statsSql,
     "graph_degree" -> GraphOps.degreesSql,

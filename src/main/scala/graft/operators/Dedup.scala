@@ -410,6 +410,48 @@ object Dedup {
        |QUALIFY rn <= $k""".stripMargin
   }
 
+  /** Multi-probe LSH — the production recall lever for hyperplane LSH:
+    * each probe searches its own bucket PLUS the nPlanes hamming-1
+    * neighbor buckets (one sign bit flipped). Search cost grows by
+    * (nPlanes+1)×; recall approaches multi-table LSH without storing
+    * extra tables (Lv et al., VLDB'07). Probe side stays broadcast; the
+    * corpus is still touched only through bucket-equality joins, so the
+    * 100 TB shape is unchanged. */
+  def annLshMultiprobe(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
+                       nPlanes: Int = 4): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), nPlanes))
+    val variants = array(col("bucket") +:
+      (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val probes = bucketed.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        explode(variants).as("bucket"))
+    bucketed
+      .select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
+  }
+
+  def annLshMultiprobeSql(nProbes: Int = 10, k: Int = 3, nPlanes: Int = 4): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "p.pv")
+    val variants = ("p0.bucket" +:
+      (0 until nPlanes).map(j => s"xor(p0.bucket, ${1L << j})")).mkString(", ")
+    s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", nPlanes)} AS bucket FROM embeddings),
+       |p AS (SELECT p0.vec_id AS probe_id, p0.embedding AS pv,
+       |             unnest([$variants]) AS bucket
+       |      FROM b p0 WHERE p0.vec_id < $nProbes)
+       |SELECT p.probe_id, e.vec_id AS neighbor_id,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rn,
+       |$cos AS cos
+       |FROM b e JOIN p ON e.bucket = p.bucket AND e.vec_id <> p.probe_id
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
   def annLshSql(nProbes: Int = 10, k: Int = 3): String = {
     val cos = VectorOps.cosineSql("e.embedding", "p.embedding")
     s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings)
