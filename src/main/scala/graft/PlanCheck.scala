@@ -19,7 +19,8 @@ object PlanCheck {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_agg", "q3_join", "q5_multijoin", "vector_topk", "knn_join",
         "pack_builder", "code_edges", "schema_parse", "chunk_markdown",
-        "dedup_minhash_lsh")
+        "dedup_minhash_lsh", "bm25_search", "line_dedup", "decontaminate",
+        "doc_cluster", "ann_pq", "graph_triangles", "seq_pack")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimFF].getName, "cosine_sim"),
       GraftFunctions.cosineSimBuilder))
+    ext.injectOptimizerRule(_ => CosineFusionRule)
   }
 }
 
