@@ -122,6 +122,7 @@ object SparkEntry {
     "graph_rels_by_type" -> ((s, d) =>
       GraphOps.relsByType(Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_triangles" -> ((s, d) => GraphOps.triangles(Tables.lineitem(s, d))),
+    "graph_node_sim" -> ((s, d) => GraphOps.nodeSimilarity(Tables.lineitem(s, d))),
     "graph_pagerank" -> ((s, d) => GraphOps.pageRank(Tables.lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.connectedComponents(Tables.lineitem(s, d))),
     "impact_analysis" -> ((s, d) =>
@@ -263,6 +264,7 @@ object SparkEntry {
     "hybrid_search" -> Search.hybridSql(kwTerms),
     "bm25_search" -> Search.bm25Sql(kwTerms),
     "graph_triangles" -> GraphOps.trianglesSql,
+    "graph_node_sim" -> GraphOps.nodeSimilaritySql(),
     "snapshot_diff" -> SnapshotDiff.snapshotDiffSql,
     "bloom_dedup" -> BloomDedup.bloomDedupSql(),
     "lang_id" -> TextAnalysis.langIdSql,

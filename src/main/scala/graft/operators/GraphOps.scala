@@ -398,6 +398,45 @@ object GraphOps {
       |SELECT 'customer', o_custkey, 'PLACED', CAST(2 AS BIGINT), CAST(0.7 AS DOUBLE)
       |FROM (SELECT DISTINCT o_custkey FROM hit JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
 
+  /** Node similarity (the Neo4j GDS `nodeSimilarity` shape the reference's
+    * graph stack exposes): Jaccard over the order-neighborhoods of two
+    * parts in the bipartite order—part graph. Inverted-index formulation —
+    * pairs sharing no order never materialize, so cost follows true
+    * overlap, not |parts|²; the 1%-order sample bounds the test run and is
+    * the production knob for approximate similarity. */
+  def nodeSimilarity(lineitem: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val li = lineitem.filter(pmod(col("l_orderkey"), lit(100L)) === 0L)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val deg = li.groupBy(col("pk")).agg(count(lit(1)).as("d"))
+    val withDeg = li.join(deg, "pk")
+    withDeg.as("a").join(withDeg.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"),
+        col("a.d").as("da"), col("b.d").as("db"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("da") + col("db") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("part_a"), col("part_b"), col("jaccard"))
+  }
+
+  def nodeSimilaritySql(threshold: Double = 0.2): String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem WHERE l_orderkey % 100 = 0),
+       |deg AS (SELECT pk, COUNT(*) AS d FROM li GROUP BY pk),
+       |wd AS (SELECT li.ok, li.pk, deg.d FROM li JOIN deg USING (pk)),
+       |pairs AS (
+       |  SELECT a.pk AS part_a, b.pk AS part_b, a.d AS da, b.d AS db,
+       |         CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM wd a JOIN wd b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT part_a, part_b,
+       |  CAST(c AS DOUBLE) / CAST(da + db - c AS DOUBLE) AS jaccard
+       |FROM pairs
+       |WHERE CAST(c AS DOUBLE) / CAST(da + db - c AS DOUBLE) >= $threshold""".stripMargin
+
   /** Triangle count over the co-purchase graph via degree-ordered edge
     * orientation ("compact-forward"): every undirected edge is directed
     * from its (degree, id)-smaller endpoint, which caps oriented

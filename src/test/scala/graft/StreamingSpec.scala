@@ -87,4 +87,29 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "session_id", "n_events").as[(Long, Long, Long)].collect()
     assert(rows.toSeq == Seq((7L, 1L, 2L)))
   }
+
+  test("batch curation operators run unchanged on a stream") {
+    // batch/stream unification: the SAME declarative Corpus transforms
+    // (quality gate + PII scrub) applied to readStream — ingest-time
+    // curation needs no separate code path
+    implicit val sqlCtx = spark.sqlContext
+    case class D(doc_id: Long, text: String)
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val curated = graft.operators.Corpus.piiScrub(stream)
+      .join(graft.operators.Corpus.qualityFilter(stream), "doc_id")
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (1L, "contact bob@example.com or 5551234 " + Seq.tabulate(12)(i => s"w$i").mkString(" ")),
+      (2L, "tiny"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curated")
+      .select("doc_id", "scrubbed", "verdict").as[(Long, String, String)].collect()
+      .sortBy(_._1)
+    assert(rows(0)._2.contains("<EMAIL>") && rows(0)._2.contains("<NUM>"))
+    assert(rows(0)._3 == "keep")
+    assert(rows(1)._3 == "too_short")
+  }
 }
