@@ -45,7 +45,9 @@ object Bench {
             exact, Dedup.annLshMultiprobe(emb, nProbes = 10, k = 3)),
           "ann_ivf@3" -> Recall.recallAtK(exact, Dedup.annIvf(emb, nProbes = 10, k = 3)),
           "ann_pq@3" -> Recall.recallAtK(
-            exact, graft.operators.ProductQuant.pqSearch(emb, nProbes = 10, k = 3)))
+            exact, graft.operators.ProductQuant.pqSearch(emb, nProbes = 10, k = 3)),
+          "ann_ivf_pq@3" -> Recall.recallAtK(
+            exact, graft.operators.ProductQuant.ivfPqSearch(emb, nProbes = 10, k = 3)))
       } catch { case _: Throwable => Map.empty[String, Double] }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

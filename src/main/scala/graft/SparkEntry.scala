@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_edit_distance" -> ((s, d) => TermStats.editDistancePairs(Tables.documents(s, d))),
     "term_freq" -> ((s, d) => TermStats.termFreq(Tables.documents(s, d))),
+    "vocab_coverage" -> ((s, d) => TermStats.vocabCoverage(Tables.documents(s, d))),
     "tfidf" -> ((s, d) => TermStats.tfidf(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     // rows-only: transitive clustering is not bounded-depth SQL
@@ -110,6 +111,7 @@ object SparkEntry {
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
     "semdedup" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
+    "ann_ivf_pq" -> ((s, d) => ProductQuant.ivfPqSearch(Tables.embeddings(s, d))),
     // --- graph ---
     "graph_stats" -> ((s, d) => GraphOps.stats(Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_degree" -> ((s, d) => GraphOps.degrees(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -283,9 +285,11 @@ object SparkEntry {
     "doc_cluster" -> Cluster.kmeansSql(),
     "semdedup" -> Cluster.semdedupSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
+    "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_edit_distance" -> TermStats.editDistancePairsSql(),
     "term_freq" -> TermStats.termFreqSql(),
+    "vocab_coverage" -> TermStats.vocabCoverageSql(),
     "tfidf" -> TermStats.tfidfSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only

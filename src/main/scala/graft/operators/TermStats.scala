@@ -23,6 +23,40 @@ object TermStats {
        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents)
        |GROUP BY term ORDER BY tf DESC, term LIMIT $topN""".stripMargin
 
+  /** Vocabulary coverage / OOV rate per language — the tokenizer
+    * diagnostic every pretraining pipeline tracks: fix the top-N corpus
+    * vocabulary (a bounded model artifact, broadcast), then measure the
+    * fraction of tokens it covers. One explode pass, one tiny top-N, one
+    * broadcast probe — no corpus-sized shuffle. */
+  def vocabCoverage(documents: DataFrame, vocabSize: Int = 15): DataFrame = {
+    val toks = documents.select(
+      col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L)).as("n_covered"))
+      .withColumn("oov_rate",
+        lit(1.0) - col("n_covered").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  def vocabCoverageSql(vocabSize: Int = 15): String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1)
+       |  ORDER BY c DESC, tok LIMIT $vocabSize),
+       |j AS (
+       |  SELECT t.lang, CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END AS cov
+       |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(cov) AS BIGINT) AS n_covered,
+       |  1.0 - CAST(SUM(cov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+       |FROM j GROUP BY lang""".stripMargin
+
   /** TF-IDF-style scores per (doc, term), log-free: score = tf · N / df
     * (rational arithmetic — engine-exact; a log() variant differs in last
     * ulp across libm implementations). Top terms per doc for the heaviest

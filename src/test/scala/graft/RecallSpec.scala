@@ -38,7 +38,12 @@ class RecallSpec extends SparkSpec {
     val exact = Search.knnJoin(emb, nProbes = 10, k = 3)
     val rPq = graft.operators.Recall.recallAtK(
       exact, graft.operators.ProductQuant.pqSearch(emb, nProbes = 10, k = 3))
-    info(f"recall@3: pq=$rPq%.2f")
+    val rIvfPq = graft.operators.Recall.recallAtK(
+      exact, graft.operators.ProductQuant.ivfPqSearch(emb, nProbes = 10, k = 3))
+    info(f"recall@3: pq=$rPq%.2f ivf_pq=$rIvfPq%.2f")
+    // cell routing restricts candidates, so composed recall is bounded by
+    // full-scan PQ; it must stay useful
+    assert(rIvfPq >= 0.1, f"ivf_pq recall degraded: $rIvfPq%.2f")
     // PQ scores all rows (no candidate pruning — it's a COMPRESSION layer,
     // 32× smaller corpus residency), so recall is bounded only by
     // quantization error of the untrained first-n codebooks.
