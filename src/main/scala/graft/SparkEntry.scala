@@ -75,6 +75,7 @@ object SparkEntry {
     "hybrid_search" -> ((s, d) =>
       Search.hybrid(Tables.documents(s, d), Tables.embeddings(s, d), kwTerms)),
     "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d), kwTerms)),
+    "rag_eval_mrr" -> ((s, d) => Search.mrrEval(Tables.embeddings(s, d))),
     // --- text analysis ---
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -108,6 +109,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Dedup.annLsh(Tables.embeddings(s, d))),
     "ann_lsh_mp" -> ((s, d) => Dedup.annLshMultiprobe(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Dedup.annIvf(Tables.embeddings(s, d))),
+    "ann_ivf_mp" -> ((s, d) => Dedup.annIvfMultiprobe(Tables.embeddings(s, d))),
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
     "semdedup" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
@@ -265,6 +267,7 @@ object SparkEntry {
     "knn_join" -> Search.knnJoinSql(),
     "hybrid_search" -> Search.hybridSql(kwTerms),
     "bm25_search" -> Search.bm25Sql(kwTerms),
+    "rag_eval_mrr" -> Search.mrrEvalSql(),
     "graph_triangles" -> GraphOps.trianglesSql,
     "graph_node_sim" -> GraphOps.nodeSimilaritySql(),
     "snapshot_diff" -> SnapshotDiff.snapshotDiffSql,
@@ -298,6 +301,7 @@ object SparkEntry {
     "ann_lsh" -> Dedup.annLshSql(),
     "ann_lsh_mp" -> Dedup.annLshMultiprobeSql(),
     "ann_ivf" -> Dedup.annIvfSql(),
+    "ann_ivf_mp" -> Dedup.annIvfMultiprobeSql(),
     "graph_stats" -> GraphOps.statsSql,
     "graph_degree" -> GraphOps.degreesSql,
     "graph_khop" -> GraphOps.khopSql,

@@ -394,6 +394,64 @@ object Dedup {
         (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
   }
 
+  /** IVF multi-probe — the recall lever for inverted-file search (FAISS
+    * `nprobe`): each probe searches its top-`pCells` nearest cells instead
+    * of one. Search cost grows by pCells×; recall loss from cell-boundary
+    * effects (true neighbors assigned to the runner-up cell) collapses.
+    * Probe side stays broadcast; corpus cells are touched only through
+    * cell-equality joins. */
+  def annIvfMultiprobe(embeddings: DataFrame, nCells: Int = 16, nProbes: Int = 10,
+                       k: Int = 3, pCells: Int = 2): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val cands = cents.sortBy(_._1).map { case (id, v) =>
+      struct(VectorOps.cosine(col("embedding"), typedlit(v)).as("c"),
+        lit(-id).as("negid"))
+    }
+    // corpus side: argmax cell, as in annIvf
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+      (-greatest(cands.toSeq: _*).getField("negid")).as("cell"))
+    // probe side: top-pCells cells via sort_array over the candidate
+    // structs (descending cos, then smaller id), sliced and exploded
+    val ranked = sort_array(array(cands.toSeq: _*), asc = false)
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        explode(transform(slice(ranked, 1, pCells), s => -s.getField("negid"))).as("cell"))
+    assigned
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
+  }
+
+  def annIvfMultiprobeSql(nCells: Int = 16, nProbes: Int = 10, k: Int = 3,
+                          pCells: Int = 2): String = {
+    val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
+    val pcos = VectorOps.cosineSql("p0.embedding", "c.embedding")
+    val cos = VectorOps.cosineSql("a.embedding", "p.pv")
+    s"""WITH cents AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $nCells),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, c.cell_id AS cell
+       |  FROM embeddings e CROSS JOIN cents c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $ccos DESC, c.cell_id) = 1),
+       |probes AS (
+       |  SELECT p0.vec_id AS probe_id, p0.embedding AS pv, c.cell_id AS cell
+       |  FROM embeddings p0 CROSS JOIN cents c
+       |  WHERE p0.vec_id < $nProbes
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p0.vec_id ORDER BY $pcos DESC, c.cell_id) <= $pCells)
+       |SELECT p.probe_id, a.vec_id AS neighbor_id,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY $cos DESC, a.vec_id) AS BIGINT) AS rn,
+       |$cos AS cos
+       |FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.probe_id
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
   def annIvfSql(nCells: Int = 16, nProbes: Int = 10, k: Int = 3): String = {
     val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
     val cos = VectorOps.cosineSql("a.embedding", "p.embedding")

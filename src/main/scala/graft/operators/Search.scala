@@ -134,6 +134,40 @@ object Search {
        |QUALIFY rn <= $k""".stripMargin
   }
 
+  /** Retrieval-quality evaluation (MRR) — the metric loop every retrieval
+    * stack runs against its index: treat same-label vectors as relevant,
+    * retrieve top-k with the exact knn join, and report each probe's
+    * reciprocal rank of the first relevant hit (0 when none retrieved).
+    * Rational arithmetic only (1/rank) — no libm, oracle-exact; the global
+    * MRR is the mean of the rr column (left to the caller so no
+    * summation-order dependence enters the registered result). */
+  def mrrEval(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val retrieved = knnJoin(embeddings, nProbes, k)
+    retrieved
+      .join(labels.select(col("vec_id").as("probe_id"), col("label").as("p_label")), "probe_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")), "neighbor_id")
+      .groupBy(col("probe_id"))
+      .agg(min(when(col("p_label") === col("n_label"), col("rn"))).as("first_rel_rank"))
+      .select(col("probe_id"), col("first_rel_rank"),
+        when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank").cast("double")).otherwise(lit(0.0)).as("rr"))
+  }
+
+  def mrrEvalSql(nProbes: Int = 10, k: Int = 5): String =
+    s"""WITH knn AS (${knnJoinSql(nProbes, k)}),
+       |m AS (
+       |  SELECT knn.probe_id,
+       |    MIN(CASE WHEN pl.label = nl.label THEN knn.rn END) AS first_rel_rank
+       |  FROM knn
+       |  JOIN embeddings pl ON pl.vec_id = knn.probe_id
+       |  JOIN embeddings nl ON nl.vec_id = knn.neighbor_id
+       |  GROUP BY knn.probe_id)
+       |SELECT probe_id, first_rel_rank,
+       |  CASE WHEN first_rel_rank IS NOT NULL
+       |       THEN 1.0 / CAST(first_rel_rank AS DOUBLE) ELSE 0.0 END AS rr
+       |FROM m""".stripMargin
+
   /** Hybrid retrieval: vector candidates ⊎ keyword candidates, full-outer
     * merge by id keeping the max normalized score (QueryPipeline._merge_nodes
     * semantics), re-ranked. documents.doc_id ↔ embeddings.vec_id. */

@@ -20,7 +20,10 @@ class RecallSpec extends SparkSpec {
     val rMp = graft.operators.Recall.recallAtK(
       exact, Dedup.annLshMultiprobe(emb, nProbes = 10, k = 3))
     val rIvf = graft.operators.Recall.recallAtK(exact, Dedup.annIvf(emb, nProbes = 10, k = 3))
-    info(f"recall@3: lsh=$rLsh%.2f lsh_mp=$rMp%.2f ivf=$rIvf%.2f")
+    val rIvfMp = graft.operators.Recall.recallAtK(
+      exact, Dedup.annIvfMultiprobe(emb, nProbes = 10, k = 3))
+    info(f"recall@3: lsh=$rLsh%.2f lsh_mp=$rMp%.2f ivf=$rIvf%.2f ivf_mp=$rIvfMp%.2f")
+    assert(rIvfMp >= rIvf, f"ivf multi-probe recall $rIvfMp%.2f below single-cell $rIvf%.2f")
     // flipping each sign bit once must not LOSE candidates: multi-probe
     // recall dominates single-probe by construction
     assert(rMp >= rLsh, f"multi-probe recall $rMp%.2f below single-probe $rLsh%.2f")
