@@ -58,6 +58,13 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_funnel" -> ((s, d) => Relational.funnel(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
+    "zorder_key" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"),
+        graft.sources.Writers.zorder2(
+          org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_partkey")).as("zval"))),
     "range_join" -> ((s, d) => AsOf.priceRangeJoin(Tables.lineitem(s, d))),
     // --- RAG / search surface ---
     "chunk_fixed" -> ((s, d) => Chunking.chunkFixed(Tables.documents(s, d))),
@@ -258,6 +265,10 @@ object SparkEntry {
     "q_histogram" -> Relational.priceHistogramSql(),
     "q_funnel" -> Relational.funnelSql,
     "asof_join" -> AsOf.purchaseAttributionSql,
+    "zorder_key" ->
+      s"""SELECT l_orderkey, l_partkey,
+         |${graft.sources.Writers.zorder2Sql("l_orderkey", "l_partkey")} AS zval
+         |FROM lineitem""".stripMargin,
     "range_join" -> AsOf.priceRangeJoinSql,
     "chunk_fixed" -> Chunking.chunkFixedSql(),
     "chunk_markdown" -> graft.sources.Loaders.splitMarkdownSql,

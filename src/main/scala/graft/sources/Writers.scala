@@ -34,4 +34,39 @@ object Writers {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Z-order (Morton) interleave of two non-negative integer keys: bit i
+    * of `a` lands at position 2i, bit i of `b` at 2i+1. Rows close in BOTH
+    * dimensions get close z-values, so range-partitioning + sorting by the
+    * z-value clusters them into the same files — parquet min/max stats
+    * then prune scans filtered on EITHER key (the Delta/Iceberg
+    * OPTIMIZE ZORDER layout primitive). Pure codegen'd bit math, portable
+    * to the oracle verbatim. */
+  def zorder2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+              bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  def zorder2Sql(a: String, b: String, bits: Int = 16): String =
+    (0 until bits).map { i =>
+      s"(((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " + ", ")")
+
+  /** Write `df` clustered by the z-order of two keys: range-partition on
+    * the z-value (balanced output files), sort within partitions so
+    * parquet row-group min/max stats stay tight on both dimensions. */
+  def writeZOrdered(df: DataFrame, path: String, keyA: String, keyB: String,
+                    bits: Int = 16): Unit = {
+    val z = zorder2(org.apache.spark.sql.functions.col(keyA),
+      org.apache.spark.sql.functions.col(keyB), bits).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

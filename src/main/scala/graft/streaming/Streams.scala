@@ -38,6 +38,19 @@ object Streams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Windowed trending terms over a (ts, text) document stream — the
+    * streaming analog of term_freq for ingest-time monitoring (what is the
+    * crawl pulling in right now): explode words, tumbling window counts,
+    * watermark bounds state. Top-k per closed window is a bounded batch
+    * step downstream (TopKAgg over the emitted rows). */
+  def trendingTerms(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(window(col("ts"), "1 hour"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("term"), col("n"))
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks within the preceding hour. Watermarks on BOTH sides bound the
     * join state (Spark drops buffered rows once the watermark passes —

@@ -88,6 +88,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((7L, 1L, 2L)))
   }
 
+  test("streaming trending terms counts words per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Streams.trendingTerms(input.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (ts(5), "spark spark join"),
+      (ts(20), "join filter"))
+    // advance the watermark past hour 0 so the window closes
+    input.addData((Timestamp.valueOf("2024-01-01 03:00:00"), "later"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("trending")
+      .select("term", "n").as[(String, Long)].collect().toMap
+    assert(rows("spark") == 2L && rows("join") == 2L && rows("filter") == 1L)
+  }
+
   test("batch curation operators run unchanged on a stream") {
     // batch/stream unification: the SAME declarative Corpus transforms
     // (quality gate + PII scrub) applied to readStream — ingest-time
