@@ -54,14 +54,45 @@ object Cluster {
       .toArray
   }
 
-  /** k-means (k clusters, `iters` Lloyd updates; init = first k vectors,
-    * the deterministic stand-in for k-means|| at scale). Returns
-    * (vec_id, cluster, cos_to_centroid). */
-  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 1): DataFrame = {
+  /** Deterministic farthest-point seeding (the k-means++/k-means|| quality
+    * upgrade over first-k init): start from the minimum vec_id, then
+    * repeatedly add the vector farthest from its nearest chosen seed
+    * (min cosine to the chosen set; ties to the smaller id). k−1 bounded
+    * argmin aggregations, each a narrow scan + 1-row collect — the
+    * distributed seeding loop production quantizer training runs. The
+    * REGISTERED doc_cluster keeps first-k init so the DuckDB oracle stays
+    * non-iterative; this seeding is the `init = "farthest"` path, and the
+    * spec measures its cohesion gain. */
+  def farthestInit(embeddings: DataFrame, k: Int): Array[(Long, Array[Float])] = {
     import embeddings.sparkSession.implicits._
-    var cents: Array[(Long, Array[Float])] = embeddings
-      .filter(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val first = embeddings.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].head()
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    while (chosen.length < k) {
+      val closeness = chosen.map { case (_, v) =>
+        VectorOps.cosine(col("embedding"), typedlit(v))
+      }.reduce((a, b) => greatest(a, b))
+      val next = embeddings
+        .filter(!col("vec_id").isInCollection(chosen.map(_._1)))
+        .select(col("vec_id"), col("embedding"), closeness.as("close"))
+        .orderBy(col("close"), col("vec_id")).limit(1)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].head()
+      chosen += next
+    }
+    chosen.toArray
+  }
+
+  /** k-means (k clusters, `iters` Lloyd updates). init = "first" (first k
+    * vectors — deterministic, oracle-replicable) or "farthest"
+    * (farthest-point seeding). Returns (vec_id, cluster, cos_to_centroid). */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
+             init: String = "first"): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    var cents: Array[(Long, Array[Float])] =
+      if (init == "farthest") farthestInit(embeddings, k)
+      else embeddings
+        .filter(col("vec_id") < k)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
     for (_ <- 0 until iters) {
       val assigned = embeddings.select(col("vec_id"), col("embedding"),
         (-best(cents).getField("negid")).as("cell"))

@@ -66,6 +66,19 @@ class CurationSpec extends SparkSpec {
     assert(after > 0.1, f"suspiciously low cohesion: $after%.3f")
   }
 
+  test("farthest-point seeding holds or beats first-k cohesion") {
+    val cohFirst = Cluster.kmeans(emb, k = 8, iters = 1)
+      .agg(avg("cos_to_centroid")).head.getDouble(0)
+    val cohFar = Cluster.kmeans(emb, k = 8, iters = 1, init = "farthest")
+      .agg(avg("cos_to_centroid")).head.getDouble(0)
+    info(f"cohesion: first-k=$cohFirst%.3f farthest=$cohFar%.3f")
+    // farthest seeding spreads the initial centroids; after one Lloyd
+    // update it should not be materially worse than first-k (and is
+    // usually better on clustered data)
+    assert(cohFar >= cohFirst - 0.02,
+      f"farthest seeding lost cohesion: $cohFirst%.3f -> $cohFar%.3f")
+  }
+
   test("pq codes stay in range and reconstruct a plausible score") {
     val enc = ProductQuant.pqEncode(emb)
     val bad = enc.filter(
