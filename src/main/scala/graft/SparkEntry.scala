@@ -57,6 +57,7 @@ object SparkEntry {
       Relational.nationsPerRegion(Tables.region(s, d), Tables.nation(s, d))),
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_funnel" -> ((s, d) => Relational.funnel(Tables.events(s, d))),
+    "events_spike" -> ((s, d) => Relational.eventSpikes(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
     "zorder_key" -> ((s, d) =>
       Tables.lineitem(s, d).select(
@@ -264,6 +265,7 @@ object SparkEntry {
     "q_string_agg" -> Relational.nationsPerRegionSql,
     "q_histogram" -> Relational.priceHistogramSql(),
     "q_funnel" -> Relational.funnelSql,
+    "events_spike" -> Relational.eventSpikesSql,
     "asof_join" -> AsOf.purchaseAttributionSql,
     "zorder_key" ->
       s"""SELECT l_orderkey, l_partkey,

@@ -418,4 +418,44 @@ object Relational {
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  /** Event-rate spike detection — the monitoring primitive over an event
+    * feed: hourly counts per type, compared against that type's median
+    * hourly rate; hours running over 1.5x the median are flagged. The
+    * median is the exact lower median via rank (no interpolation — engine
+    * quantile interpolation differs), and the threshold is the integer
+    * predicate 2n > 3*median, so the whole operator is hash-exact. One
+    * shuffle for the rollup; the tiny per-type medians table broadcasts
+    * back over it. */
+  def eventSpikes(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("n"), col("hour"))
+    val medians = hourly
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("event_type"), col("n").as("med_n"))
+    hourly.join(broadcast(medians), "event_type")
+      .filter(col("n") * 2 > col("med_n") * 3)
+      .select(col("event_type"), col("hour"), col("n"), col("med_n"))
+  }
+
+  val eventSpikesSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |         COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, hour) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM hourly),
+      |medians AS (
+      |  SELECT event_type, n AS med_n FROM ranked WHERE rn = (cnt + 1) // 2)
+      |SELECT h.event_type, h.hour, h.n, m.med_n
+      |FROM hourly h JOIN medians m ON h.event_type = m.event_type
+      |WHERE h.n * 2 > m.med_n * 3""".stripMargin
 }
