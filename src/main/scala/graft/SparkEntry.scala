@@ -157,6 +157,8 @@ object SparkEntry {
     "mem_summary" -> ((s, d) => Memory.summary(Tables.documents(s, d))),
     "mem_supersede" -> ((s, d) => Memory.supersedeResolve(Tables.documents(s, d))),
     "mem_relate" -> ((s, d) => Memory.relate(Tables.documents(s, d))),
+    "mem_extract_commits" -> ((s, d) => Memory.extractCommits(Tables.documents(s, d))),
+    "embed_qa" -> ((s, d) => EmbedQa.embedQa(Tables.embeddings(s, d))),
     "schema_classify" -> ((s, d) => SchemaClassify.classify(Tables.part(s, d))),
     "schema_parse" -> ((s, d) =>
       SchemaParse.parse(SchemaParse.syntheticDdlView(Tables.documents(s, d)))),
@@ -334,6 +336,8 @@ object SparkEntry {
     "mem_summary" -> Memory.summarySql,
     "mem_supersede" -> Memory.supersedeResolveSql,
     "mem_relate" -> Memory.relateSql,
+    "mem_extract_commits" -> Memory.extractCommitsSql,
+    "embed_qa" -> EmbedQa.embedQaSql(),
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,
     "pack_builder" -> PackBuilder.packSql(kwTerms),

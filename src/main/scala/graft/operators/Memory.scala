@@ -108,6 +108,51 @@ object Memory {
        |${occSql("slow")} + ${occSql("batch")} + ${occSql("stream")} + ${occSql("query")} AS evidence
        |FROM documents""".stripMargin
 
+  /** Git-commit memory extraction (memory_extractor.py:175
+    * `extract_from_git_commit`): the reference LLM-classifies commits into
+    * feature→decision, fix→experience, refactor→convention, breaking→
+    * high-importance decision; here the same taxonomy is a rule chain over
+    * conventional-commit prefixes — one narrow pass over a commit log of
+    * any size. The synthetic commit view derives messages from `documents`
+    * deterministically so the oracle replays it. */
+  def extractCommits(documents: DataFrame): DataFrame = {
+    val w1 = element_at(split(col("text"), " "), 1)
+    val msg = when(col("doc_id") % 5 === 0, concat(lit("feat: add "), w1))
+      .when(col("doc_id") % 5 === 1, concat(lit("fix: repair "), w1))
+      .when(col("doc_id") % 5 === 2, concat(lit("refactor: clean "), w1))
+      .when(col("doc_id") % 5 === 3, concat(lit("feat!: breaking "), w1))
+      .otherwise(concat(lit("docs: note "), w1))
+    documents
+      .select(col("doc_id"), md5(col("text")).as("sha"), msg.as("message"))
+      .withColumn("kind",
+        when(col("message").startsWith("feat!"), "decision")
+          .when(col("message").startsWith("feat"), "decision")
+          .when(col("message").startsWith("fix"), "experience")
+          .when(col("message").startsWith("refactor"), "convention")
+          .otherwise("fact"))
+      .withColumn("importance",
+        when(col("message").startsWith("feat!"), "high").otherwise("normal"))
+      .select(col("doc_id"), col("sha"), col("kind"), col("importance"))
+  }
+
+  val extractCommitsSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, md5(text) AS sha,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'feat: add ' || string_split(text, ' ')[1]
+      |         WHEN doc_id % 5 = 1 THEN 'fix: repair ' || string_split(text, ' ')[1]
+      |         WHEN doc_id % 5 = 2 THEN 'refactor: clean ' || string_split(text, ' ')[1]
+      |         WHEN doc_id % 5 = 3 THEN 'feat!: breaking ' || string_split(text, ' ')[1]
+      |         ELSE 'docs: note ' || string_split(text, ' ')[1] END AS message
+      |  FROM documents)
+      |SELECT doc_id, sha,
+      |  CASE WHEN message LIKE 'feat!%' THEN 'decision'
+      |       WHEN message LIKE 'feat%' THEN 'decision'
+      |       WHEN message LIKE 'fix%' THEN 'experience'
+      |       WHEN message LIKE 'refactor%' THEN 'convention'
+      |       ELSE 'fact' END AS kind,
+      |  CASE WHEN message LIKE 'feat!%' THEN 'high' ELSE 'normal' END AS importance
+      |FROM c""".stripMargin
+
   /** supersede_memory (:490) resolution: each lineage (doc_id mod 100) forms
     * a supersede chain; resolve to the latest valid version per lineage. */
   def supersedeResolve(documents: DataFrame): DataFrame = {
