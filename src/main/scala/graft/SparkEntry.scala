@@ -92,6 +92,7 @@ object SparkEntry {
     "corpus_filter" -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
     "pii_scrub" -> ((s, d) => Corpus.piiScrub(Tables.documents(s, d))),
     "corpus_sample" -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
+    "corpus_shuffle" -> ((s, d) => Corpus.corpusShuffle(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => Corpus.stats(Tables.documents(s, d))),
     "sketch_stats" -> ((s, d) => Corpus.sketchStats(Tables.events(s, d))),
     "text_normalize" -> ((s, d) => Normalize.textNormalize(Tables.documents(s, d))),
@@ -294,6 +295,7 @@ object SparkEntry {
     "corpus_filter" -> Corpus.qualityFilterSql,
     "pii_scrub" -> Corpus.piiScrubSql,
     "corpus_sample" -> Corpus.stratifiedSampleSql(),
+    "corpus_shuffle" -> Corpus.corpusShuffleSql(),
     "corpus_stats" -> Corpus.statsSql,
     "text_normalize" -> Normalize.textNormalizeSql,
     "gopher_quality" -> Normalize.gopherQualitySql(),

@@ -84,6 +84,29 @@ object Corpus {
     s"""SELECT doc_id, lang FROM documents
        |WHERE ((doc_id & 2147483647) * 2654435761) % 100 < $pct""".stripMargin
 
+  /** Deterministic corpus shuffle — training-order randomization (the step
+    * right before sequence packing: neighbors in crawl order must not be
+    * neighbors in training order): shuffle_key is a multiplicative hash of
+    * doc_id, so the permutation is reproducible across runs AND engines
+    * (no RNG state); shard = key range bucket. The physical realization at
+    * scale is `repartitionByRange(shuffle_key) + sortWithinPartitions` —
+    * a single range shuffle, no global rank anywhere (a global position
+    * column would need an unpartitioned window; consumers read shards in
+    * shard order instead). */
+  def corpusShuffle(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    val key = pmod(col("doc_id").bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L, lit(1000003L))
+    documents.select(
+      col("doc_id"),
+      key.as("shuffle_key"),
+      pmod(key, lit(nShards.toLong)).as("shard"))
+  }
+
+  def corpusShuffleSql(nShards: Int = 8): String =
+    s"""SELECT doc_id,
+       |((doc_id & 2147483647) * 2654435761) % 1000003 AS shuffle_key,
+       |(((doc_id & 2147483647) * 2654435761) % 1000003) % $nShards AS shard
+       |FROM documents""".stripMargin
+
   /** Sketch-based statistics — the O(1)-memory cardinality/quantile tools
     * that replace exact distincts at 100 TB: HyperLogLog++ distinct users
     * and an approximate median per event type. rows-only (sketch estimates

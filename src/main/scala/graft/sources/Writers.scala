@@ -56,6 +56,20 @@ object Writers {
       s"(((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " + ", ")")
 
+  /** Write the corpus in deterministic shuffled (training) order: range-
+    * partition + sort by the reproducible shuffle key so shard files read
+    * back in key order ARE the shuffled corpus. One range shuffle; no
+    * global rank. */
+  def writeShuffled(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val key = pmod(col("doc_id").bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L, lit(1000003L))
+    df.withColumn("__sk", key)
+      .repartitionByRange(col("__sk"))
+      .sortWithinPartitions("__sk")
+      .drop("__sk")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write `df` clustered by the z-order of two keys: range-partition on
     * the z-value (balanced output files), sort within partitions so
     * parquet row-group min/max stats stay tight on both dimensions. */
