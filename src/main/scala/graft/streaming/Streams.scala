@@ -51,6 +51,22 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("term"), col("n"))
 
+  /** Streaming spike detection against a BATCH baseline — the stream-static
+    * join pattern: the per-type median hourly rate is computed offline
+    * (Relational.eventSpikes' medians, a tiny static table), and the live
+    * stream's windowed counts join it with a broadcast — no state beyond
+    * the windowed aggregation, baseline refreshed by restarting or by
+    * re-reading a path-backed static frame. Flags windows over 1.5× the
+    * baseline with the same integer predicate as the batch operator. */
+  def spikesVsBaseline(events: DataFrame, baseline: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .join(org.apache.spark.sql.functions.broadcast(baseline), "event_type")
+      .filter(col("n") * 2 > col("med_n") * 3)
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks within the preceding hour. Watermarks on BOTH sides bound the
     * join state (Spark drops buffered rows once the watermark passes —

@@ -106,6 +106,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows("spark") == 2L && rows("join") == 2L && rows("filter") == 1L)
   }
 
+  test("stream-static join flags spikes against a batch baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Seq(("click", 2L), ("view", 10L)).toDF("event_type", "med_n")
+    val input = MemoryStream[Event]
+    val q = Streams.spikesVsBaseline(input.toDF(), baseline)
+      .writeStream.format("memory").queryName("spikes")
+      .outputMode(OutputMode.Append()).start()
+    // 4 clicks (4*2 > 2*3 → spike) and 2 views (2*2 < 10*3 → quiet) in hour 0
+    input.addData(
+      Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "click", 1.0),
+      Event(3, ts(3), 2, "click", 1.0), Event(4, ts(4), 2, "click", 1.0),
+      Event(5, ts(5), 3, "view", 1.0), Event(6, ts(6), 3, "view", 1.0))
+    input.addData(Event(7, Timestamp.valueOf("2024-01-01 03:00:00"), 9, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("spikes")
+      .select("event_type", "n").as[(String, Long)].collect().toSet
+    assert(rows.contains(("click", 4L)))
+    assert(!rows.exists(_._1 == "view"))
+  }
+
   test("batch curation operators run unchanged on a stream") {
     // batch/stream unification: the SAME declarative Corpus transforms
     // (quality gate + PII scrub) applied to readStream — ingest-time
