@@ -291,7 +291,7 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "token_count" -> TextAnalysis.tokenCountSql,
-    // doc_fingerprint: rows-only (rolling-hash family not SQL-portable)
+    "doc_fingerprint" -> TextAnalysis.fingerprintSql,
     "corpus_filter" -> Corpus.qualityFilterSql,
     "pii_scrub" -> Corpus.piiScrubSql,
     "corpus_sample" -> Corpus.stratifiedSampleSql(),

@@ -86,7 +86,8 @@ object TextAnalysis {
     * address usable for shard-local dedup and change detection. Typed
     * mapPartitions kernel (char-level folds via Catalyst HOFs are
     * CodegenFallback and interpret per character); narrow, fully
-    * distributed; rows-only check (not expressible in portable SQL). */
+    * distributed. Oracle: DuckDB list_reduce replays the identical char
+    * fold (ASCII corpus: UTF-16 unit == codepoint; empty text guarded). */
   def fingerprint(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -106,4 +107,14 @@ object TextAnalysis {
       }
       .toDF("doc_id", "fingerprint")
   }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+      |     ELSE list_reduce(
+      |       list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(string_split(text, ''), x -> CAST(ord(x) AS BIGINT))),
+      |       (acc, c) -> (acc * 31 + c) % 1000000007)
+      |END AS fingerprint
+      |FROM documents""".stripMargin
 }
