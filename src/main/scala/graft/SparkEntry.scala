@@ -323,6 +323,8 @@ object SparkEntry {
     "graph_degree" -> GraphOps.degreesSql,
     "graph_khop" -> GraphOps.khopSql,
     "graph_shortest_path" -> GraphOps.shortestPathsSql(),
+    "graph_pagerank" -> GraphOps.pageRankSql(),
+    "graph_components" -> GraphOps.componentsSql(),
     "graph_path_trace" -> GraphOps.shortestPathTraceSql(),
     "graph_nodes_by_label" -> GraphOps.nodesByLabelSql(),
     "graph_rels_by_type" -> GraphOps.relsByTypeSql(),

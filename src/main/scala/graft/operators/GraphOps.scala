@@ -295,7 +295,10 @@ object GraphOps {
     * its neighborhood; converges in diameter rounds). Per-round
     * materialization; early-exits when a round changes nothing. rows-only
     * (spec asserts edge-consistency of labels). */
-  def connectedComponents(lineitem: DataFrame, maxIters: Int = 10): DataFrame =
+  // maxIters 30: the sf0.1 co-purchase graph needs >10 compression rounds
+  // to reach the fixed point (plain propagation depth 22); early exit makes
+  // converged runs pay only their actual round count
+  def connectedComponents(lineitem: DataFrame, maxIters: Int = 30): DataFrame =
     labelPropagation(copurchase(lineitem), maxIters)
 
   /** Generic min-label propagation over ANY `(src, dst)` edge table —
@@ -357,18 +360,50 @@ object GraphOps {
     val nNodes = nodes.count().toDouble
     var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
     for (_ <- 1 to iters) {
+      // inflow summed as DECIMAL(38,18) over each contribution's shortest
+      // double repr: exact and summation-order-independent, so every
+      // iteration's rank vector is bit-identical across partitionings AND
+      // replayable by the DuckDB oracle (same recipe as Cluster's Lloyd
+      // update); a double sum here would drift with partition order
       val contribs = edges
         .join(ranks, col("src") === col("node"))
         .join(outDeg, "src")
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast("string").cast("decimal(38,18)")).cast("double").as("inflow"))
       ranks = nodes
         .join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (lit((1.0 - damping) / nNodes) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
             .as("rank")).materialize
     }
-    ranks.select(col("node"), round(col("rank") * nNodes, 10).as("scaled_rank"))
+    ranks.select(col("node"), (col("rank") * nNodes).as("scaled_rank"))
+  }
+
+  /** DuckDB oracle replaying the full damped iteration: the decimal-exact
+    * inflow sums make every iteration's doubles bit-identical, so the
+    * final ranks hash-match. (1.0 - 0.85) / n is computed with the same
+    * operation order as the Spark literals. */
+  def pageRankSql(iters: Int = 5, damping: Double = 0.85): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c_$i AS (
+         |  SELECT cp.dst,
+         |    CAST(SUM(CAST(CAST(r.rank / d.deg AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE) AS inflow
+         |  FROM cp JOIN r_${i - 1} r ON cp.src = r.node JOIN outdeg d ON cp.src = d.src
+         |  GROUP BY cp.dst),
+         |r_$i AS (
+         |  SELECT n.node,
+         |    ((CAST(1.0 AS DOUBLE) - CAST($damping AS DOUBLE)) / nn.n)
+         |      + CAST($damping AS DOUBLE) * COALESCE(c.inflow, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes n CROSS JOIN nn LEFT JOIN c_$i c ON n.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS ($copurchaseSql),
+       |nodes AS (SELECT DISTINCT src AS node FROM cp),
+       |outdeg AS (SELECT src, COUNT(*) AS deg FROM cp GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |r_0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT r.node, r.rank * nn.n AS scaled_rank FROM r_$iters r CROSS JOIN nn""".stripMargin
   }
 
   /** Impact analysis (graph_service.py:546): reverse dependencies of the
@@ -397,6 +432,29 @@ object GraphOps {
       |UNION ALL
       |SELECT 'customer', o_custkey, 'PLACED', CAST(2 AS BIGINT), CAST(0.7 AS DOUBLE)
       |FROM (SELECT DISTINCT o_custkey FROM hit JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
+
+  /** DuckDB oracle for connected components: plain min-label propagation
+    * run for a fixed `rounds` budget — once every component has reached
+    * its minimum label, further rounds are no-ops, so ANY converged
+    * algorithm (including Spark's pointer-jumping variant) hash-matches.
+    * Budget chosen empirically: the sampled co-purchase graph converges in
+    * 11 rounds at sf0.01 and 22 at sf0.1; 24 leaves margin. If Spark ever
+    * exits unconverged (it warns), the oracle may legitimately differ —
+    * that is a real defect worth failing on. */
+  def componentsSql(rounds: Int = 24): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""l_$i AS MATERIALIZED (
+         |  SELECT l.node, LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
+         |  FROM l_${i - 1} l
+         |  LEFT JOIN cp e ON l.node = e.src
+         |  LEFT JOIN l_${i - 1} nl ON e.dst = nl.node
+         |  GROUP BY l.node, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS MATERIALIZED ($copurchaseSql),
+       |l_0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM cp),
+       |$steps
+       |SELECT node, label FROM l_$rounds""".stripMargin
+  }
 
   /** Node similarity (the Neo4j GDS `nodeSimilarity` shape the reference's
     * graph stack exposes): Jaccard over the order-neighborhoods of two
