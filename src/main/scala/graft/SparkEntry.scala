@@ -312,6 +312,7 @@ object SparkEntry {
     "vocab_coverage" -> TermStats.vocabCoverageSql(),
     "tfidf" -> TermStats.tfidfSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    "dedup_resolve" -> Dedup.resolveSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),

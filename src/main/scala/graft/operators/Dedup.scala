@@ -121,6 +121,31 @@ object Dedup {
         (col("node") === col("label")).as("keep"))
   }
 
+  /** DuckDB oracle for resolve: the verified pair graph comes from the
+    * oracle-checked ngramJaccard SQL; clustering is plain min-label
+    * propagation run past its fixed point (matches any converged
+    * algorithm — same argument as GraphOps.componentsSql). Near-dup pair
+    * graphs are chains/cliques of a few nodes, so the round budget is
+    * generous. */
+  def resolveSql(w: Int = 3, threshold: Double = 0.5, rounds: Int = 12): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""l_$i AS MATERIALIZED (
+         |  SELECT l.node, LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
+         |  FROM l_${i - 1} l
+         |  LEFT JOIN e ON l.node = e.src
+         |  LEFT JOIN l_${i - 1} nl ON e.dst = nl.node
+         |  GROUP BY l.node, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (${ngramJaccardSql(w, threshold)}),
+       |e AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |l_0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$steps
+       |SELECT node AS doc_id, label AS canonical_id, node = label AS keep
+       |FROM l_$rounds""".stripMargin
+  }
+
   // ---------- MinHash + LSH ----------
 
   val MinhashPrime = 1000000007L

@@ -26,7 +26,8 @@ class EntryContractSpec extends AnyFunSuite {
     // crude but effective: every FROM/JOIN bare identifier must be a known
     // table or a CTE defined in the same statement
     val fromRef = """(?i)(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
-    val cteDef = """(?i)([a-z_][a-z0-9_]*)\s*(?:\([a-z0-9_,\s]*\))?\s+as\s*\(""".r
+    val cteDef =
+      """(?i)([a-z_][a-z0-9_]*)\s*(?:\([a-z0-9_,\s]*\))?\s+as\s+(?:materialized\s*)?\(""".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val ctes = cteDef.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = fromRef.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
