@@ -1,4 +1,7 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 import graft.operators.{Dedup, Recall, Search}
@@ -18,6 +21,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String) = s.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+    def f2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // absorb session/filesystem warmup outside the timed region, and run in
     // sorted order so per-query numbers are comparable across rounds
     try graft.sources.Tables.lineitem(spark, sfDir).count()
@@ -51,14 +56,26 @@ object Bench {
           "ann_ivf_pq@3" -> Recall.recallAtK(
             exact, graft.operators.ProductQuant.ivfPqSearch(emb, nProbes = 10, k = 3)))
       } catch { case _: Throwable => Map.empty[String, Double] }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val rs = recalls.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall":$rs,"errors":$es,"sf":"$sfDir"}""")
+    val rs = recalls.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    // Complete per-query table: written to the repo, NOT printed — the
+    // driver keeps only the last ~2000 bytes of stdout, which a 100+-entry
+    // map overflows (BENCH_r02's line was head-truncated past recovery).
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,"queries":$fullQs,"recall":$rs,"errors":$es,"sf":"$sfDir"}"""
+    try Files.write(Paths.get("/root/repo/BENCH_FULL.json"),
+      (full + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    // The printed line carries the headline numbers and must FIT the tail
+    // window in full: total, the slowest queries (the perf-grading signal),
+    // recall, errors. Everything else lives in BENCH_FULL.json.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_note":"15 slowest of ${results.size}; all in BENCH_FULL.json","recall":$rs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
