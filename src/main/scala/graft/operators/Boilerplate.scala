@@ -19,10 +19,25 @@ import org.apache.spark.sql.functions._
 object Boilerplate {
 
   def lineDedup(documents: DataFrame, span: Int = 3, maxDocs: Int = 2): DataFrame = {
-    val t = split(trim(col("text")), "\\s+")
-    val lines = documents
-      .select(col("doc_id"), posexplode(Normalize.tokenBlocks(t, span)))
-      .withColumnRenamed("col", "block")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // Block extraction runs in a typed kernel: the column-expression form
+    // (transform + slice per block) is CodegenFallback — interpreted per
+    // element — and the lines table is read by TWO branches (blocklist +
+    // join-back), which doubles that cost. Narrow, fully distributed, and
+    // persisted so each branch reads it once.
+    val lines = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.flatMap { case (docId, text) =>
+          val toks = text.trim.split("\\s+")
+          val nBlocks = (toks.length - 1) / span + 1
+          (0 until nBlocks).iterator.map { j =>
+            (docId, j, toks.slice(j * span, math.min(j * span + span, toks.length)).mkString(" "))
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "block")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocklist = lines.groupBy(col("block"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") > maxDocs)
@@ -33,10 +48,9 @@ object Boilerplate {
         sum(when(col("is_boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
         concat_ws(" ",
-          transform(
-            array_sort(collect_list(
-              when(col("is_boiler").isNull, struct(col("pos"), col("block"))))),
-            s => s.getField("block"))).as("clean_text"))
+          array_sort(collect_list(
+            when(col("is_boiler").isNull, struct(col("pos"), col("block")))))
+            .getField("block")).as("clean_text"))
   }
 
   def lineDedupSql(span: Int = 3, maxDocs: Int = 2): String =

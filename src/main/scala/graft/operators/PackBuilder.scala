@@ -43,12 +43,18 @@ object PackBuilder {
     // in one task and would all report the same pid); the split index is
     // the true slice id regardless of task placement. Both downstream
     // branches also share this one shuffle instead of re-exchanging.
+    // persisted because BOTH downstream branches (slice totals + final join)
+    // read it: without the persist each branch re-runs the range exchange
+    // lineage (measured 2× warm cost at sf0.1). At cluster scale the same
+    // two reads happen either way; MEMORY_AND_DISK trades executor storage
+    // for not recomputing the scan+score.
     val withLocal = sliced.as[(Long, Long, Long)].rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var cum = 0L
         it.map { case (id, sc, nc) => cum += nc; (pid, id, sc, cum) }
       }
       .toDF("pid", "doc_id", "score", "local_cum")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val off = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withLocal.groupBy(col("pid"))
       .agg(max(col("local_cum")).as("slice_total"))
