@@ -103,6 +103,8 @@ object SparkEntry {
     "snapshot_diff" -> ((s, d) => SnapshotDiff.snapshotDiff(Tables.documents(s, d))),
     "bloom_dedup" -> ((s, d) => BloomDedup.bloomDedup(Tables.documents(s, d))),
     // --- dedup / ANN ---
+    "bpe_train" -> ((s, d) => Bpe.bpeTrain(s, Tables.documents(s, d))),
+    "bpe_encode" -> ((s, d) => Bpe.bpeEncode(Tables.documents(s, d))),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_edit_distance" -> ((s, d) => TermStats.editDistancePairs(Tables.documents(s, d))),
     "term_freq" -> ((s, d) => TermStats.termFreq(Tables.documents(s, d))),
@@ -306,6 +308,8 @@ object SparkEntry {
     "semdedup" -> Cluster.semdedupSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
+    "bpe_train" -> Bpe.bpeTrainSql(),
+    "bpe_encode" -> Bpe.bpeEncodeSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_edit_distance" -> TermStats.editDistancePairsSql(),
     "term_freq" -> TermStats.termFreqSql(),

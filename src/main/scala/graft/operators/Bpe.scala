@@ -1,0 +1,169 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training + encoding — the vocabulary-learning
+  * step every LLM data pipeline runs over its curated corpus (Sennrich et
+  * al. 2016; the reference pipeline consumes pre-trained tokenizers, this
+  * is the operator that PRODUCES one at corpus scale).
+  *
+  * Scale shape (why this survives 100 TB):
+  *   - training runs on the WORD-COUNT table, not the corpus: one
+  *     O(corpus-tokens) shuffle with full map-side combine builds
+  *     (word, n); everything after touches only the Zipf-bounded vocab.
+  *   - each merge iteration is one pair-count aggregate over the vocab
+  *     (shuffle keyed by symbol pair) + a 1-row argmax collect + a narrow
+  *     codegen'd replace — the classic distributed BPE loop.
+  *   - encoding joins the corpus words against the trained vocab
+  *     (broadcast when it fits, shuffle join otherwise) — no per-row
+  *     re-segmentation loop.
+  *
+  * Determinism / oracle: words are space-separated symbol strings; a merge
+  * applies the pair pattern via single-pass, non-overlapping, left-to-right
+  * string replacement — the exact semantics of BOTH java.lang.String
+  * replace (Spark's StringReplace) and DuckDB's replace(), so the DuckDB
+  * oracle replays the entire training loop CTE-by-CTE and hash-matches.
+  * (This is a documented variant of Sennrich's positional greedy merge: in
+  * a run of 2k+1 identical symbols the two differ in which tail symbol is
+  * left unmerged — e.g. `a a a a a` → `aa a aa` here vs `aa aa a` — both
+  * are standard fast-BPE behaviors.) The trained alphabet is restricted to
+  * lowercase `[a-z]+` words, keeping the char-split regex trivially
+  * portable; out-of-alphabet tokens would byte-fall-back in production.
+  */
+object Bpe {
+
+  private val WordPat = "^[a-z]+$"
+
+  /** (word, n, sym): corpus word counts with the initial char-split symbol
+    * string ("abc" → "a b c"). The only corpus-sized shuffle in training. */
+  def vocab(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word").rlike(WordPat))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("sym", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+
+  /** Weighted adjacent-pair counts over the current symbol strings: pair
+    * (toks[j], toks[j+1]) at every position j, weighted by the word count.
+    * Vocab-sized input, so the interpreted HOF is off the corpus path. */
+  private def pairCounts(v: DataFrame): DataFrame = {
+    val toks = split(col("sym"), " ")
+    v.filter(size(toks) >= 2)
+      .select(col("n"), explode(
+        transform(sequence(lit(0), size(toks) - 2),
+          j => struct(get(toks, j).as("a"), get(toks, j + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).as("cnt"))
+  }
+
+  /** Run `nMerges` training iterations; returns the final vocab (word → sym
+    * under all merges) and the merge list (it, a, b, cnt). Driver actions
+    * are one 1-row collect per iteration — model-parameter extraction, same
+    * pattern as the k-means centroid loop. */
+  def train(documents: DataFrame, nMerges: Int = 10)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
+    val merges = ArrayBuffer.empty[(Long, String, String, Long)]
+    var v = vocab(documents).persist()
+    // one action per iteration: the argmax collect also materializes the
+    // current round's persist, after which the previous round's cache (its
+    // parent) can go — no separate count() job per round
+    var prev: Option[DataFrame] = None
+    for (i <- 0 until nMerges) {
+      val top = pairCounts(v).orderBy(desc("cnt"), col("a"), col("b")).limit(1).collect()
+      prev.foreach(_.unpersist())
+      if (top.nonEmpty) {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i.toLong, a, b, c))
+        // symbols are [a-z]+ by construction — safe to inline as literals
+        val nv = v.withColumn("sym",
+          trim(expr(s"replace(concat(' ', sym, ' '), ' $a $b ', ' $a$b ')"))).persist()
+        prev = Some(v)
+        v = nv
+      }
+    }
+    (v, merges.toSeq)
+  }
+
+  /** Registered training query: the merge table — one row per iteration,
+    * (it, sym_a, sym_b, merged, pair_count). */
+  def bpeTrain(spark: SparkSession, documents: DataFrame, nMerges: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (v, merges) = train(documents, nMerges)
+    v.unpersist()
+    merges.map { case (it, a, b, c) => (it, a, b, a + b, c) }
+      .toDF("it", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** Encode the corpus with the trained merges: per doc, the word count and
+    * the post-BPE symbol count (the tokens-per-doc number that drives
+    * packing/pricing). Corpus words join the trained vocab — broadcast here;
+    * at vocab sizes beyond the broadcast threshold this becomes a shuffle
+    * join on `word`, still O(corpus tokens). */
+  def bpeEncode(documents: DataFrame, nMerges: Int = 10): DataFrame = {
+    val (v, _) = train(documents, nMerges)
+    val words = documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word").rlike(WordPat))
+    val out = words
+      .join(broadcast(v.select(col("word"),
+        size(split(col("sym"), " ")).cast("long").as("n_sym"))), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_syms"))
+    out
+  }
+
+  // ---- DuckDB oracle: replay the training loop CTE-by-CTE ----
+
+  private def baseSql: String =
+    s"""w AS MATERIALIZED (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents),
+       |v_0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+       |         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+       |  FROM w WHERE regexp_matches(word, '$WordPat') GROUP BY word)""".stripMargin
+
+  /** Iteration CTEs: p_i = weighted positional pair counts over v_i;
+    * b_i = argmax pair (cnt desc, a, b); v_{i+1} = one-pass replace. */
+  private def stepSql(i: Int): String =
+    s"""p_$i AS (
+       |  SELECT t[j] AS a, t[j+1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT n, t, unnest(range(1, len(t))) AS j
+       |    FROM (SELECT n, string_split(sym, ' ') AS t FROM v_$i))
+       |  GROUP BY 1, 2),
+       |b_$i AS MATERIALIZED (
+       |  SELECT a, b, cnt FROM p_$i ORDER BY cnt DESC, a, b LIMIT 1),
+       |v_${i + 1} AS MATERIALIZED (
+       |  SELECT word, n,
+       |    trim(replace(' ' || sym || ' ',
+       |      ' ' || (SELECT a FROM b_$i) || ' ' || (SELECT b FROM b_$i) || ' ',
+       |      ' ' || (SELECT a FROM b_$i) || (SELECT b FROM b_$i) || ' ')) AS sym
+       |  FROM v_$i)""".stripMargin
+
+  def bpeTrainSql(nMerges: Int = 10): String = {
+    val steps = (0 until nMerges).map(stepSql).mkString(",\n")
+    val rows = (0 until nMerges).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS it, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM b_$i"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $baseSql,\n$steps\n$rows"
+  }
+
+  def bpeEncodeSql(nMerges: Int = 10): String = {
+    val steps = (0 until nMerges).map(stepSql).mkString(",\n")
+    s"""WITH $baseSql,
+       |$steps,
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents),
+       |fdw AS (SELECT doc_id, word FROM dw WHERE regexp_matches(word, '$WordPat'))
+       |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(len(string_split(v.sym, ' '))) AS BIGINT) AS n_syms
+       |FROM fdw f JOIN v_$nMerges v ON f.word = v.word
+       |GROUP BY f.doc_id""".stripMargin
+  }
+}
