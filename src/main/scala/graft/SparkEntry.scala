@@ -110,6 +110,7 @@ object SparkEntry {
     "term_freq" -> ((s, d) => TermStats.termFreq(Tables.documents(s, d))),
     "vocab_coverage" -> ((s, d) => TermStats.vocabCoverage(Tables.documents(s, d))),
     "tfidf" -> ((s, d) => TermStats.tfidf(Tables.documents(s, d))),
+    "dedup_substring" -> ((s, d) => ExactSubstr.substringDedup(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     // rows-only: transitive clustering is not bounded-depth SQL
     "dedup_resolve" -> ((s, d) => Dedup.resolve(Tables.documents(s, d))),
@@ -315,6 +316,7 @@ object SparkEntry {
     "term_freq" -> TermStats.termFreqSql(),
     "vocab_coverage" -> TermStats.vocabCoverageSql(),
     "tfidf" -> TermStats.tfidfSql(),
+    "dedup_substring" -> ExactSubstr.substringDedupSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dedup_resolve" -> Dedup.resolveSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
