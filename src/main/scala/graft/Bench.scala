@@ -51,6 +51,8 @@ object Bench {
           "ann_ivf@3" -> Recall.recallAtK(exact, Dedup.annIvf(emb, nProbes = 10, k = 3)),
           "ann_ivf_mp@3" -> Recall.recallAtK(
             exact, Dedup.annIvfMultiprobe(emb, nProbes = 10, k = 3)),
+          "ann_ivf_tr@3" -> Recall.recallAtK(
+            exact, graft.operators.Cluster.annIvfTrained(emb, nProbes = 10, k = 3)),
           "ann_pq@3" -> Recall.recallAtK(
             exact, graft.operators.ProductQuant.pqSearch(emb, nProbes = 10, k = 3)),
           "ann_ivf_pq@3" -> Recall.recallAtK(

@@ -122,6 +122,7 @@ object SparkEntry {
     "ann_lsh_mp" -> ((s, d) => Dedup.annLshMultiprobe(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Dedup.annIvf(Tables.embeddings(s, d))),
     "ann_ivf_mp" -> ((s, d) => Dedup.annIvfMultiprobe(Tables.embeddings(s, d))),
+    "ann_ivf_tr" -> ((s, d) => Cluster.annIvfTrained(Tables.embeddings(s, d))),
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
     "semdedup" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
@@ -326,6 +327,7 @@ object SparkEntry {
     "ann_lsh_mp" -> Dedup.annLshMultiprobeSql(),
     "ann_ivf" -> Dedup.annIvfSql(),
     "ann_ivf_mp" -> Dedup.annIvfMultiprobeSql(),
+    "ann_ivf_tr" -> Cluster.annIvfTrainedSql(),
     "graph_stats" -> GraphOps.statsSql,
     "graph_degree" -> GraphOps.degreesSql,
     "graph_khop" -> GraphOps.khopSql,

@@ -82,11 +82,10 @@ object Cluster {
     chosen.toArray
   }
 
-  /** k-means (k clusters, `iters` Lloyd updates). init = "first" (first k
-    * vectors — deterministic, oracle-replicable) or "farthest"
-    * (farthest-point seeding). Returns (vec_id, cluster, cos_to_centroid). */
-  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
-             init: String = "first"): DataFrame = {
+  /** The Lloyd training loop alone: returns the trained centroids (the
+    * model parameter every quantizer-backed operator broadcasts). */
+  private[operators] def trainCentroids(embeddings: DataFrame, k: Int, iters: Int,
+                                        init: String = "first"): Array[(Long, Array[Float])] = {
     import embeddings.sparkSession.implicits._
     var cents: Array[(Long, Array[Float])] =
       if (init == "farthest") farthestInit(embeddings, k)
@@ -98,11 +97,51 @@ object Cluster {
         (-best(cents).getField("negid")).as("cell"))
       cents = updateCentroids(assigned)
     }
-    val b = best(cents)
+    cents
+  }
+
+  /** k-means (k clusters, `iters` Lloyd updates). init = "first" (first k
+    * vectors — deterministic, oracle-replicable) or "farthest"
+    * (farthest-point seeding). Returns (vec_id, cluster, cos_to_centroid). */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
+             init: String = "first"): DataFrame = {
+    val b = best(trainCentroids(embeddings, k, iters, init))
     embeddings.select(
       col("vec_id"),
       (-b.getField("negid")).as("cluster"),
       b.getField("c").as("cos_to_centroid"))
+  }
+
+  /** IVF with a TRAINED coarse quantizer — the production FAISS recipe
+    * (`IndexIVF` is always trained; first-k init is only the oracle-friendly
+    * stand-in): run `iters` Lloyd updates over the corpus, then inverted-file
+    * search against the learned cells. Training cost is the k-means loop
+    * (one narrow argmax scan + one map-combined shuffle per iteration);
+    * search cost is identical to ann_ivf. Trained cells track the data
+    * distribution, so cell sizes — and per-probe search cost — stay balanced
+    * where first-k cells can collapse into one hot cell. The DuckDB oracle
+    * replays the full Lloyd iteration (decimal-exact sums, proven by
+    * doc_cluster) and then the cell-local search, so even this trained index
+    * is hash-exact. */
+  def annIvfTrained(embeddings: DataFrame, nCells: Int = 16, nProbes: Int = 10,
+                    k: Int = 3, iters: Int = 1): DataFrame =
+    Dedup.ivfSearch(embeddings, trainCentroids(embeddings, nCells, iters), nProbes, k)
+
+  def annIvfTrainedSql(nCells: Int = 16, nProbes: Int = 10, k: Int = 3,
+                       iters: Int = 1): String = {
+    val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
+    val cos = VectorOps.cosineSql("a.embedding", "p.embedding")
+    s"""WITH ${centsSql(nCells, iters)},
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, c.cell
+       |  FROM embeddings e CROSS JOIN cents_$iters c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $ccos DESC, c.cell) = 1),
+       |probes AS (SELECT cell, vec_id AS probe_id, embedding FROM assigned WHERE vec_id < $nProbes)
+       |SELECT p.probe_id, a.vec_id AS neighbor_id,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY $cos DESC, a.vec_id) AS BIGINT) AS rn,
+       |$cos AS cos
+       |FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.probe_id
+       |QUALIFY rn <= $k""".stripMargin
   }
 
   /** SemDeDup: cosine near-dup pairs searched only within a k-means cluster

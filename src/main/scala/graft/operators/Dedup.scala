@@ -389,16 +389,23 @@ object Dedup {
     * is a broadcast argmax (narrow), search cost drops by ~nCells×. */
   def annIvf(embeddings: DataFrame, nCells: Int = 16, nProbes: Int = 10, k: Int = 3): DataFrame = {
     // The coarse quantizer is a MODEL PARAMETER — nCells centroid vectors
-    // (here: first-n stand-in; production: KMeans.fit output). Collecting
-    // those nCells rows and inlining them as literals is the IVF contract,
-    // and turns cell assignment into a narrow codegen'd projection:
-    // the old crossJoin+groupBy(vec_id, embedding) forced an array-keyed
-    // SortAggregate (arrays aren't hash-aggregable) plus an extra
-    // exchange — all gone.
+    // (here: first-n stand-in; Cluster.annIvfTrained passes Lloyd-trained
+    // ones). Collecting those nCells rows and inlining them as literals is
+    // the IVF contract, and turns cell assignment into a narrow codegen'd
+    // projection: the old crossJoin+groupBy(vec_id, embedding) forced an
+    // array-keyed SortAggregate (arrays aren't hash-aggregable) plus an
+    // extra exchange — all gone.
     import embeddings.sparkSession.implicits._
     val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
-    // argmax cosine over centroids, deterministic ties by cell_id
+    ivfSearch(embeddings, cents, nProbes, k)
+  }
+
+  /** Inverted-file search against ANY centroid set: narrow argmax cell
+    * assignment (deterministic ties by cell id), probes broadcast, cell-local
+    * exact cosine + bounded per-probe top-k. */
+  private[operators] def ivfSearch(embeddings: DataFrame, cents: Array[(Long, Array[Float])],
+                                   nProbes: Int, k: Int): DataFrame = {
     val cands = cents.sortBy(_._1).map { case (id, v) =>
       struct(VectorOps.cosine(col("embedding"), typedlit(v)).as("c"),
         lit(-id).as("negid"))

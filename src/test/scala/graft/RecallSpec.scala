@@ -36,6 +36,21 @@ class RecallSpec extends SparkSpec {
     assert(rIvf >= 0.80, f"ivf recall degraded: $rIvf%.2f")
   }
 
+  test("trained-quantizer ivf recall@3 and cell balance") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Search.knnJoin(emb, nProbes = 10, k = 3)
+    val rTr = graft.operators.Recall.recallAtK(
+      exact, graft.operators.Cluster.annIvfTrained(emb, nProbes = 10, k = 3))
+    info(f"recall@3: ivf_trained=$rTr%.2f")
+    assert(rTr >= 0.80, f"trained ivf recall degraded: $rTr%.2f")
+    // the point of training: Lloyd updates must not leave the index with
+    // one hot cell absorbing the corpus (per-probe search cost blows up)
+    val cellSizes = graft.operators.Cluster.kmeans(emb, k = 16, iters = 1)
+      .groupBy("cluster").count().select("count").as[Long].collect()
+    assert(cellSizes.max <= emb.count() / 2,
+      s"trained quantizer collapsed: largest cell ${cellSizes.max}")
+  }
+
   test("ann_pq recall@3 vs exact knn") {
     val emb = Tables.embeddings(spark, dir)
     val exact = Search.knnJoin(emb, nProbes = 10, k = 3)
