@@ -84,6 +84,7 @@ object SparkEntry {
       Search.hybrid(Tables.documents(s, d), Tables.embeddings(s, d), kwTerms)),
     "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d), kwTerms)),
     "rag_eval_mrr" -> ((s, d) => Search.mrrEval(Tables.embeddings(s, d))),
+    "rag_eval_ndcg" -> ((s, d) => Search.ndcgEval(Tables.embeddings(s, d))),
     // --- text analysis ---
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -288,6 +289,7 @@ object SparkEntry {
     "hybrid_search" -> Search.hybridSql(kwTerms),
     "bm25_search" -> Search.bm25Sql(kwTerms),
     "rag_eval_mrr" -> Search.mrrEvalSql(),
+    "rag_eval_ndcg" -> Search.ndcgEvalSql(),
     "graph_triangles" -> GraphOps.trianglesSql,
     "graph_node_sim" -> GraphOps.nodeSimilaritySql(),
     "snapshot_diff" -> SnapshotDiff.snapshotDiffSql,

@@ -168,6 +168,78 @@ object Search {
        |       THEN 1.0 / CAST(first_rel_rank AS DOUBLE) ELSE 0.0 END AS rr
        |FROM m""".stripMargin
 
+  // ---- NDCG@k ----
+
+  /** 1/log2(r+1) as a shortest-repr double literal — computed ONCE here and
+    * inlined verbatim into BOTH engines' SQL, so no libm call happens at
+    * query time and the discounts are bit-identical by construction. */
+  private def discStr(r: Int): String = (1.0 / (math.log(r + 1.0) / math.log(2.0))).toString
+
+  private def discCase(k: Int): String =
+    "CASE rn " +
+      (1 to k).map(r => s"WHEN $r THEN CAST('${discStr(r)}' AS DECIMAL(38,18))").mkString(" ") +
+      " ELSE CAST('0' AS DECIMAL(38,18)) END"
+
+  /** Ideal DCG for m = least(n_rel, k) relevant docs: exact decimal
+    * cumulative sums of the same discount literals. */
+  private def idcgCase(k: Int): String = {
+    val cums = (1 to k).scanLeft(BigDecimal(0))((acc, r) => acc + BigDecimal(discStr(r))).tail
+    s"CASE least(n_rel, $k) WHEN 0 THEN CAST('0' AS DECIMAL(38,18)) " +
+      (1 to k).map(r => s"WHEN $r THEN CAST('${cums(r - 1)}' AS DECIMAL(38,18))").mkString(" ") +
+      " ELSE CAST('0' AS DECIMAL(38,18)) END"
+  }
+
+  /** Decimal→double goes through a string cast: both engines' decimal→string
+    * (full scale-18 digits) and string→double (correctly-rounded strtod) agree,
+    * whereas DuckDB's direct decimal→double (int128 / 1e18 in FP) can land one
+    * ulp off Spark's BigDecimal.doubleValue. */
+  private val ndcgExpr =
+    """CASE WHEN CAST(CAST(idcg_dec AS STRING) AS DOUBLE) = 0.0 THEN 0.0
+      |ELSE CAST(CAST(dcg_dec AS STRING) AS DOUBLE) / CAST(CAST(idcg_dec AS STRING) AS DOUBLE) END""".stripMargin
+
+  /** NDCG@k retrieval-quality eval over the exact knn (binary relevance =
+    * same label as the probe) — the ranking-aware counterpart of mrrEval.
+    * NDCG needs 1/log2(r+1) discounts, which are not reproducible across
+    * engines if computed at query time; instead the discounts AND their
+    * ideal cumulative sums are inlined as identical decimal literals in
+    * both plans, and the DCG sum runs in DECIMAL(38,18) so it is
+    * summation-order-independent. Costs one bounded knn (probes broadcast)
+    * + one label-count aggregate broadcast back — nothing corpus². */
+  def ndcgEval(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val lc = labels.groupBy(col("label")).agg(count(lit(1)).as("n_tot"))
+    val probeRel = labels.filter(col("vec_id") < nProbes)
+      .join(broadcast(lc), "label")
+      .select(col("vec_id").as("probe_id"), (col("n_tot") - 1).as("n_rel"))
+    val dcg = knnJoin(embeddings, nProbes, k)
+      .join(labels.select(col("vec_id").as("probe_id"), col("label").as("p_label")), "probe_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")), "neighbor_id")
+      .withColumn("disc", expr(
+        s"CASE WHEN p_label = n_label THEN ${discCase(k)} ELSE CAST('0' AS DECIMAL(38,18)) END"))
+      .groupBy(col("probe_id")).agg(sum(col("disc")).as("dcg_dec"))
+    probeRel.join(dcg, "probe_id")
+      .withColumn("idcg_dec", expr(idcgCase(k)))
+      .select(col("probe_id"), col("n_rel"), expr(ndcgExpr).as("ndcg"))
+  }
+
+  def ndcgEvalSql(nProbes: Int = 10, k: Int = 5): String =
+    s"""WITH knn AS (${knnJoinSql(nProbes, k)}),
+       |lc AS (SELECT label, COUNT(*) AS n_tot FROM embeddings GROUP BY label),
+       |pr AS (
+       |  SELECT e.vec_id AS probe_id, CAST(lc.n_tot - 1 AS BIGINT) AS n_rel
+       |  FROM embeddings e JOIN lc ON e.label = lc.label WHERE e.vec_id < $nProbes),
+       |d AS (
+       |  SELECT knn.probe_id,
+       |    SUM(CASE WHEN pl.label = nl.label THEN ${discCase(k)}
+       |        ELSE CAST('0' AS DECIMAL(38,18)) END) AS dcg_dec
+       |  FROM knn
+       |  JOIN embeddings pl ON pl.vec_id = knn.probe_id
+       |  JOIN embeddings nl ON nl.vec_id = knn.neighbor_id
+       |  GROUP BY knn.probe_id)
+       |SELECT pr.probe_id, pr.n_rel, $ndcgExpr AS ndcg
+       |FROM (SELECT pr.probe_id, pr.n_rel, d.dcg_dec, ${idcgCase(k)} AS idcg_dec
+       |      FROM pr JOIN d ON pr.probe_id = d.probe_id) AS pr""".stripMargin
+
   /** Hybrid retrieval: vector candidates ⊎ keyword candidates, full-outer
     * merge by id keeping the max normalized score (QueryPipeline._merge_nodes
     * semantics), re-ranked. documents.doc_id ↔ embeddings.vec_id. */
