@@ -85,6 +85,8 @@ object SparkEntry {
     "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d), kwTerms)),
     "rag_eval_mrr" -> ((s, d) => Search.mrrEval(Tables.embeddings(s, d))),
     "rag_eval_ndcg" -> ((s, d) => Search.ndcgEval(Tables.embeddings(s, d))),
+    "rrf_fusion" -> ((s, d) =>
+      Search.rrfFusion(Tables.documents(s, d), Tables.embeddings(s, d), kwTerms)),
     // --- text analysis ---
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -290,6 +292,7 @@ object SparkEntry {
     "bm25_search" -> Search.bm25Sql(kwTerms),
     "rag_eval_mrr" -> Search.mrrEvalSql(),
     "rag_eval_ndcg" -> Search.ndcgEvalSql(),
+    "rrf_fusion" -> Search.rrfFusionSql(kwTerms),
     "graph_triangles" -> GraphOps.trianglesSql,
     "graph_node_sim" -> GraphOps.nodeSimilaritySql(),
     "snapshot_diff" -> SnapshotDiff.snapshotDiffSql,

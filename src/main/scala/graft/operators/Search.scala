@@ -240,6 +240,70 @@ object Search {
        |FROM (SELECT pr.probe_id, pr.n_rel, d.dcg_dec, ${idcgCase(k)} AS idcg_dec
        |      FROM pr JOIN d ON pr.probe_id = d.probe_id) AS pr""".stripMargin
 
+  // ---- Reciprocal-rank fusion ----
+
+  /** RRF hybrid retrieval: rank candidates independently by keyword score
+    * and by vector cosine, then fuse with score = Σ 1/(k0 + rank) — the
+    * standard rank-based fusion (Cormack et al.), complementing [[hybrid]]'s
+    * max-score merge. Rational arithmetic only (two exact divisions added in
+    * a fixed order) — engine-portable bit-for-bit.
+    *
+    * Both candidate ranks come from the bounded global [[TopKAgg]] aggregate
+    * (map-side partials emit ≤n rows per task, posexplode ⇒ rank), NOT an
+    * unpartitioned window — so candidate generation stays O(n) shuffle bytes
+    * per list at any corpus size. documents.doc_id ↔ embeddings.vec_id. */
+  def rrfFusion(documents: DataFrame, embeddings: DataFrame, terms: Seq[String],
+                queryVecId: Long = 0L, n: Int = 30, k0: Int = 60,
+                limit: Int = 20): DataFrame = {
+    val kwScore = terms.map(t => occSimple(col("text"), t)).reduce(_ + _)
+    val kw = documents
+      .select(col("doc_id"), kwScore.cast("double").as("s"))
+      .filter(col("s") > 0)
+      .groupBy()
+      .agg(graft.functions.TopKAgg.topK(col("s"), col("doc_id"), n).as("topk"))
+      .select(posexplode(col("topk")))
+      .select(col("col.id").as("doc_id"), (col("pos") + 1).cast("long").as("kw_rank"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val vec = embeddings
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), VectorOps.cosine(col("embedding"), col("qv")).as("cos"))
+      .groupBy()
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("vec_id"), n).as("topk"))
+      .select(posexplode(col("topk")))
+      .select(col("col.id").as("doc_id"), (col("pos") + 1).cast("long").as("vec_rank"))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("kw_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(k0) + col("kw_rank")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("vec_rank")).cast("double"), lit(0.0))).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(limit)
+  }
+
+  def rrfFusionSql(terms: Seq[String], queryVecId: Long = 0L, n: Int = 30,
+                   k0: Int = 60, limit: Int = 20): String = {
+    val kwScore = terms
+      .map(t => s"CAST((length(text) - length(replace(text, '$t', '')))/${t.length} AS BIGINT)")
+      .mkString(" + ")
+    val cos = VectorOps.cosineSql("embedding", "qv")
+    s"""WITH kw AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS kw_rank
+       |  FROM (SELECT doc_id, CAST($kwScore AS DOUBLE) AS s FROM documents) WHERE s > 0
+       |  QUALIFY kw_rank <= $n),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryVecId),
+       |vec AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank
+       |  FROM (SELECT vec_id AS doc_id, $cos AS cos FROM embeddings, q
+       |        WHERE vec_id <> $queryVecId)
+       |  QUALIFY vec_rank <= $n)
+       |SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, kw_rank, vec_rank,
+       |  COALESCE(1.0 / CAST($k0 + kw_rank AS DOUBLE), 0.0)
+       |    + COALESCE(1.0 / CAST($k0 + vec_rank AS DOUBLE), 0.0) AS rrf
+       |FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT $limit""".stripMargin
+  }
+
   /** Hybrid retrieval: vector candidates ⊎ keyword candidates, full-outer
     * merge by id keeping the max normalized score (QueryPipeline._merge_nodes
     * semantics), re-ranked. documents.doc_id ↔ embeddings.vec_id. */
