@@ -574,4 +574,72 @@ object GraphOps {
        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_edges,
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM tris) AS n_triangles""".stripMargin
+
+  /** HITS hubs/authorities over the supplier→part supply graph (directed
+    * bipartite: supplier −SUPPLIES→ part, distinct pairs from lineitem) —
+    * the link-analysis complement of pageRank (graph_service.py's
+    * centrality surface). Classic two-phase iteration: authorities from the
+    * previous hubs, then hubs from the FRESH authorities. Inflow sums run
+    * as DECIMAL(38,18) over each contribution's shortest double repr (the
+    * pageRank recipe: exact, summation-order-independent, replayable in
+    * DuckDB); each vector is L∞-normalized — divide by MAX, which is
+    * order-independent and exactly rounded, so no libm enters (the classic
+    * L2 sqrt would also be IEEE-exact, but max keeps the oracle flat).
+    * Each iteration = two join+agg rounds materialized, same shuffle shape
+    * as pageRank: linear in |edges|, no skew (bipartite keys). */
+  def hits(lineitem: DataFrame, iters: Int = 5): DataFrame = {
+    val e = lineitem.select(
+      (col("l_suppkey") + SuppBase).as("src"),
+      (col("l_partkey") + PartBase).as("dst")).distinct().materialize
+    // decimal→double goes through a string cast: DuckDB's direct
+    // decimal→double (int128/1e18 in FP) can land 1 ulp off Spark's
+    // BigDecimal.doubleValue; both engines' decimal→string and
+    // string→double are exact/correctly-rounded (ndcgEval precedent)
+    def decSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("string").cast("decimal(38,18)")).cast("string").cast("double")
+    def lInfNorm(raw: DataFrame, key: String, out: String): DataFrame = {
+      val m = raw.agg(max(col("raw")).as("m"))
+      raw.crossJoin(broadcast(m))
+        .select(col(key).as("node"), (col("raw") / col("m")).as(out))
+    }
+    var hub = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("hub")).materialize
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ar = e.join(hub, col("src") === col("node"))
+        .groupBy(col("dst")).agg(decSum(col("hub")).as("raw"))
+      auth = lInfNorm(ar, "dst", "auth").materialize
+      val hr = e.join(auth, col("dst") === col("node"))
+        .groupBy(col("src")).agg(decSum(col("auth")).as("raw"))
+      hub = lInfNorm(hr, "src", "hub").materialize
+    }
+    auth.select(lit("part").as("node_type"), col("node").as("node_id"),
+        col("auth").as("score"))
+      .unionAll(hub.select(lit("supplier").as("node_type"), col("node").as("node_id"),
+        col("hub").as("score")))
+  }
+
+  /** DuckDB oracle replaying the full HITS iteration (decimal-exact sums +
+    * max-normalization make every iterate bit-identical). */
+  def hitsSql(iters: Int = 5): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar_$i AS MATERIALIZED (
+         |  SELECT e.dst, CAST(CAST(SUM(CAST(CAST(h.hub AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS raw
+         |  FROM e JOIN h_${i - 1} h ON e.src = h.node GROUP BY e.dst),
+         |a_$i AS MATERIALIZED (
+         |  SELECT dst AS node, raw / (SELECT MAX(raw) FROM ar_$i) AS auth FROM ar_$i),
+         |hr_$i AS MATERIALIZED (
+         |  SELECT e.src, CAST(CAST(SUM(CAST(CAST(a.auth AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS raw
+         |  FROM e JOIN a_$i a ON e.dst = a.node GROUP BY e.src),
+         |h_$i AS MATERIALIZED (
+         |  SELECT src AS node, raw / (SELECT MAX(raw) FROM hr_$i) AS hub FROM hr_$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey + $SuppBase AS src, l_partkey + $PartBase AS dst FROM lineitem),
+       |h_0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS hub FROM e),
+       |$steps
+       |SELECT 'part' AS node_type, node AS node_id, auth AS score FROM a_$iters
+       |UNION ALL
+       |SELECT 'supplier' AS node_type, node AS node_id, hub AS score FROM h_$iters""".stripMargin
+  }
 }
