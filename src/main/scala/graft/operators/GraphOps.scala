@@ -619,6 +619,56 @@ object GraphOps {
         col("hub").as("score")))
   }
 
+  /** Community detection via synchronous label propagation over the
+    * co-purchase graph — the lightweight community surface next to
+    * connectedComponents (which finds *connectivity*, not density). Every
+    * node starts as its own label; each round every node adopts the most
+    * frequent label among its neighbors, ties broken by MIN label — pure
+    * integer counting with a total argmax order, so a FIXED round budget is
+    * bit-deterministic and replayable in DuckDB (no convergence test
+    * needed). Per round: one edges⋈labels join + a (dst,label) count + a
+    * bounded argmax agg — two shuffles linear in |edges|, the Pregel LPA
+    * shape. The argmax is `max(struct(c, -label))`: max count, then min
+    * label (oracle-determinism recipe). */
+  def labelProp(lineitem: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = copurchase(lineitem).materialize
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).materialize
+    for (_ <- 1 to rounds) {
+      val best = e.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
+        .select(col("dst"), (-col("m.neg")).as("blabel"))
+      labels = labels.join(best, col("node") === col("dst"), "left_outer")
+        .select(col("node"), coalesce(col("blabel"), col("label")).as("label"))
+        .materialize
+    }
+    labels
+  }
+
+  /** DuckDB oracle: replay the same fixed-round synchronous update
+    * (count → max-count → min-label within the max) per round. */
+  def labelPropSql(rounds: Int = 4): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""cnt_$i AS MATERIALIZED (
+         |  SELECT e.dst, l.label, COUNT(*) AS c
+         |  FROM e JOIN l_${i - 1} l ON e.src = l.node GROUP BY e.dst, l.label),
+         |mx_$i AS (SELECT dst, MAX(c) AS mc FROM cnt_$i GROUP BY dst),
+         |b_$i AS (
+         |  SELECT cnt_$i.dst, MIN(cnt_$i.label) AS blabel
+         |  FROM cnt_$i JOIN mx_$i ON cnt_$i.dst = mx_$i.dst AND cnt_$i.c = mx_$i.mc
+         |  GROUP BY cnt_$i.dst),
+         |l_$i AS MATERIALIZED (
+         |  SELECT l.node, COALESCE(b.blabel, l.label) AS label
+         |  FROM l_${i - 1} l LEFT JOIN b_$i b ON l.node = b.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($copurchaseSql),
+       |l_0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$steps
+       |SELECT node, label FROM l_$rounds""".stripMargin
+  }
+
   /** DuckDB oracle replaying the full HITS iteration (decimal-exact sums +
     * max-normalization make every iterate bit-identical). */
   def hitsSql(iters: Int = 5): String = {
