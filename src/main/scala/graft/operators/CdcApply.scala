@@ -58,4 +58,49 @@ object CdcApply {
       |  FROM base FULL OUTER JOIN ops ON base.doc_id = ops.doc_id)
       |SELECT doc_id, COALESCE(new_payload, payload) AS payload, action
       |FROM m WHERE action IS NOT NULL AND action <> 'deleted'""".stripMargin
+
+  /** SCD2 history build — the other half of the lakehouse upsert story:
+    * instead of merging to the latest state (cdcApply), keep every version
+    * with its validity interval. The change stream is each user's event_type
+    * transitions (events where the value differs from the previous one);
+    * versions get [valid_from, valid_to) from the change ts and the NEXT
+    * change's ts (lead), is_current marks the open interval.
+    *
+    * All windows are partitioned by user_id — per-key history, never a
+    * global sort, so the build is one shuffle on the natural key at any
+    * scale. Ordering/comparison uses microsecond longs on both engines
+    * (Spark's events ts is nanos truncated to micros; DuckDB keeps nanos —
+    * epoch_us/unix_micros reconcile them bit-exactly). */
+  def scd2(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    val changes = events
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("next_tsu", lead(col("tsu"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("value"),
+        date_format(timestamp_micros(col("tsu")), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(timestamp_micros(col("next_tsu")), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("next_tsu").isNull.as("is_current"))
+  }
+
+  val scd2Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+      |v AS (
+      |  SELECT user_id, tsu, event_type,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS BIGINT) AS version,
+      |    LEAD(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS next_tsu
+      |  FROM c)
+      |SELECT user_id, version, event_type AS value,
+      |  strftime(make_timestamp(tsu), '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(make_timestamp(next_tsu), '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |  next_tsu IS NULL AS is_current
+      |FROM v""".stripMargin
 }
