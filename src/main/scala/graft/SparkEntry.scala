@@ -161,6 +161,7 @@ object SparkEntry {
       RepoScan.repoScan(RepoScan.syntheticPathView(Tables.documents(s, d)))),
     "cdc_apply" -> ((s, d) => CdcApply.cdcApply(Tables.documents(s, d))),
     "scd2_apply" -> ((s, d) => CdcApply.scd2(Tables.events(s, d))),
+    "embed_pca" -> ((s, d) => Pca.pcaProject(Tables.embeddings(s, d))),
     // --- memory / pack / schema ---
     "graph_schema" -> ((s, d) => GraphOps.schema(Tables.orders(s, d), Tables.lineitem(s, d))),
     "mem_search" -> ((s, d) => Memory.search(Tables.documents(s, d), kwTerms)),
@@ -355,6 +356,7 @@ object SparkEntry {
     "repo_scan" -> RepoScan.repoScanSql(),
     "cdc_apply" -> CdcApply.cdcApplySql,
     "scd2_apply" -> CdcApply.scd2Sql,
+    "embed_pca" -> Pca.pcaProjectSql(),
     "mem_search" -> Memory.searchSql(kwTerms),
     "mem_extract" -> Memory.extractSql,
     "mem_summary" -> Memory.summarySql,
