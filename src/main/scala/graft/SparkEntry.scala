@@ -90,6 +90,7 @@ object SparkEntry {
     // --- text analysis ---
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "quality_classifier" -> ((s, d) => TextAnalysis.qualityClassifier(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "corpus_filter" -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
@@ -303,6 +304,7 @@ object SparkEntry {
     "bloom_dedup" -> BloomDedup.bloomDedupSql(),
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
+    "quality_classifier" -> TextAnalysis.qualityClassifierSql(),
     "token_count" -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.fingerprintSql,
     "corpus_filter" -> Corpus.qualityFilterSql,

@@ -117,4 +117,67 @@ object TextAnalysis {
       |       (acc, c) -> (acc * 31 + c) % 1000000007)
       |END AS fingerprint
       |FROM documents""".stripMargin
+
+  /** fastText-shape model-based quality scoring: each token hashes to one
+    * of B weight buckets (the hashing trick — the vocabulary never
+    * materializes, so the model is a fixed B-row table at ANY corpus
+    * size), the doc score is the mean bucket weight, and the verdict
+    * thresholds it. Weights here are a deterministic pseudo-random stand-in
+    * (Knuth-multiplier scramble of the bucket id — the production swap is a
+    * trained weight table broadcast to every task; identical plumbing).
+    *
+    * One narrow mapPartitions kernel — tokenize, hash, weight, fold — zero
+    * shuffle, linear at 100 TB (langId/fingerprint precedent: per-char
+    * Catalyst HOF folds are CodegenFallback, the typed kernel is the fast
+    * path). Portability: token hash = the base-31 rolling hash mod 1e9+7,
+    * weight arithmetic is BIGINT-safe mods + one exact double division,
+    * and the doc score folds tokens LEFT-TO-RIGHT in document order —
+    * DuckDB's list_reduce replays the identical IEEE addition chain. */
+  def qualityClassifier(documents: DataFrame, buckets: Int = 1024): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        val mod = 1000000007L
+        iter.map { case (docId, text) =>
+          val toks = text.trim.split("\\s+")
+          var acc = 0.0
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            var h = 0L
+            var j = 0
+            while (j < t.length) {
+              h = (h * 31L + t.charAt(j)) % mod
+              j += 1
+            }
+            val b = h % buckets
+            acc = acc + (((b * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5)
+            i += 1
+          }
+          (docId, toks.length.toLong, acc / toks.length)
+        }
+      }
+      .toDF("doc_id", "n_tok", "score")
+      .withColumn("verdict", when(col("score") > 0.0, "keep").otherwise("drop"))
+  }
+
+  def qualityClassifierSql(buckets: Int = 1024): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE), list_transform(toks, t ->
+       |        CAST(((list_reduce(
+       |          list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(string_split(t, ''), x -> CAST(ord(x) AS BIGINT))),
+       |          (acc, c) -> (acc * 31 + c) % 1000000007) % $buckets)
+       |          * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)),
+       |      (a, b) -> a + b) AS s
+       |  FROM tk)
+       |SELECT doc_id, n_tok, s / CAST(n_tok AS DOUBLE) AS score,
+       |  CASE WHEN s / CAST(n_tok AS DOUBLE) > 0.0 THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM w""".stripMargin
 }
