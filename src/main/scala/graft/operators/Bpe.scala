@@ -45,6 +45,12 @@ object Bpe {
       .filter(col("word").rlike(WordPat))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .withColumn("sym", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      // the corpus-sized work ends at the groupBy above; the (Zipf-bounded)
+      // vocab that feeds 10 merge iterations is compacted so each iteration
+      // schedules O(vocab/partition-size) tasks, not shuffle.partitions
+      // empties — at production vocab sizes raise the divisor, the loop
+      // shape is unchanged
+      .coalesce(1)
 
   /** Weighted adjacent-pair counts over the current symbol strings: pair
     * (toks[j], toks[j+1]) at every position j, weighted by the word count.

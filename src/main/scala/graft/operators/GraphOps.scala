@@ -594,9 +594,13 @@ object GraphOps {
     // decimal→double goes through a string cast: DuckDB's direct
     // decimal→double (int128/1e18 in FP) can land 1 ulp off Spark's
     // BigDecimal.doubleValue; both engines' decimal→string and
-    // string→double are exact/correctly-rounded (ndcgEval precedent)
-    def decSum(c: org.apache.spark.sql.Column) =
-      sum(c.cast("string").cast("decimal(38,18)")).cast("string").cast("double")
+    // string→double are exact/correctly-rounded (ndcgEval precedent).
+    // The double→decimal cast happens ONCE per node-side row before the
+    // edge join (not once per edge): summing identical decimals is the
+    // same value, and it cuts the string-parse count from |edges| to
+    // |nodes| per round.
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast("decimal(38,18)")
     def lInfNorm(raw: DataFrame, key: String, out: String): DataFrame = {
       val m = raw.agg(max(col("raw")).as("m"))
       raw.crossJoin(broadcast(m))
@@ -606,11 +610,19 @@ object GraphOps {
       .select(col("node"), lit(1.0).as("hub")).materialize
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val ar = e.join(hub, col("src") === col("node"))
-        .groupBy(col("dst")).agg(decSum(col("hub")).as("raw"))
-      auth = lInfNorm(ar, "dst", "auth").materialize
-      val hr = e.join(auth, col("dst") === col("node"))
-        .groupBy(col("src")).agg(decSum(col("auth")).as("raw"))
+      // the rank vectors are bounded by the node sets — broadcast them so
+      // the edge table is never re-shuffled for the join; the only
+      // exchange per half-round is the map-side-combined groupBy
+      val hubD = hub.select(col("node"), dec(col("hub")).as("d"))
+      val ar = e.join(broadcast(hubD), col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("d")).cast("string").cast("double").as("raw"))
+      // auth stays lazy: hub is its only in-loop consumer and hub's own
+      // materialization truncates the lineage — an eager checkpoint here
+      // would double the per-round job count for nothing
+      auth = lInfNorm(ar, "dst", "auth")
+      val authD = auth.select(col("node"), dec(col("auth")).as("d"))
+      val hr = e.join(broadcast(authD), col("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("d")).cast("string").cast("double").as("raw"))
       hub = lInfNorm(hr, "src", "hub").materialize
     }
     auth.select(lit("part").as("node_type"), col("node").as("node_id"),
