@@ -148,6 +148,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => GraphOps.pageRank(Tables.lineitem(s, d))),
     "graph_hits" -> ((s, d) => GraphOps.hits(Tables.lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.labelProp(Tables.lineitem(s, d))),
+    "graph_kcore" -> ((s, d) => GraphOps.kCore(Tables.lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.connectedComponents(Tables.lineitem(s, d))),
     "impact_analysis" -> ((s, d) =>
       GraphOps.impactAnalysis(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -348,6 +349,7 @@ object SparkEntry {
     "graph_pagerank" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),
     "graph_label_prop" -> GraphOps.labelPropSql(),
+    "graph_kcore" -> GraphOps.kCoreSql(),
     "graph_components" -> GraphOps.componentsSql(),
     "graph_path_trace" -> GraphOps.shortestPathTraceSql(),
     "graph_nodes_by_label" -> GraphOps.nodesByLabelSql(),

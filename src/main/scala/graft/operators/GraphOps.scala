@@ -631,6 +631,59 @@ object GraphOps {
         col("hub").as("score")))
   }
 
+  /** k-core decomposition (iterative peeling) over the co-purchase graph:
+    * repeatedly delete nodes of degree < k until none remain — the dense-
+    * subgraph extractor that complements components (connectivity) and
+    * labelProp (communities). Output: the surviving k-core members with
+    * their in-core degree. Each round is one degree aggregate + one
+    * broadcast-able semi-join of the edge table against the survivor set
+    * (survivors only shrink); rounds are O(peel depth). Deterministic: the
+    * fixed point is unique (the k-core is a closure — independent of peel
+    * order), so the oracle replays a FIXED round budget: once converged,
+    * further rounds are no-ops and any converged engine matches
+    * (componentsSql precedent). */
+  def kCore(lineitem: DataFrame, k: Int = 4, maxRounds: Int = 12): DataFrame = {
+    var e = copurchase(lineitem).materialize
+    var prevEdges = e.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // survivor set starts corpus-sized and only shrinks — plain semi-joins
+      // (AQE upgrades them to broadcast once the set is small); one count
+      // action per round doubles as the materialization trigger
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("knode"))
+      val ne = e
+        .join(keep, col("src") === col("knode"), "left_semi")
+        .join(keep, col("dst") === col("knode"), "left_semi")
+        .materialize
+      val after = ne.count()
+      converged = after == prevEdges
+      prevEdges = after
+      e = ne
+      rounds += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** DuckDB oracle: replay `rounds` peels unconditionally (converged rounds
+    * are no-ops). The co-purchase graph at every test SF converges well
+    * inside 12 rounds; if Spark ever exits unconverged the hashes
+    * legitimately diverge — a defect worth failing on. */
+  def kCoreSql(k: Int = 4, rounds: Int = 12): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""keep_$i AS (
+         |  SELECT src AS knode FROM e_${i - 1} GROUP BY src HAVING COUNT(*) >= $k),
+         |e_$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e_${i - 1} e
+         |  JOIN keep_$i a ON e.src = a.knode
+         |  JOIN keep_$i b ON e.dst = b.knode)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e_0 AS MATERIALIZED ($copurchaseSql),
+       |$steps
+       |SELECT src AS node, COUNT(*) AS core_deg FROM e_$rounds GROUP BY src""".stripMargin
+  }
+
   /** Community detection via synchronous label propagation over the
     * co-purchase graph — the lightweight community surface next to
     * connectedComponents (which finds *connectivity*, not density). Every
