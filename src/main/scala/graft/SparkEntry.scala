@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_edit_distance" -> ((s, d) => TermStats.editDistancePairs(Tables.documents(s, d))),
     "term_freq" -> ((s, d) => TermStats.termFreq(Tables.documents(s, d))),
     "heavy_hitters" -> ((s, d) => TermStats.heavyHitters(Tables.documents(s, d))),
+    "sparse_cosine" -> ((s, d) => TermStats.sparseCosine(Tables.documents(s, d))),
     "vocab_coverage" -> ((s, d) => TermStats.vocabCoverage(Tables.documents(s, d))),
     "tfidf" -> ((s, d) => TermStats.tfidf(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => ExactSubstr.substringDedup(Tables.documents(s, d))),
@@ -330,6 +331,7 @@ object SparkEntry {
     "dedup_edit_distance" -> TermStats.editDistancePairsSql(),
     "term_freq" -> TermStats.termFreqSql(),
     "heavy_hitters" -> TermStats.heavyHittersSql(),
+    "sparse_cosine" -> TermStats.sparseCosineSql(),
     "vocab_coverage" -> TermStats.vocabCoverageSql(),
     "tfidf" -> TermStats.tfidfSql(),
     "dedup_substring" -> ExactSubstr.substringDedupSql(),

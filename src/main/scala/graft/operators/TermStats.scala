@@ -90,6 +90,76 @@ object TermStats {
        |FROM tf JOIN dfx USING (term) CROSS JOIN n
        |WHERE tf.tf >= $minTf""".stripMargin
 
+  /** Sparse TF-IDF cosine similarity pairs — the weighted-sparse-vector
+    * twin of dedup_ngram_jaccard (set overlap → weighted overlap): docs as
+    * sparse term→weight maps with rational idf = N/df (no libm, tfidf
+    * precedent), pairwise cosine computed via the inverted index (pairs
+    * materialize ONLY through shared terms), blocked by (lang, source) so
+    * candidate generation is bucket-bounded — at 100 TB the block key
+    * becomes an LSH/cluster prefilter (semdedup precedent), same plan.
+    * Determinism: pair dots and norm sums are DECIMAL(38,18)-exact over the
+    * doubles' shortest reprs (order-independent), sqrt is IEEE-exact on
+    * both engines, and the final divide is one correctly-rounded op. */
+  def sparseCosine(documents: DataFrame, minCos: Double = 0.8): DataFrame = {
+    val terms = documents.select(
+      col("doc_id"), col("lang"), col("source"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("lang"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"), col("source"), col("term"),
+        (col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+          .as("w"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("string").cast("decimal(38,18)")
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(dec(col("w") * col("w"))).cast("string").cast("double").as("nsq"))
+      .select(col("doc_id"), sqrt(col("nsq")).as("norm"))
+    val dots = w.as("a")
+      .join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(dec(col("a.w") * col("b.w"))).cast("string").cast("double").as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), (col("dot") / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  def sparseCosineSql(minCos: Double = 0.8): String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, lang, source, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, lang, source, term, COUNT(*) AS tf
+       |       FROM terms GROUP BY doc_id, lang, source, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM
+       |       (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |w AS MATERIALIZED (
+       |  SELECT tf.doc_id, tf.lang, tf.source, tf.term,
+       |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS w
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |norms AS (
+       |  SELECT doc_id, sqrt(CAST(CAST(SUM(CAST(CAST(w * w AS VARCHAR) AS DECIMAL(38,18)))
+       |    AS VARCHAR) AS DOUBLE)) AS norm
+       |  FROM w GROUP BY doc_id),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(CAST(SUM(CAST(CAST(a.w * b.w AS VARCHAR) AS DECIMAL(38,18)))
+       |      AS VARCHAR) AS DOUBLE) AS dot
+       |  FROM w a JOIN w b ON a.term = b.term AND a.lang = b.lang
+       |    AND a.source = b.source AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, dot / (na.norm * nb.norm) AS cos
+       |FROM dots
+       |JOIN norms na ON na.doc_id = doc_a
+       |JOIN norms nb ON nb.doc_id = doc_b
+       |WHERE dot / (na.norm * nb.norm) >= $minCos""".stripMargin
+
   /** Edit-distance near-dup pairs: (language, length-bucket) blocking, then
     * Levenshtein on a fixed prefix — identical DP semantics in both
     * engines. (Full-text Levenshtein is O(len²) per pair; prefix screening
@@ -161,13 +231,29 @@ object TermStats {
         counts.keysIterator
       }
       .toDF("bg").distinct()
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    val bigrams = documents
-      .filter(size(toks) >= 2) // sequence(0, -1) would run DESCENDING
-      .select(explode(transform(sequence(lit(0), size(toks) - 2),
-        j => concat_ws(" ", get(toks, j), get(toks, j + 1)))).as("bg"))
-    bigrams.join(cands, Seq("bg"), "left_semi")
-      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    // the candidate union is a bounded model artifact (≤ cap per partition;
+    // O(k) on Zipf corpora) — collect + broadcast it, then recount in the
+    // same narrow kernel: per-partition partial counts over candidates
+    // only, so the shuffle carries |candidates|·|partitions| counters and
+    // the per-bigram HOF explode (CodegenFallback, interpreted) never runs
+    val bc = spark.sparkContext.broadcast(cands.as[String].collect().toSet)
+    documents.select(col("text")).as[String]
+      .mapPartitions { iter =>
+        val cs = bc.value
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        iter.foreach { text =>
+          val toks = text.trim.toLowerCase.split("\\s+")
+          var i = 0
+          while (i < toks.length - 1) {
+            val bg = toks(i) + " " + toks(i + 1)
+            if (cs.contains(bg)) m.update(bg, m.getOrElse(bg, 0L) + 1L)
+            i += 1
+          }
+        }
+        m.iterator
+      }
+      .toDF("bg", "c")
+      .groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
       .orderBy(desc("cnt"), col("bg"))
       .limit(k)
   }
