@@ -153,4 +153,51 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
+
+  case class Upsert(key: Long, seq: Long, op: String, payload: String)
+  case class UpsertOut(key: Long, seq: Long, op: String, payload: String,
+                       action: String, version: Long)
+
+  /** Streaming CDC upsert — the ingest-time complement of the batch
+    * CdcApply.cdcApply MERGE and scd2 history: one state cell per key holds
+    * (latest seq, current version count); each arriving change is resolved
+    * against it (insert/update/delete/stale), and the emitted action log is
+    * exactly the per-key change feed a downstream SCD2 table consumes.
+    * Out-of-order replays (seq ≤ state) are flagged `stale` and do NOT
+    * mutate state — idempotent reprocessing, the property that lets the
+    * stream restart from any checkpoint. State is a fixed-size tuple per
+    * live key, sharded across executors (RocksDB store at scale). */
+  def streamingUpsert(ops: Dataset[Upsert]): Dataset[UpsertOut] = {
+    import ops.sparkSession.implicits._
+
+    // state: (lastSeq, version, live)
+    def fn(key: Long, batch: Iterator[Upsert],
+           state: GroupState[(Long, Long, Boolean)]): Iterator[UpsertOut] = {
+      val sorted = batch.toSeq.sortBy(_.seq)
+      var (lastSeq, version, live) = state.getOption.getOrElse((-1L, 0L, false))
+      val out = scala.collection.mutable.ArrayBuffer[UpsertOut]()
+      sorted.foreach { u =>
+        if (u.seq <= lastSeq) {
+          out += UpsertOut(key, u.seq, u.op, u.payload, "stale", version)
+        } else {
+          val action = (u.op, live) match {
+            case ("delete", true)  => "deleted"
+            case ("delete", false) => "noop"
+            case (_, false)        => "inserted"
+            case (_, true)         => "updated"
+          }
+          if (action != "noop") version += 1
+          live = u.op != "delete" && (live || action == "inserted")
+          lastSeq = u.seq
+          out += UpsertOut(key, u.seq, u.op, u.payload, action, version)
+        }
+      }
+      state.update((lastSeq, version, live))
+      out.iterator
+    }
+
+    ops
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
 }

@@ -151,4 +151,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0)._3 == "keep")
     assert(rows(1)._3 == "too_short")
   }
+
+  test("streaming upsert resolves inserts/updates/deletes and flags stale replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Upsert]
+    val q = Streams.streamingUpsert(input.toDS())
+      .writeStream.format("memory").queryName("upsert")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Streams.Upsert(1L, 10L, "set", "a"),
+      Streams.Upsert(1L, 11L, "set", "b"),
+      Streams.Upsert(2L, 5L, "delete", ""))
+    q.processAllAvailable()
+    input.addData(
+      Streams.Upsert(1L, 11L, "set", "b"), // replay: stale, no state change
+      Streams.Upsert(1L, 12L, "delete", ""),
+      Streams.Upsert(2L, 6L, "set", "x"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("upsert")
+      .select("key", "seq", "action", "version")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(rows == Set(
+      (1L, 10L, "inserted", 1L),
+      (1L, 11L, "updated", 2L),
+      (2L, 5L, "noop", 0L),
+      (1L, 11L, "stale", 2L),
+      (1L, 12L, "deleted", 3L),
+      (2L, 6L, "inserted", 1L)))
+  }
 }
