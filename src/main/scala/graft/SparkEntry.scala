@@ -378,6 +378,11 @@ object SparkEntry {
     "schema_parse" -> SchemaParse.parseSql,
     "pack_builder" -> PackBuilder.packSql(kwTerms),
     "seq_pack" -> PackBuilder.seqPackSql(),
-    // mm_meta, mm_batch: rows-only (crc32/byte-stats not SQL-portable)
+    // multimodal: ASCII corpus ⇒ byte ops replay as string ops; the
+    // md5_number helpers make the metadata hashes engine-portable
+    "mm_meta" -> graft.multimodal.Multimodal.metadataSql,
+    "mm_batch" -> graft.multimodal.Multimodal.batchFeaturesSql,
+    "mm_frames" -> graft.multimodal.Multimodal.frameSampleSql(),
+    "mm_resize" -> graft.multimodal.Multimodal.resizeDigestSql(),
   )
 }

@@ -16,17 +16,40 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** DuckDB's `md5_number_lower(s)`: the LAST 8 digest bytes read
+    * little-endian, rebuilt here from Spark's hex md5 by reversing the
+    * byte pairs of chars 17..32 and conv'ing base 16 (conv is unsigned
+    * 64-bit, so the value lands intact in DECIMAL(20,0)). This is the
+    * engine-portable 64-bit content hash the multimodal metadata uses —
+    * it is what upgraded mm_meta/mm_frames/mm_resize from rows-only to
+    * hash-oracle-checked. */
+  private def md5NumLower(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = md5(bin)
+    val le = concat((0 until 8).reverse.map(i => substring(h, 17 + 2 * i, 2)): _*)
+    conv(le, 16, 10).cast("decimal(20,0)")
+  }
+
+  /** DuckDB's `md5_number_upper(s)`: first 8 digest bytes little-endian. */
+  private def md5NumUpper(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = md5(bin)
+    val le = concat((0 until 8).reverse.map(i => substring(h, 1 + 2 * i, 2)): _*)
+    conv(le, 16, 10).cast("decimal(20,0)")
+  }
+
   /** Attach a binary payload + typed metadata struct to each document —
     * the ingest shape for an image/audio corpus (payload would come from
-    * `spark.read.format("binaryFile")` at scale). */
-  def withPayload(documents: DataFrame): DataFrame =
+    * `spark.read.format("binaryFile")` at scale). Width/height are
+    * deterministic md5-derived stand-ins for decoded dimensions. */
+  def withPayload(documents: DataFrame): DataFrame = {
+    val enc = encode(col("text"), "UTF-8")
     documents
-      .withColumn("payload", encode(col("text"), "UTF-8").cast(BinaryType))
+      .withColumn("payload", enc.cast(BinaryType))
       .withColumn("media_meta", struct(
         lit("image/fake").as("mime"),
-        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
-        (pmod(crc32(encode(col("text"), "UTF-8")), lit(1920L)) + 1L).as("width"),
-        (pmod(crc32(encode(col("text"), "UTF-8")) * 31L, lit(1080L)) + 1L).as("height")))
+        octet_length(enc).cast("long").as("n_bytes"),
+        ((md5NumLower(enc) % 1920) + 1).cast("long").as("width"),
+        ((md5NumUpper(enc) % 1080) + 1).cast("long").as("height")))
+  }
 
   /** Deterministic fake decode: byte histogram moments standing in for
     * pixel statistics. Replace with a real codec in production.
@@ -96,9 +119,13 @@ object Multimodal {
   }
 
   /** Harness-facing resize view: scalar digest instead of the raw binary
-    * column (same convention as embed_docs/minhash_signature). */
-  def resizeDigest(documents: DataFrame): DataFrame =
-    resizeBatch(documents)
+    * column (same convention as embed_docs/minhash_signature). Registered
+    * at 16×16 so the byte-budget (256) sits BELOW the corpus doc sizes
+    * (44..577 bytes) and the stride-subsample path actually executes —
+    * at the old 64×64 every doc fit the budget and the digest column
+    * verified nothing. */
+  def resizeDigest(documents: DataFrame, targetW: Int = 16, targetH: Int = 16): DataFrame =
+    resizeBatch(documents, targetW, targetH)
       .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
         md5(col("payload")).as("payload_digest"))
 
@@ -118,5 +145,68 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "byte_mean", "byte_var", "n_bytes")
+  }
+
+  // ---- DuckDB oracles. The corpus is pure ASCII (verified: octet_length
+  //      == length for every doc), so payload bytes == text chars and the
+  //      oracle can replay byte slicing/hashing with string functions;
+  //      md5_number_lower/upper are DuckDB builtins matched bit-for-bit by
+  //      the conv-based Spark helpers above. ----
+
+  val metadataSql: String =
+    """SELECT doc_id, 'image/fake' AS mime,
+      |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |CAST(md5_number_lower(text) % 1920 + 1 AS BIGINT) AS width,
+      |CAST(md5_number_upper(text) % 1080 + 1 AS BIGINT) AS height
+      |FROM documents""".stripMargin
+
+  val batchFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+      |    list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT)) AS codes
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, nb,
+      |    CAST(list_sum(codes) AS BIGINT) AS s1,
+      |    CAST(list_sum(list_transform(codes, v -> v * v)) AS BIGINT) AS s2
+      |  FROM b)
+      |SELECT doc_id,
+      |  CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE) AS byte_mean,
+      |  CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)
+      |    - (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))
+      |    AS byte_var,
+      |  nb AS n_bytes
+      |FROM s""".stripMargin
+
+  def frameSampleSql(frameBytes: Int = 256, every: Int = 4): String =
+    s"""WITH p AS (
+       |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+       |f AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, GREATEST(CAST(ceil(CAST(nb AS DOUBLE) / $frameBytes.0) AS BIGINT), 1)))
+       |      AS frame_index
+       |  FROM p)
+       |SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index,
+       |  md5(substr(text, CAST(frame_index * $frameBytes + 1 AS BIGINT), $frameBytes)) AS frame_digest,
+       |  CAST(octet_length(encode(substr(text, CAST(frame_index * $frameBytes + 1 AS BIGINT), $frameBytes)))
+       |    AS BIGINT) AS frame_bytes
+       |FROM f WHERE frame_index % $every = 0""".stripMargin
+
+  def resizeDigestSql(targetW: Int = 16, targetH: Int = 16): String = {
+    val budget = targetW * targetH
+    s"""WITH p AS (
+       |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+       |r AS (
+       |  SELECT doc_id, nb,
+       |    CASE WHEN nb <= $budget THEN text
+       |         ELSE array_to_string(list_transform(range(0, $budget),
+       |           i -> substr(text,
+       |             CAST(LEAST(CAST(TRUNC(CAST(i AS DOUBLE) * (CAST(nb AS DOUBLE) / $budget.0))
+       |               AS BIGINT), nb - 1) AS BIGINT) + 1, 1)), '')
+       |    END AS rp
+       |  FROM p)
+       |SELECT doc_id, CAST($targetW AS BIGINT) AS width, CAST($targetH AS BIGINT) AS height,
+       |  CAST(octet_length(encode(rp)) AS BIGINT) AS n_bytes, md5(rp) AS payload_digest
+       |FROM r""".stripMargin
   }
 }
