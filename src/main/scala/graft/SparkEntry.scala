@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_resolve" -> ((s, d) => Dedup.resolve(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "minhash_portable" -> ((s, d) => MinhashPortable.minhashPortable(Tables.documents(s, d))),
+    "minhash_lsh_portable" -> ((s, d) => MinhashPortable.minhashLshPortable(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "minhash_signature" -> ((s, d) => Dedup.minhashDigest(Tables.documents(s, d))),
@@ -337,6 +338,7 @@ object SparkEntry {
     "dedup_substring" -> ExactSubstr.substringDedupSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "minhash_portable" -> MinhashPortable.minhashPortableSql(),
+    "minhash_lsh_portable" -> MinhashPortable.minhashLshPortableSql(),
     "dedup_resolve" -> Dedup.resolveSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)

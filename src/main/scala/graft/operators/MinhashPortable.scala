@@ -62,6 +62,59 @@ object MinhashPortable {
       .toDF("doc_id", "perm", "minh")
   }
 
+  /** End-to-end LSH near-dup candidates over the PORTABLE signatures —
+    * the hash-oracle-checked twin of Dedup.minhashLsh: band the k minima
+    * (bands×rowsPerBand), key each band by the ordered concatenation of
+    * its values (STRING_AGG ORDER BY perm ↔ sort_array+array_join — no
+    * engine-specific band hash needed), equi-join on (band, key) for
+    * candidates, and score each candidate by the signature-estimated
+    * Jaccard (matching perms / k — the estimator LSH theory is built on).
+    * Same scale shape as the xxhash variant: candidates only materialize
+    * through shared band buckets, est-sim join is O(pairs·k). */
+  def minhashLshPortable(documents: DataFrame, nPerms: Int = 16,
+                         bands: Int = 4): DataFrame = {
+    require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
+    val rows = nPerms / bands
+    val sig = minhashPortable(documents, nPerms)
+    val keys = sig
+      .groupBy(col("doc_id"), (col("perm") / rows).cast("long").as("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("perm"), col("minh")))),
+          x => x.getField("minh").cast("string")), ",").as("bkey"))
+    val cand = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("perm"), col("minh").as("ma"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("perm"), col("minh").as("mb"))
+    cand.join(sa, "doc_a").join(sb, Seq("doc_b", "perm"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).cast("double") / nPerms)
+        .as("est_jaccard"))
+  }
+
+  def minhashLshPortableSql(nPerms: Int = 16, bands: Int = 4): String = {
+    val rows = nPerms / bands
+    s"""WITH sig AS MATERIALIZED (${minhashPortableSql(nPerms)}),
+       |keys AS (
+       |  SELECT doc_id, CAST(perm // $rows AS BIGINT) AS band,
+       |    STRING_AGG(CAST(minh AS VARCHAR), ',' ORDER BY perm) AS bkey
+       |  FROM sig GROUP BY doc_id, perm // $rows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / $nPerms
+       |    AS est_jaccard
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.doc_a
+       |JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+       |GROUP BY c.doc_a, c.doc_b""".stripMargin
+  }
+
   def minhashPortableSql(nPerms: Int = 16): String =
     s"""WITH tk AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
