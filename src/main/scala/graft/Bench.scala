@@ -46,6 +46,8 @@ object Bench {
         val exact = Search.knnJoin(emb, nProbes = 10, k = 3)
         Map(
           "ann_lsh@3" -> Recall.recallAtK(exact, Dedup.annLsh(emb, nProbes = 10, k = 3)),
+          "ann_lsh_mt@3" -> Recall.recallAtK(
+            exact, Dedup.annLshMultiTable(emb, nProbes = 10, k = 3)),
           "ann_lsh_mp@3" -> Recall.recallAtK(
             exact, Dedup.annLshMultiprobe(emb, nProbes = 10, k = 3)),
           "ann_ivf@3" -> Recall.recallAtK(exact, Dedup.annIvf(emb, nProbes = 10, k = 3)),

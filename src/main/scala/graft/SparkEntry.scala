@@ -128,6 +128,7 @@ object SparkEntry {
     "minhash_signature" -> ((s, d) => Dedup.minhashDigest(Tables.documents(s, d))),
     "ann_lsh" -> ((s, d) => Dedup.annLsh(Tables.embeddings(s, d))),
     "ann_lsh_mp" -> ((s, d) => Dedup.annLshMultiprobe(Tables.embeddings(s, d))),
+    "ann_lsh_mt" -> ((s, d) => Dedup.annLshMultiTable(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) => Dedup.annIvf(Tables.embeddings(s, d))),
     "ann_ivf_mp" -> ((s, d) => Dedup.annIvfMultiprobe(Tables.embeddings(s, d))),
     "ann_ivf_tr" -> ((s, d) => Cluster.annIvfTrained(Tables.embeddings(s, d))),
@@ -345,6 +346,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
     "ann_lsh" -> Dedup.annLshSql(),
     "ann_lsh_mp" -> Dedup.annLshMultiprobeSql(),
+    "ann_lsh_mt" -> Dedup.annLshMultiTableSql(),
     "ann_ivf" -> Dedup.annIvfSql(),
     "ann_ivf_mp" -> Dedup.annIvfMultiprobeSql(),
     "ann_ivf_tr" -> Cluster.annIvfTrainedSql(),

@@ -346,17 +346,17 @@ object Dedup {
   /** LSH bucket id: sign bits of nPlanes hyperplane dots. Planes are
     * literal arrays (same formula as hpSql) dotted via the native codegen
     * kernel — no interpreted HOFs in the bucketing scan. */
-  def lshBucket(emb: Column, nPlanes: Int = 4): Column =
+  def lshBucket(emb: Column, nPlanes: Int = 4, seed: Int = 0): Column =
     (0 until nPlanes).map { j =>
       val plane = (0 until 64).map(i =>
-        (((i.toLong * 2654435761L + j.toLong * 40503L) % 1021L) - 510L).toDouble)
+        (((i.toLong * 2654435761L + (seed + j).toLong * 40503L) % 1021L) - 510L).toDouble)
       val dotJ = VectorOps.dot(emb, typedLit(plane))
       when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  def lshBucketSql(embCol: String, nPlanes: Int = 4): String =
+  def lshBucketSql(embCol: String, nPlanes: Int = 4, seed: Int = 0): String =
     (0 until nPlanes).map { j =>
-      val dotJ = s"list_sum(list_transform(range(0, 64), i -> CAST($embCol[i+1] AS DOUBLE) * CAST(${hpSql(j)} AS DOUBLE)))"
+      val dotJ = s"list_sum(list_transform(range(0, 64), i -> CAST($embCol[i+1] AS DOUBLE) * CAST(${hpSql(seed + j)} AS DOUBLE)))"
       s"(CASE WHEN $dotJ > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -549,6 +549,83 @@ object Dedup {
        |CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rn,
        |$cos AS cos
        |FROM b e JOIN b p ON e.bucket = p.bucket AND p.vec_id < $nProbes AND e.vec_id <> p.vec_id
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
+  /** Decorrelated hyperplane family for multi-TABLE LSH. The base family
+    * hp(j) is affine in the component index (comp = (i·K + c_j) mod 1021),
+    * so any two planes differ by a constant shift — tables built from it
+    * are strongly correlated and the multi-table union recalls barely more
+    * than one table (measured 0.53 vs the ~0.9 independence predicts). One
+    * multiply + xor-shift breaks the affine structure; DuckDB replays it
+    * with xor()/integer division. */
+  private def hpMt(idx: Long): Double = {
+    val v = (idx * 2654435761L) % 4294967296L
+    (((v ^ (v / 65536L)) % 1021L) - 510L).toDouble
+  }
+
+  private def hpMtSql(planeOff: Int): String =
+    s"((xor((i + 64*$planeOff) * 2654435761 % 4294967296, " +
+      s"(i + 64*$planeOff) * 2654435761 % 4294967296 // 65536) % 1021) - 510)"
+
+  private def lshBucketMt(emb: Column, nPlanes: Int, seed: Int): Column =
+    (0 until nPlanes).map { j =>
+      val plane = (0 until 64).map(i => hpMt(i.toLong + 64L * (seed + j)))
+      val dotJ = VectorOps.dot(emb, typedLit(plane))
+      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def lshBucketMtSql(embCol: String, nPlanes: Int, seed: Int): String =
+    (0 until nPlanes).map { j =>
+      val dotJ = s"list_sum(list_transform(range(0, 64), i -> CAST($embCol[i+1] AS DOUBLE) * CAST(${hpMtSql(seed + j)} AS DOUBLE)))"
+      s"(CASE WHEN $dotJ > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Multi-TABLE LSH (FALCONN-style): L independent hyperplane tables, a
+    * candidate is anyone sharing a bucket with the probe in ANY table —
+    * recall compounds as 1−(1−p)^L where single-table multiprobe only
+    * perturbs one table's bucket. The scale shape: one narrow scan computes
+    * all L buckets, explode to (table, bucket) rows, probes broadcast,
+    * pairs dedupe through a (probe, neighbor) groupBy BEFORE the bounded
+    * top-k (duplicate hits across tables must not occupy top-k slots);
+    * search cost is ≤ L× single-table, still bucket-bounded — never
+    * all-pairs. Pair dedup keys are scalar ids (arrays never enter a
+    * groupBy — SortAggregate trap documented at annIvf). */
+  def annLshMultiTable(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
+                       nPlanes: Int = 4, nTables: Int = 4): DataFrame = {
+    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+      array((0 until nTables).map(t =>
+        lshBucketMt(col("embedding"), nPlanes, t * nPlanes)): _*).as("buckets"))
+    val tb = bucketed.select(col("vec_id"), col("embedding"), posexplode(col("buckets")))
+      .select(col("vec_id"), col("embedding"), col("pos").as("tbl"), col("col").as("bucket"))
+    val probes = tb.filter(col("vec_id") < nProbes)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    tb.select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(probes), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      // same pair from several tables scores identically — max() is dedup
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
+  }
+
+  def annLshMultiTableSql(nProbes: Int = 10, k: Int = 3,
+                          nPlanes: Int = 4, nTables: Int = 4): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "p.embedding")
+    val bcols = (0 until nTables)
+      .map(t => s"${lshBucketMtSql("embedding", nPlanes, t * nPlanes)} AS b$t")
+      .mkString(", ")
+    val anyShared = (0 until nTables).map(t => s"e.b$t = p.b$t").mkString(" OR ")
+    s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding, $bcols FROM embeddings)
+       |SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rn,
+       |$cos AS cos
+       |FROM b e JOIN b p ON ($anyShared) AND p.vec_id < $nProbes AND e.vec_id <> p.vec_id
        |QUALIFY rn <= $k""".stripMargin
   }
 }

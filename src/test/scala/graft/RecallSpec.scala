@@ -19,14 +19,18 @@ class RecallSpec extends SparkSpec {
     val rLsh = graft.operators.Recall.recallAtK(exact, Dedup.annLsh(emb, nProbes = 10, k = 3))
     val rMp = graft.operators.Recall.recallAtK(
       exact, Dedup.annLshMultiprobe(emb, nProbes = 10, k = 3))
+    val rMt = graft.operators.Recall.recallAtK(
+      exact, Dedup.annLshMultiTable(emb, nProbes = 10, k = 3))
     val rIvf = graft.operators.Recall.recallAtK(exact, Dedup.annIvf(emb, nProbes = 10, k = 3))
     val rIvfMp = graft.operators.Recall.recallAtK(
       exact, Dedup.annIvfMultiprobe(emb, nProbes = 10, k = 3))
-    info(f"recall@3: lsh=$rLsh%.2f lsh_mp=$rMp%.2f ivf=$rIvf%.2f ivf_mp=$rIvfMp%.2f")
+    info(f"recall@3: lsh=$rLsh%.2f lsh_mp=$rMp%.2f lsh_mt=$rMt%.2f ivf=$rIvf%.2f ivf_mp=$rIvfMp%.2f")
     assert(rIvfMp >= rIvf, f"ivf multi-probe recall $rIvfMp%.2f below single-cell $rIvf%.2f")
     // flipping each sign bit once must not LOSE candidates: multi-probe
     // recall dominates single-probe by construction
     assert(rMp >= rLsh, f"multi-probe recall $rMp%.2f below single-probe $rLsh%.2f")
+    // L independent tables strictly widen the candidate set of table 0
+    assert(rMt >= rLsh, f"multi-table recall $rMt%.2f below single-table $rLsh%.2f")
     // This corpus's true neighbors are only weakly similar (cos ≈ 0.4), so
     // single-probe hyperplane LSH collides at ~(1-θ/π)^planes ≈ 0.16 —
     // the measured 0.17 IS the theoretical ceiling here; multi-probe is the
