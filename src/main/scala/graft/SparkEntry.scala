@@ -123,6 +123,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "minhash_portable" -> ((s, d) => MinhashPortable.minhashPortable(Tables.documents(s, d))),
     "minhash_lsh_portable" -> ((s, d) => MinhashPortable.minhashLshPortable(Tables.documents(s, d))),
+    "simhash_portable" -> ((s, d) => MinhashPortable.simhashPortable(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "minhash_signature" -> ((s, d) => Dedup.minhashDigest(Tables.documents(s, d))),
@@ -340,6 +341,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "minhash_portable" -> MinhashPortable.minhashPortableSql(),
     "minhash_lsh_portable" -> MinhashPortable.minhashLshPortableSql(),
+    "simhash_portable" -> MinhashPortable.simhashPortableSql(),
     "dedup_resolve" -> Dedup.resolveSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)

@@ -115,6 +115,100 @@ object MinhashPortable {
        |GROUP BY c.doc_a, c.doc_b""".stripMargin
   }
 
+  /** SimHash near-dup pairs under the portable hash family — the
+    * oracle-checked twin of Dedup.simhashPairs. Per distinct shingle the
+    * base rolling hash expands to 64 bits via a multiply + xor-shift
+    * (v_k = (h·K + k·C) mod 2³²; bit = (v_k ⊕ v_k/2¹⁶) mod 2 — the same
+    * decorrelation trick as the multi-table LSH planes), fingerprint bit k
+    * = sign of the ±1 vote sum, assembled with bit-OR (NOT integer sum:
+    * bit 63 would overflow BIGINT in one engine and HUGEINT-promote in the
+    * other). Spark generates candidates with the 4×16-bit chunk pigeonhole
+    * (any pair at hamming ≤ 3 shares a chunk) while the ORACLE brute-forces
+    * every pair — the hash match therefore also PROVES the blocking loses
+    * no pair at this distance. */
+  def simhashPortable(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val fps = documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (docId, text) =>
+          val toks = text.trim.split("\\s+")
+          val shingles = scala.collection.mutable.LinkedHashSet.empty[String]
+          var i = 0
+          while (i < toks.length - 2) {
+            shingles += (toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+            i += 1
+          }
+          val counts = new Array[Int](64)
+          shingles.foreach { s =>
+            var h = 0L
+            var j = 0
+            while (j < s.length) {
+              h = (h * 31L + s.charAt(j)) % Mod
+              j += 1
+            }
+            var k = 0
+            while (k < 64) {
+              val v = (h * 2654435761L + k.toLong * 40503L) % 4294967296L
+              if (((v ^ (v / 65536L)) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+              k += 1
+            }
+          }
+          var fp = 0L
+          var k = 0
+          while (k < 64) { if (counts(k) > 0) fp |= (1L << k); k += 1 }
+          (docId, fp, shingles.nonEmpty)
+        }
+      }
+      .toDF("doc_id", "fp", "has_sh")
+      .filter(col("has_sh"))
+    val chunks = array((0 until 4).map(b =>
+      shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = fps.select(col("doc_id"), col("fp"), posexplode(chunks))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ck")
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  def simhashPortableSql(maxDist: Int = 3): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |    FROM tk WHERE len(t) >= 3)),
+       |hx AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(s, ''), x -> CAST(ord(x) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % $Mod) AS h
+       |  FROM sh),
+       |bits AS (
+       |  SELECT doc_id, k,
+       |    SUM(CASE WHEN xor((h * 2654435761 + k * 40503) % 4294967296,
+       |                      ((h * 2654435761 + k * 40503) % 4294967296) // 65536) % 2 = 1
+       |             THEN 1 ELSE -1 END) AS c
+       |  FROM hx CROSS JOIN (SELECT unnest(range(0, 64)) AS k)
+       |  GROUP BY doc_id, k),
+       |fp AS (
+       |  SELECT doc_id,
+       |    BIT_OR(CASE WHEN c <= 0 THEN CAST(0 AS BIGINT)
+       |                WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |                ELSE CAST(1 AS BIGINT) << k END) AS fp
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $maxDist""".stripMargin
+
   def minhashPortableSql(nPerms: Int = 16): String =
     s"""WITH tk AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
