@@ -592,7 +592,7 @@ object Dedup {
     * all-pairs. Pair dedup keys are scalar ids (arrays never enter a
     * groupBy — SortAggregate trap documented at annIvf). */
   def annLshMultiTable(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
-                       nPlanes: Int = 4, nTables: Int = 4): DataFrame = {
+                       nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val bucketed = embeddings.select(col("vec_id"), col("embedding"),
       array((0 until nTables).map(t =>
         lshBucketMt(col("embedding"), nPlanes, t * nPlanes)): _*).as("buckets"))
@@ -615,7 +615,7 @@ object Dedup {
   }
 
   def annLshMultiTableSql(nProbes: Int = 10, k: Int = 3,
-                          nPlanes: Int = 4, nTables: Int = 4): String = {
+                          nPlanes: Int = 4, nTables: Int = 8): String = {
     val cos = VectorOps.cosineSql("e.embedding", "p.embedding")
     val bcols = (0 until nTables)
       .map(t => s"${lshBucketMtSql("embedding", nPlanes, t * nPlanes)} AS b$t")
