@@ -104,6 +104,7 @@ object SparkEntry {
     "line_dedup" -> ((s, d) => Boilerplate.lineDedup(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => Decontaminate.decontaminate(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => DomainMix.domainMix(Tables.documents(s, d))),
+    "budget_sample" -> ((s, d) => DomainMix.budgetSample(Tables.documents(s, d))),
     "snapshot_diff" -> ((s, d) => SnapshotDiff.snapshotDiff(Tables.documents(s, d))),
     "bloom_dedup" -> ((s, d) => BloomDedup.bloomDedup(Tables.documents(s, d))),
     // --- dedup / ANN ---
@@ -152,6 +153,7 @@ object SparkEntry {
     "graph_node_sim" -> ((s, d) => GraphOps.nodeSimilarity(Tables.lineitem(s, d))),
     "graph_pagerank" -> ((s, d) => GraphOps.pageRank(Tables.lineitem(s, d))),
     "graph_hits" -> ((s, d) => GraphOps.hits(Tables.lineitem(s, d))),
+    "graph_ppr" -> ((s, d) => GraphOps.personalizedPageRank(Tables.lineitem(s, d))),
     "graph_label_prop" -> ((s, d) => GraphOps.labelProp(Tables.lineitem(s, d))),
     "graph_kcore" -> ((s, d) => GraphOps.kCore(Tables.lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.connectedComponents(Tables.lineitem(s, d))),
@@ -324,6 +326,7 @@ object SparkEntry {
     "line_dedup" -> Boilerplate.lineDedupSql(),
     "decontaminate" -> Decontaminate.decontaminateSql(),
     "domain_mix" -> DomainMix.domainMixSql(),
+    "budget_sample" -> DomainMix.budgetSampleSql(),
     "doc_cluster" -> Cluster.kmeansSql(),
     "semdedup" -> Cluster.semdedupSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
@@ -358,6 +361,7 @@ object SparkEntry {
     "graph_shortest_path" -> GraphOps.shortestPathsSql(),
     "graph_pagerank" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),
+    "graph_ppr" -> GraphOps.personalizedPageRankSql(),
     "graph_label_prop" -> GraphOps.labelPropSql(),
     "graph_kcore" -> GraphOps.kCoreSql(),
     "graph_components" -> GraphOps.componentsSql(),

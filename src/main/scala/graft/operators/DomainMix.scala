@@ -58,4 +58,39 @@ object DomainMix {
        |SELECT doc_id, d.lang, rate
        |FROM documents d JOIN rates r ON d.lang = r.lang
        |WHERE CAST(((doc_id & 2147483647) * 2654435761) % 10000 AS DOUBLE) < rate * 10000.0""".stripMargin
+
+  /** Token-BUDGET sampling per domain — the other half of corpus mixing:
+    * domainMix sets per-domain RATES, this fills a fixed per-domain token
+    * budget in a deterministic pseudo-random priority order (md5 of the
+    * doc id — unbiased w.r.t. content, reproducible everywhere) and cuts
+    * exactly where the running token total would exceed it. One window per
+    * domain partition (never global), integer cumulative sums — exact on
+    * both engines. Emits the picked docs with their position and running
+    * total, i.e. the manifest a training-data packer consumes. */
+  def budgetSample(documents: DataFrame, tokenBudget: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val pri = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+    documents
+      .select(col("source"), col("doc_id"), nTok.as("n_tok"), pri.as("pri"))
+      .withColumn("cum_tok",
+        sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tok") <= tokenBudget)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+  }
+
+  def budgetSampleSql(tokenBudget: Long = 5000L): String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+       |    md5(CAST(doc_id AS VARCHAR)) AS pri
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+       |  FROM t)
+       |SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+       |FROM c WHERE cum_tok <= $tokenBudget""".stripMargin
 }

@@ -429,6 +429,67 @@ object GraphOps {
        |SELECT r.node, r.rank * nn.n AS scaled_rank FROM r_$iters r CROSS JOIN nn""".stripMargin
   }
 
+  /** PERSONALIZED PageRank from a single source (the min part id — same
+    * deterministic anchor as shortestPaths): teleport mass returns to the
+    * SOURCE instead of spreading uniformly, so ranks measure proximity to
+    * it — the "find nodes related to X" primitive behind the reference's
+    * contextual retrieval, where global pageRank measures importance.
+    * Identical per-iteration shape and decimal-exact inflow recipe as
+    * pageRank; the only change is the teleport term (indicator · (1−d)). */
+  def personalizedPageRank(lineitem: DataFrame, iters: Int = 5,
+                           damping: Double = 0.85): DataFrame = {
+    val edges = copurchase(lineitem).materialize
+    val nodes = edges.select(col("src").as("node")).distinct().materialize
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).materialize
+    val srcRow = nodes.agg(min(col("node")).as("s"))
+    var ranks = nodes.crossJoin(broadcast(srcRow))
+      .select(col("node"),
+        when(col("node") === col("s"), lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks, col("src") === col("node"))
+        .join(outDeg, "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast("string").cast("decimal(38,18)"))
+          .cast("string").cast("double").as("inflow"))
+      ranks = nodes.crossJoin(broadcast(srcRow))
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (when(col("node") === col("s"), lit(1.0 - damping)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .materialize
+    }
+    ranks.filter(col("rank") > 0.0).select(col("node"), col("rank"))
+  }
+
+  def personalizedPageRankSql(iters: Int = 5, damping: Double = 0.85): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c_$i AS (
+         |  SELECT cp.dst,
+         |    CAST(CAST(SUM(CAST(CAST(r.rank / d.deg AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR)
+         |      AS DOUBLE) AS inflow
+         |  FROM cp JOIN r_${i - 1} r ON cp.src = r.node JOIN outdeg d ON cp.src = d.src
+         |  WHERE r.rank <> 0 GROUP BY cp.dst),
+         |r_$i AS (
+         |  SELECT n.node,
+         |    (CASE WHEN n.node = sw.s THEN CAST(${1.0 - damping} AS DOUBLE)
+         |          ELSE CAST(0.0 AS DOUBLE) END)
+         |      + CAST($damping AS DOUBLE) * COALESCE(c.inflow, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes n CROSS JOIN sw LEFT JOIN c_$i c ON n.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS MATERIALIZED ($copurchaseSql),
+       |nodes AS (SELECT DISTINCT src AS node FROM cp),
+       |outdeg AS (SELECT src, COUNT(*) AS deg FROM cp GROUP BY 1),
+       |sw AS (SELECT MIN(node) AS s FROM nodes),
+       |r_0 AS (
+       |  SELECT n.node, CASE WHEN n.node = sw.s THEN CAST(1.0 AS DOUBLE)
+       |                      ELSE CAST(0.0 AS DOUBLE) END AS rank
+       |  FROM nodes n CROSS JOIN sw),
+       |$steps
+       |SELECT node, rank FROM r_$iters WHERE rank > 0.0""".stripMargin
+  }
+
   /** Impact analysis (graph_service.py:546): reverse dependencies of the
     * hottest part — orders containing it (depth 1) and customers who placed
     * those orders (depth 2), with depth-decayed scores. */
