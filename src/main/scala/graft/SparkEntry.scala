@@ -101,6 +101,7 @@ object SparkEntry {
     "sketch_stats" -> ((s, d) => Corpus.sketchStats(Tables.events(s, d))),
     "text_normalize" -> ((s, d) => Normalize.textNormalize(Tables.documents(s, d))),
     "gopher_quality" -> ((s, d) => Normalize.gopherQuality(Tables.documents(s, d))),
+    "ngram_lm_score" -> ((s, d) => NgramLm.lmScore(Tables.documents(s, d))),
     "line_dedup" -> ((s, d) => Boilerplate.lineDedup(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => Decontaminate.decontaminate(Tables.documents(s, d))),
     "domain_mix" -> ((s, d) => DomainMix.domainMix(Tables.documents(s, d))),
@@ -167,6 +168,8 @@ object SparkEntry {
         CodeEdges.edges(CodeEdges.syntheticCodeView(Tables.documents(s, d))))),
     "code_calls" -> ((s, d) =>
       CodeEdges.callEdges(CodeEdges.syntheticCodeView(Tables.documents(s, d)))),
+    "code_impact" -> ((s, d) =>
+      CodeEdges.codeImpact(CodeEdges.syntheticCodeView(Tables.documents(s, d)))),
     "repo_scan" -> ((s, d) =>
       RepoScan.repoScan(RepoScan.syntheticPathView(Tables.documents(s, d)))),
     "cdc_apply" -> ((s, d) => CdcApply.cdcApply(Tables.documents(s, d))),
@@ -323,6 +326,7 @@ object SparkEntry {
     "corpus_stats" -> Corpus.statsSql,
     "text_normalize" -> Normalize.textNormalizeSql,
     "gopher_quality" -> Normalize.gopherQualitySql(),
+    "ngram_lm_score" -> NgramLm.lmScoreSql,
     "line_dedup" -> Boilerplate.lineDedupSql(),
     "decontaminate" -> Decontaminate.decontaminateSql(),
     "domain_mix" -> DomainMix.domainMixSql(),
@@ -372,6 +376,7 @@ object SparkEntry {
     "graph_schema" -> GraphOps.schemaSql,
     "code_edges" -> CodeEdges.edgesSql,
     "code_graph_degree" -> CodeEdges.moduleDegreeSql(),
+    "code_impact" -> CodeEdges.codeImpactSql,
     "code_calls" -> CodeEdges.callEdgesSql,
     "repo_scan" -> RepoScan.repoScanSql(),
     "cdc_apply" -> CdcApply.cdcApplySql,

@@ -325,4 +325,45 @@ object CodeEdges {
        |SELECT dst AS module, COUNT(*) AS n_imports, COUNT(DISTINCT src) AS n_files
        |FROM e WHERE rel = 'IMPORTS'
        |GROUP BY dst ORDER BY n_imports DESC, module LIMIT $topN""".stripMargin
+
+  /** Impact analysis on the CODE graph (the reference's actual domain —
+    * graph_service.py:546 over imports instead of purchases): from the
+    * most-imported module, depth 1 = every file importing it (score 1.0),
+    * depth 2 = the modules those files ALSO import — the coupling set a
+    * change to the target exposes (score 0.7). Target selection is a
+    * 1-row bounded argmax (broadcast); both hops are semi-join + distinct,
+    * linear in |edges| at any repo scale. */
+  def codeImpact(files: DataFrame): DataFrame = {
+    val imp = edges(files).filter(col("rel") === "IMPORTS")
+      .select(col("src"), col("dst"))
+    val target = imp.groupBy(col("dst")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("dst")).limit(1)
+      .select(col("dst").as("target"))
+    val d1 = imp.join(broadcast(target), col("dst") === col("target"))
+      .select(col("src")).distinct()
+    val d2 = imp.join(d1.select(col("src").as("f")), col("src") === col("f"))
+      .join(broadcast(target), col("dst") =!= col("target"))
+      .select(col("dst")).distinct()
+    d1.select(lit("file").as("node_type"), col("src").as("name"),
+        lit(1L).as("depth"), lit(1.0).as("score"))
+      .unionAll(d2.select(lit("module").as("node_type"), col("dst").as("name"),
+        lit(2L).as("depth"), lit(0.7).as("score")))
+  }
+
+  val codeImpactSql: String =
+    s"""WITH $filesCte,
+       |$edgesCte,
+       |imp AS (SELECT src, dst FROM e WHERE rel = 'IMPORTS'),
+       |tgt AS (
+       |  SELECT dst AS target FROM (SELECT dst, COUNT(*) AS n FROM imp GROUP BY dst)
+       |  ORDER BY n DESC, dst LIMIT 1),
+       |d1 AS (SELECT DISTINCT src FROM imp JOIN tgt ON imp.dst = tgt.target),
+       |d2 AS (
+       |  SELECT DISTINCT imp.dst FROM imp
+       |  JOIN d1 ON imp.src = d1.src
+       |  JOIN tgt ON imp.dst <> tgt.target)
+       |SELECT 'file' AS node_type, src AS name, CAST(1 AS BIGINT) AS depth,
+       |       CAST(1.0 AS DOUBLE) AS score FROM d1
+       |UNION ALL
+       |SELECT 'module', dst, CAST(2 AS BIGINT), CAST(0.7 AS DOUBLE) FROM d2""".stripMargin
 }

@@ -127,6 +127,68 @@ object Normalize {
        |FROM m""".stripMargin
 }
 
+/** Bigram language-model scoring — the perplexity-filter shape (ccnet's
+  * KenLM gate) made engine-exact by staying OUT of log space: the corpus
+  * trains a bigram model P(w₂|w₁) = c(w₁w₂)/c(w₁·), and a doc's score is
+  * the MEAN conditional probability of its bigrams (unseen bigrams score
+  * the add-one floor 1/(c(w₁·)+V)). Log-perplexity needs libm (engine
+  * 1-ulp divergence); the mean-probability scorer ranks documents the
+  * same way for filtering purposes and is exactly replayable: counts are
+  * integers, each probability is one correctly-rounded double division,
+  * and the per-doc mean is a DECIMAL(38,18)-exact sum.
+  *
+  * Scale shape: the model is two count tables built with one tokens-keyed
+  * shuffle each (map-side combined); scoring joins the doc bigrams against
+  * the model — broadcast when the vocab is Zipf-truncated, shuffle join
+  * otherwise. Nothing is corpus². */
+object NgramLm {
+  import org.apache.spark.sql.DataFrame
+
+  def lmScore(documents: DataFrame): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val bg = documents
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(toks) - 2),
+        j => struct(get(toks, j).as("w1"), get(toks, j + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = bg.select(col("w2")).distinct().agg(count(lit(1)).as("vocab"))
+    val scored = bg
+      .join(pair, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (coalesce(col("c2"), lit(0L)).cast("double") + 1.0)
+          .divide((col("c1") + col("vocab")).cast("double")).as("p"))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("p").cast("string").cast("decimal(38,18)")).cast("string").cast("double")
+          / count(lit(1)).cast("double")).as("mean_p"))
+  }
+
+  val lmScoreSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk WHERE len(t) >= 2)),
+      |pair AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      |v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM bg),
+      |scored AS (
+      |  SELECT bg.doc_id,
+      |    (CAST(COALESCE(pair.c2, 0) AS DOUBLE) + 1.0)
+      |      / CAST(uni.c1 + v.vocab AS DOUBLE) AS p
+      |  FROM bg LEFT JOIN pair ON bg.w1 = pair.w1 AND bg.w2 = pair.w2
+      |  JOIN uni ON bg.w1 = uni.w1 CROSS JOIN v)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(CAST(SUM(CAST(CAST(p AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_p
+      |FROM scored GROUP BY doc_id""".stripMargin
+}
+
 /** Shared literal-substring counter (used by Normalize and TextAnalysis). */
 private[operators] object TextAnalysisShared {
   def occ(c: Column, term: String): Column =
