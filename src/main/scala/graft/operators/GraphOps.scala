@@ -662,7 +662,10 @@ object GraphOps {
     // |nodes| per round.
     def dec(c: org.apache.spark.sql.Column) =
       c.cast("string").cast("decimal(38,18)")
-    def lInfNorm(raw: DataFrame, key: String, out: String): DataFrame = {
+    def lInfNorm(raw0: DataFrame, key: String, out: String): DataFrame = {
+      // raw is consumed twice (max agg + the normalize scan) — cache it or
+      // the whole join+agg half-round executes twice
+      val raw = raw0.persist()
       val m = raw.agg(max(col("raw")).as("m"))
       raw.crossJoin(broadcast(m))
         .select(col(key).as("node"), (col("raw") / col("m")).as(out))
