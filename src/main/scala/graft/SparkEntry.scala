@@ -53,6 +53,7 @@ object SparkEntry {
     "q_events_window" -> ((s, d) => Relational.eventsHourly(Tables.events(s, d))),
     "q_events_json" -> ((s, d) => Relational.eventsJson(Tables.events(s, d))),
     "q_retention" -> ((s, d) => Relational.retention(Tables.events(s, d))),
+    "events_cohort" -> ((s, d) => Relational.cohortMatrix(Tables.events(s, d))),
     "q_string_agg" -> ((s, d) =>
       Relational.nationsPerRegion(Tables.region(s, d), Tables.nation(s, d))),
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
@@ -98,6 +99,7 @@ object SparkEntry {
     "corpus_sample" -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
     "corpus_shuffle" -> ((s, d) => Corpus.corpusShuffle(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => Corpus.stats(Tables.documents(s, d))),
+    "dataset_card" -> ((s, d) => Corpus.datasetCard(Tables.documents(s, d))),
     "sketch_stats" -> ((s, d) => Corpus.sketchStats(Tables.events(s, d))),
     "text_normalize" -> ((s, d) => Normalize.textNormalize(Tables.documents(s, d))),
     "gopher_quality" -> ((s, d) => Normalize.gopherQuality(Tables.documents(s, d))),
@@ -289,6 +291,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_events_json" -> Relational.eventsJsonSql,
     "q_retention" -> Relational.retentionSql,
+    "events_cohort" -> Relational.cohortMatrixSql,
     "q_string_agg" -> Relational.nationsPerRegionSql,
     "q_histogram" -> Relational.priceHistogramSql(),
     "q_funnel" -> Relational.funnelSql,
@@ -324,6 +327,7 @@ object SparkEntry {
     "corpus_sample" -> Corpus.stratifiedSampleSql(),
     "corpus_shuffle" -> Corpus.corpusShuffleSql(),
     "corpus_stats" -> Corpus.statsSql,
+    "dataset_card" -> Corpus.datasetCardSql,
     "text_normalize" -> Normalize.textNormalizeSql,
     "gopher_quality" -> Normalize.gopherQualitySql(),
     "ngram_lm_score" -> NgramLm.lmScoreSql,

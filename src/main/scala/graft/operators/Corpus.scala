@@ -122,6 +122,34 @@ object Corpus {
 
   /** Corpus statistics rollup: per-language token/char volumes and doc
     * counts — the dashboard numbers of every curation pipeline. */
+  /** Per-source dataset card — the one-page manifest a corpus release
+    * ships with: doc/char/token totals, language spread, and the share of
+    * the dominant-language slice. Single grouped pass with map-side
+    * combine (all counters associative); integer sums + one exact
+    * division, so it hash-matches the oracle at any partitioning. */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+    documents
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(nTok).as("sum_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("en_frac"))
+  }
+
+  val datasetCardSql: String =
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS en_frac
+      |FROM documents GROUP BY source""".stripMargin
+
   def stats(documents: DataFrame): DataFrame =
     documents
       .groupBy(col("lang"))

@@ -357,6 +357,32 @@ object Relational {
   /** Daily active users + next-day retention: distinct (day, user) rollup
     * self-joined one day forward — two shuffles total, both on user-sized
     * data, the standard product-analytics shape. */
+  /** Weekly cohort retention matrix — the standard product-analytics
+    * rollup next to day-over-day retention: users grouped by first-seen
+    * week, distinct actives counted per (cohort, weeks-since) cell. Weeks
+    * are integer `epoch_days // 7` (engine-portable exactly; calendar
+    * date_trunc('week') semantics differ subtly across engines). Two
+    * user-keyed shuffles + one cell aggregate — linear at any event
+    * volume, the matrix itself is O(weeks²). */
+  def cohortMatrix(events: DataFrame): DataFrame = {
+    // `div`, not `/`: Spark's Column `/` promotes integrals to DOUBLE
+    val week = expr("unix_micros(ts) div 86400000000 div 7")
+    val uw = events.select(col("user_id"), week.cast("long").as("w")).distinct()
+    val cohorts = uw.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    uw.join(cohorts, "user_id")
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val cohortMatrixSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS w FROM events),
+      |c AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id)
+      |SELECT cw AS cohort_week, w - cw AS weeks_since,
+      |       CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+      |FROM uw JOIN c ON uw.user_id = c.user_id
+      |GROUP BY cw, w - cw""".stripMargin
+
   def retention(events: DataFrame): DataFrame = {
     val du = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     du.as("a")
