@@ -99,6 +99,8 @@ object SparkEntry {
     "corpus_sample" -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
     "corpus_shuffle" -> ((s, d) => Corpus.corpusShuffle(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => Corpus.stats(Tables.documents(s, d))),
+    "split_holdout" -> ((s, d) => Corpus.splitHoldout(Tables.documents(s, d))),
+    "kmv_distinct" -> ((s, d) => Corpus.kmvDistinct(Tables.events(s, d))),
     "dataset_card" -> ((s, d) => Corpus.datasetCard(Tables.documents(s, d))),
     "sketch_stats" -> ((s, d) => Corpus.sketchStats(Tables.events(s, d))),
     "text_normalize" -> ((s, d) => Normalize.textNormalize(Tables.documents(s, d))),
@@ -327,6 +329,8 @@ object SparkEntry {
     "corpus_sample" -> Corpus.stratifiedSampleSql(),
     "corpus_shuffle" -> Corpus.corpusShuffleSql(),
     "corpus_stats" -> Corpus.statsSql,
+    "split_holdout" -> Corpus.splitHoldoutSql(),
+    "kmv_distinct" -> Corpus.kmvDistinctSql(),
     "dataset_card" -> Corpus.datasetCardSql,
     "text_normalize" -> Normalize.textNormalizeSql,
     "gopher_quality" -> Normalize.gopherQualitySql(),

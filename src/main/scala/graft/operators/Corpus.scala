@@ -107,6 +107,78 @@ object Corpus {
        |(((doc_id & 2147483647) * 2654435761) % 1000003) % $nShards AS shard
        |FROM documents""".stripMargin
 
+  /** Deterministic train/val/test holdout assignment — the split every
+    * training run needs pinned BEFORE any curation so no pipeline stage can
+    * leak eval docs into training. Same multiplicative-hash discipline as
+    * `stratifiedSample`, decorrelated from `corpusShuffle`'s key by the
+    * xor-shift fold (an affine-only family would make split and shuffle
+    * order correlated — the multi-table-LSH lesson). Narrow, zero-shuffle,
+    * reproducible across runs AND engines. */
+  def splitHoldout(documents: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val h = pmod(col("doc_id").bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L, lit(4294967296L))
+    val bucket = pmod(h.bitwiseXOR(shiftright(h, 16)), lit(100L))
+    documents.select(
+      col("doc_id"), col("lang"), bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  def splitHoldoutSql(trainPct: Int = 80, valPct: Int = 10): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    xor((doc_id & 2147483647) * 2654435761 % 4294967296,
+       |        ((doc_id & 2147483647) * 2654435761 % 4294967296) // 65536) % 100 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, bucket,
+       |  CASE WHEN bucket < $trainPct THEN 'train'
+       |       WHEN bucket < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM h""".stripMargin
+
+  /** KMV (k-minimum-values) distinct sketch per event type — the
+    * oracle-checkable twin of `sketchStats`' HyperLogLog (whose register
+    * layout is engine-specific by construction). The k smallest values of a
+    * uniform hash determine the cardinality estimate (k-1)·M/h_k
+    * (Bar-Yossef et al.); under the engine-portable xor-shift hash both
+    * sides compute bit-identical estimates, so the SKETCH ITSELF is
+    * hash-oracle-verified — rare for an approximate structure. Scale shape:
+    * the per-key state is k values (bounded TopKAgg, map-side partials ⇒
+    * shuffle O(types·k) after the distinct), and KMV merges by
+    * union-then-retake-k, the property that makes it a distributed
+    * aggregate at all. */
+  def kmvDistinct(events: DataFrame, k: Int = 8): DataFrame = {
+    val h = pmod(col("user_id").bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L, lit(4294967296L))
+    val hv = h.bitwiseXOR(shiftright(h, 16))
+    events.select(col("event_type"), hv.as("hv")).distinct()
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.TopKAgg.topK(col("hv").cast("double") * -1, col("hv"), k).as("mins"),
+        count(lit(1)).as("n_distinct"))
+      .select(
+        col("event_type"), col("n_distinct"),
+        when(col("n_distinct") < k, col("n_distinct").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+            element_at(col("mins"), k).getField("id").cast("double")).as("est_users"))
+  }
+
+  def kmvDistinctSql(k: Int = 8): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    xor((user_id & 2147483647) * 2654435761 % 4294967296,
+       |        ((user_id & 2147483647) * 2654435761 % 4294967296) // 65536) AS hv
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, hv,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+       |  FROM h)
+       |SELECT event_type, CAST(MAX(nd) AS BIGINT) AS n_distinct,
+       |  CASE WHEN MAX(nd) < $k THEN CAST(MAX(nd) AS DOUBLE)
+       |       ELSE ${(k - 1).toDouble * 4294967296.0} /
+       |            CAST(MAX(CASE WHEN rn = $k THEN hv END) AS DOUBLE) END AS est_users
+       |FROM r GROUP BY event_type""".stripMargin
+
   /** Sketch-based statistics — the O(1)-memory cardinality/quantile tools
     * that replace exact distincts at 100 TB: HyperLogLog++ distinct users
     * and an approximate median per event type. rows-only (sketch estimates
