@@ -94,6 +94,7 @@ object SparkEntry {
     "quality_classifier" -> ((s, d) => TextAnalysis.qualityClassifier(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "winnow_fingerprint" -> ((s, d) => Winnow.winnowFingerprint(Tables.documents(s, d))),
     "corpus_filter" -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
     "pii_scrub" -> ((s, d) => Corpus.piiScrub(Tables.documents(s, d))),
     "corpus_sample" -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
@@ -201,6 +202,8 @@ object SparkEntry {
     // --- batch embedding pipeline (north star; rows-only: model is a
     //     deterministic hashed-feature stand-in) ---
     "embed_docs" -> ((s, d) => Embedding.embedDigest(Tables.documents(s, d))),
+    "embed_portable" -> ((s, d) => Embedding.embedPortable(Tables.documents(s, d))),
+    "embed_pool" -> ((s, d) => Embedding.meanPool(Tables.embeddings(s, d))),
     "rag_retrieve" -> ((s, d) =>
       Embedding.ragRetrieve(Tables.documents(s, d), Tables.embeddings(s, d))),
   )
@@ -324,6 +327,7 @@ object SparkEntry {
     "quality_classifier" -> TextAnalysis.qualityClassifierSql(),
     "token_count" -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.fingerprintSql,
+    "winnow_fingerprint" -> Winnow.winnowFingerprintSql(),
     "corpus_filter" -> Corpus.qualityFilterSql,
     "pii_scrub" -> Corpus.piiScrubSql,
     "corpus_sample" -> Corpus.stratifiedSampleSql(),
@@ -397,6 +401,8 @@ object SparkEntry {
     "mem_relate" -> Memory.relateSql,
     "mem_extract_commits" -> Memory.extractCommitsSql,
     "embed_qa" -> EmbedQa.embedQaSql(),
+    "embed_portable" -> Embedding.embedPortableSql(),
+    "embed_pool" -> Embedding.meanPoolSql,
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,
     "pack_builder" -> PackBuilder.packSql(kwTerms),

@@ -64,6 +64,98 @@ object Embedding {
     embed(documents, "doc_id", "text", dim)
       .select(col("id").as("doc_id"), xxhash64(col("embedding")).as("emb_digest"))
 
+  /** Mean-pooled class centroids over the embedding corpus — the pooling
+    * step of every bi-encoder pipeline (chunk vectors → doc vector, doc
+    * vectors → class prototype). Emitted exploded as (label, dim, n,
+    * mean_val): per-dim sums ride DECIMAL(38,18) through the string cast
+    * (order-independent across partitionings), the mean divides back in
+    * double via the string-cast recipe — hash-exact vs the oracle at any
+    * parallelism. One map-combined shuffle keyed by (label, dim). */
+  def meanPool(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast("string").cast("decimal(38,18)")).as("dsum"))
+      .select(col("label"), col("dim"), col("n"),
+        (col("dsum").cast("string").cast("double") / col("n")).as("mean_val"))
+
+  val meanPoolSql: String =
+    """WITH e AS (
+      |  SELECT label, embedding AS a, unnest(range(1, len(embedding) + 1)) AS i
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(CAST(a[i] AS VARCHAR) AS DECIMAL(38,18)) AS dv
+      |  FROM e)
+      |SELECT label, dim, COUNT(*) AS n,
+      |  CAST(CAST(SUM(dv) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_val
+      |FROM x GROUP BY label, dim""".stripMargin
+
+  /** Engine-PORTABLE hashed-feature embedding — the oracle-checkable twin
+    * of `embed` (whose splitmix64 kernel has no DuckDB equivalent, keeping
+    * embed_docs rows-only). Same fasttext-style model: each token hashes to
+    * a dimension (base-31 rolling hash mod p, the fingerprint family), adds
+    * ±1 by the xor-shift sign bit, and the vector L2-normalizes. Everything
+    * stays integer until the final normalize — the squared norm is an exact
+    * integer, sqrt and one division are correctly-rounded IEEE on both
+    * engines — so the full embedding matrix hash-matches DuckDB.
+    * Emitted exploded as (doc_id, dim, val) on hit dimensions only (a dim
+    * no token mapped to is absent — identical on both engines); one narrow
+    * zero-shuffle kernel, linear at 100 TB. */
+  def embedPortable(documents: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        val acc = new Array[Long](dim)
+        val hits = new Array[Boolean](dim)
+        text.trim.split("\\s+").foreach { t =>
+          var h = 0L
+          var i = 0
+          while (i < t.length) { h = (h * 31L + t.charAt(i)) % 1000000007L; i += 1 }
+          val j = (h % dim).toInt
+          val v = (h * 2654435761L + 40503L) % 4294967296L
+          if (((v ^ (v >>> 16)) & 1L) == 1L) acc(j) += 1L else acc(j) -= 1L
+          hits(j) = true
+        }
+        var sumsq = 0L
+        var j = 0
+        while (j < dim) { sumsq += acc(j) * acc(j); j += 1 }
+        val norm = math.sqrt(sumsq.toDouble)
+        (0 until dim).iterator.filter(hits).map { j =>
+          (docId, j.toLong, if (norm == 0.0) 0.0 else acc(j) / norm)
+        }
+      }
+      .toDF("doc_id", "dim", "val")
+  }
+
+  def embedPortableSql(dim: Int = 64): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |hx AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(tok, ''), x -> CAST(ord(x) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+       |  FROM tk),
+       |ac AS (
+       |  SELECT doc_id, h % $dim AS dim,
+       |    CAST(SUM(CASE WHEN xor((h * 2654435761 + 40503) % 4294967296,
+       |                           ((h * 2654435761 + 40503) % 4294967296) // 65536) % 2 = 1
+       |                  THEN 1 ELSE -1 END) AS BIGINT) AS acc
+       |  FROM hx GROUP BY doc_id, h % $dim),
+       |nm AS (
+       |  SELECT doc_id, CAST(SUM(acc * acc) AS BIGINT) AS sumsq
+       |  FROM ac GROUP BY doc_id)
+       |SELECT a.doc_id, a.dim,
+       |  CASE WHEN n.sumsq = 0 THEN 0.0
+       |       ELSE CAST(a.acc AS DOUBLE) / sqrt(CAST(n.sumsq AS DOUBLE)) END AS val
+       |FROM ac a JOIN nm n ON a.doc_id = n.doc_id""".stripMargin
+
   /** End-to-end RAG ingestion + retrieval (the north-star pipeline:
     * "batch embedding generation + DataFrame joins for retrieval"):
     * chunk documents → embed each chunk → cosine-join the corpus index →

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Embedding, Winnow}
+
+/** Semantic pins for the sketch/split/fingerprint/pooling batch — each
+  * operator is also hash-oracle-green via SparkEntry; these fix behavior on
+  * inputs where the right answer is known by construction. */
+class Round3CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("splitHoldout: partitions the corpus, deterministic, ~80/10/10") {
+    val d = docs((0L until 1000L).map(i => (i, "x")))
+    val out = Corpus.splitHoldout(d).select("doc_id", "split").as[(Long, String)].collect()
+    assert(out.length == 1000 && out.map(_._1).distinct.length == 1000)
+    val frac = out.groupBy(_._2).view.mapValues(_.length / 1000.0).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac("val") > 0.04 && frac("val") < 0.17)
+    assert(frac("test") > 0.04 && frac("test") < 0.17)
+    val again = Corpus.splitHoldout(d).select("doc_id", "split").as[(Long, String)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("kmvDistinct: estimate lands near the exact cardinality") {
+    val ev = (0 until 2000).map(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i), (i % 500).toLong, "a", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val Array((nd, est)) = Corpus.kmvDistinct(ev)
+      .select("n_distinct", "est_users").as[(Long, Double)].collect()
+    assert(nd == 500L) // no hash collisions on this id range
+    assert(est > 150.0 && est < 1500.0) // k=8 KMV: within ~3x of truth
+  }
+
+  test("kmvDistinct: below-k groups fall back to the exact count") {
+    val ev = (0 until 20).map(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i), (i % 3).toLong, "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val Array((nd, est)) = Corpus.kmvDistinct(ev)
+      .select("n_distinct", "est_users").as[(Long, Double)].collect()
+    assert(nd == 3L && est == 3.0)
+  }
+
+  test("winnow: a shared token run yields a shared fingerprint (MOSS guarantee)") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(Seq(
+      (1L, s"unrelated prefix one two $shared trailing words here"),
+      (2L, s"$shared completely different suffix material"),
+      (3L, "nothing in common with the others at all whatsoever")))
+    val fp = Winnow.winnowFingerprint(d)
+      .select("doc_id", "fp_hash").as[(Long, Long)].collect()
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)   // shared run ≥ w+2 tokens
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // winnowing density: far fewer fingerprints than shingles
+    assert(byDoc(1L).size < 10)
+  }
+
+  test("embedPortable: unit norm, identical docs agree, distinct docs differ") {
+    val d = docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different vocabulary in this document")))
+    val rows = Embedding.embedPortable(d)
+      .select("doc_id", "dim", "val").as[(Long, Long, Double)].collect()
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    byDoc.values.foreach { v =>
+      assert(math.abs(v.values.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L) != byDoc(3L))
+  }
+
+  test("meanPool: exact per-dim means on a known input") {
+    val emb = Seq(
+      (1L, Array(1f, 3f), 0),
+      (2L, Array(3f, 5f), 0),
+      (3L, Array(10f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Embedding.meanPool(emb)
+      .select("label", "dim", "n", "mean_val").as[(Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out((0, 0L)) == ((2L, 2.0)) && out((0, 1L)) == ((2L, 4.0)))
+    assert(out((1, 0L)) == ((1L, 10.0)) && out((1, 1L)) == ((1L, 0.0)))
+  }
+}
