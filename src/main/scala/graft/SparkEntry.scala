@@ -206,6 +206,8 @@ object SparkEntry {
     "embed_pool" -> ((s, d) => Embedding.meanPool(Tables.embeddings(s, d))),
     "rag_retrieve" -> ((s, d) =>
       Embedding.ragRetrieve(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "rag_retrieve_portable" -> ((s, d) =>
+      Embedding.ragRetrievePortable(Tables.documents(s, d), Tables.embeddings(s, d))),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (column names aligned with the
@@ -402,6 +404,7 @@ object SparkEntry {
     "mem_extract_commits" -> Memory.extractCommitsSql,
     "embed_qa" -> EmbedQa.embedQaSql(),
     "embed_portable" -> Embedding.embedPortableSql(),
+    "rag_retrieve_portable" -> Embedding.ragRetrievePortableSql(),
     "embed_pool" -> Embedding.meanPoolSql,
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,

@@ -104,32 +104,61 @@ object Embedding {
     * Emitted exploded as (doc_id, dim, val) on hit dimensions only (a dim
     * no token mapped to is absent — identical on both engines); one narrow
     * zero-shuffle kernel, linear at 100 TB. */
+  /** Shared accumulator for the portable kernel: per-dim ±1 sums, hit
+    * flags, and the exact-integer squared norm. */
+  private def portableAcc(text: String, dim: Int): (Array[Long], Array[Boolean], Long) = {
+    val acc = new Array[Long](dim)
+    val hits = new Array[Boolean](dim)
+    text.trim.split("\\s+").foreach { t =>
+      var h = 0L
+      var i = 0
+      while (i < t.length) { h = (h * 31L + t.charAt(i)) % 1000000007L; i += 1 }
+      val j = (h % dim).toInt
+      val v = (h * 2654435761L + 40503L) % 4294967296L
+      if (((v ^ (v >>> 16)) & 1L) == 1L) acc(j) += 1L else acc(j) -= 1L
+      hits(j) = true
+    }
+    var sumsq = 0L
+    var j = 0
+    while (j < dim) { sumsq += acc(j) * acc(j); j += 1 }
+    (acc, hits, sumsq)
+  }
+
   def embedPortable(documents: DataFrame, dim: Int = 64): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (docId, text) =>
-        val acc = new Array[Long](dim)
-        val hits = new Array[Boolean](dim)
-        text.trim.split("\\s+").foreach { t =>
-          var h = 0L
-          var i = 0
-          while (i < t.length) { h = (h * 31L + t.charAt(i)) % 1000000007L; i += 1 }
-          val j = (h % dim).toInt
-          val v = (h * 2654435761L + 40503L) % 4294967296L
-          if (((v ^ (v >>> 16)) & 1L) == 1L) acc(j) += 1L else acc(j) -= 1L
-          hits(j) = true
-        }
-        var sumsq = 0L
-        var j = 0
-        while (j < dim) { sumsq += acc(j) * acc(j); j += 1 }
+        val (acc, hits, sumsq) = portableAcc(text, dim)
         val norm = math.sqrt(sumsq.toDouble)
         (0 until dim).iterator.filter(hits).map { j =>
           (docId, j.toLong, if (norm == 0.0) 0.0 else acc(j) / norm)
         }
       }
       .toDF("doc_id", "dim", "val")
+  }
+
+  /** Dense-vector flavor of the portable embedding (float array, zero-filled
+    * dims) — the drop-in probe encoder for the oracle-checked retrieval
+    * pipeline. Same kernel, same narrow zero-shuffle shape as `embed`. */
+  def embedPortableVec(df: DataFrame, idCol: String, textCol: String,
+                       dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(iter => iter.map { case (id, text) =>
+        val (acc, _, sumsq) = portableAcc(text, dim)
+        val norm = math.sqrt(sumsq.toDouble)
+        val vec = new Array[Float](dim)
+        if (norm != 0.0) {
+          var j = 0
+          while (j < dim) { vec(j) = (acc(j) / norm).toFloat; j += 1 }
+        }
+        (id, vec)
+      })
+      .toDF("id", "embedding")
   }
 
   def embedPortableSql(dim: Int = 64): String =
@@ -178,5 +207,71 @@ object Embedding {
       .select(col("chunk_id"), posexplode(col("topk")))
       .select(col("chunk_id"), col("col.id").as("vec_id"),
         (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
+  }
+
+  /** The north-star pipeline with the PORTABLE encoder — chunk → embed →
+    * cosine-join → bounded top-k, every stage hash-oracle-checkable: chunk
+    * boundaries are the oracle-green chunkFixed split, probe vectors come
+    * from `embedPortableVec` (DuckDB replays the kernel), and the cosine is
+    * the fused CosineSimFF fold that DuckDB's list_sum transform matches
+    * bit-for-bit (knn_join precedent). Same plan as `ragRetrieve`: probe
+    * side broadcast, scoring in one codegen pass, shuffle O(chunks·k) via
+    * the bounded TopKAgg. */
+  def ragRetrievePortable(documents: DataFrame, index: DataFrame,
+                          nProbeDocs: Int = 10, k: Int = 3): DataFrame = {
+    val chunks = Chunking.chunkFixed(documents.filter(col("doc_id") < nProbeDocs))
+    val probeVecs = embedPortableVec(
+      chunks.select((col("doc_id") * 1000 + col("chunk_index")).as("chunk_id"), col("chunk_text")),
+      "chunk_id", "chunk_text")
+      .select(col("id").as("chunk_id"), col("embedding").as("pv"))
+    index
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(probeVecs))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .groupBy(col("chunk_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("vec_id"), k).as("topk"))
+      .select(col("chunk_id"), posexplode(col("topk")))
+      .select(col("chunk_id"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
+  }
+
+  def ragRetrievePortableSql(nProbeDocs: Int = 10, k: Int = 3, dim: Int = 64): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "p.pv", dim)
+    s"""WITH probe_docs AS (SELECT * FROM documents WHERE doc_id < $nProbeDocs),
+       |ch AS MATERIALIZED (${Chunking.chunkFixedSql().replace("FROM documents", "FROM probe_docs")}),
+       |tk AS (
+       |  SELECT doc_id * 1000 + chunk_index AS chunk_id,
+       |    unnest(string_split_regex(trim(chunk_text), '\\s+')) AS tok
+       |  FROM ch),
+       |hx AS (
+       |  SELECT chunk_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(tok, ''), x -> CAST(ord(x) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+       |  FROM tk),
+       |ac AS (
+       |  SELECT chunk_id, h % $dim AS dim,
+       |    CAST(SUM(CASE WHEN xor((h * 2654435761 + 40503) % 4294967296,
+       |                           ((h * 2654435761 + 40503) % 4294967296) // 65536) % 2 = 1
+       |                  THEN 1 ELSE -1 END) AS BIGINT) AS acc
+       |  FROM hx GROUP BY chunk_id, h % $dim),
+       |nm AS (
+       |  SELECT chunk_id, CAST(SUM(acc * acc) AS BIGINT) AS sumsq FROM ac GROUP BY chunk_id),
+       |grid AS (
+       |  SELECT chunk_id, unnest(range(0, $dim)) AS dim FROM nm),
+       |pv AS (
+       |  SELECT g.chunk_id,
+       |    list(CAST(CASE WHEN n.sumsq = 0 THEN 0.0
+       |                   ELSE CAST(COALESCE(a.acc, 0) AS DOUBLE) / sqrt(CAST(n.sumsq AS DOUBLE))
+       |              END AS FLOAT) ORDER BY g.dim) AS pv
+       |  FROM grid g
+       |  LEFT JOIN ac a ON a.chunk_id = g.chunk_id AND a.dim = g.dim
+       |  JOIN nm n ON n.chunk_id = g.chunk_id
+       |  GROUP BY g.chunk_id)
+       |SELECT p.chunk_id, e.vec_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY p.chunk_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rn,
+       |  $cos AS cos
+       |FROM embeddings e CROSS JOIN pv p
+       |QUALIFY rn <= $k""".stripMargin
   }
 }

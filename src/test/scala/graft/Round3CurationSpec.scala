@@ -75,6 +75,20 @@ class Round3CurationSpec extends SparkSpec {
     assert(byDoc(1L) != byDoc(3L))
   }
 
+  test("ragRetrievePortable: self-retrieval — a doc-sized chunk finds its own vector") {
+    val corpus = docs(Seq(
+      (0L, "spark shuffles partition data across executors during wide transforms"),
+      (1L, "broadcast joins replicate the small side to every task in the stage"),
+      (2L, "cats prefer sleeping in cardboard boxes during rainy afternoons")))
+    // index = portable embeddings of the corpus itself, keyed by doc_id
+    val index = Embedding.embedPortableVec(corpus, "doc_id", "text")
+      .select(col("id").as("vec_id"), col("embedding"))
+    val out = Embedding.ragRetrievePortable(corpus, index, nProbeDocs = 3, k = 1)
+      .select("chunk_id", "vec_id").as[(Long, Long)].collect()
+    // chunks are doc-sized here (texts < chunk size) → chunk_id = doc_id*1000
+    assert(out.toMap == Map(0L -> 0L, 1000L -> 1L, 2000L -> 2L))
+  }
+
   test("meanPool: exact per-dim means on a known input") {
     val emb = Seq(
       (1L, Array(1f, 3f), 0),
