@@ -57,6 +57,8 @@ object Bench {
             exact, graft.operators.Cluster.annIvfTrained(emb, nProbes = 10, k = 3)),
           "ann_pq@3" -> Recall.recallAtK(
             exact, graft.operators.ProductQuant.pqSearch(emb, nProbes = 10, k = 3)),
+          "ann_sq8@3" -> Recall.recallAtK(
+            exact, graft.operators.ScalarQuant.sq8Search(emb, nProbes = 10, k = 3)),
           "ann_ivf_pq@3" -> Recall.recallAtK(
             exact, graft.operators.ProductQuant.ivfPqSearch(emb, nProbes = 10, k = 3)))
       } catch { case _: Throwable => Map.empty[String, Double] }

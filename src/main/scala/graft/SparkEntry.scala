@@ -143,6 +143,7 @@ object SparkEntry {
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
     "semdedup" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
+    "ann_sq8" -> ((s, d) => ScalarQuant.sq8Search(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => ProductQuant.ivfPqSearch(Tables.embeddings(s, d))),
     // --- graph ---
     "graph_stats" -> ((s, d) => GraphOps.stats(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -348,6 +349,7 @@ object SparkEntry {
     "doc_cluster" -> Cluster.kmeansSql(),
     "semdedup" -> Cluster.semdedupSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
+    "ann_sq8" -> ScalarQuant.sq8SearchSql(),
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
     "bpe_train" -> Bpe.bpeTrainSql(),
     "bpe_encode" -> Bpe.bpeEncodeSql(),

