@@ -85,6 +85,9 @@ object SparkEntry {
       Search.hybrid(Tables.documents(s, d), Tables.embeddings(s, d), kwTerms)),
     "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d), kwTerms)),
     "rag_eval_mrr" -> ((s, d) => Search.mrrEval(Tables.embeddings(s, d))),
+    "hard_negatives" -> ((s, d) => Search.hardNegatives(Tables.embeddings(s, d))),
+    "topic_terms" -> ((s, d) =>
+      Cluster.topicTerms(Tables.documents(s, d), Tables.embeddings(s, d))),
     "rag_eval_ndcg" -> ((s, d) => Search.ndcgEval(Tables.embeddings(s, d))),
     "rrf_fusion" -> ((s, d) =>
       Search.rrfFusion(Tables.documents(s, d), Tables.embeddings(s, d), kwTerms)),
@@ -319,6 +322,8 @@ object SparkEntry {
     "hybrid_search" -> Search.hybridSql(kwTerms),
     "bm25_search" -> Search.bm25Sql(kwTerms),
     "rag_eval_mrr" -> Search.mrrEvalSql(),
+    "hard_negatives" -> Search.hardNegativesSql(),
+    "topic_terms" -> Cluster.topicTermsSql(),
     "rag_eval_ndcg" -> Search.ndcgEvalSql(),
     "rrf_fusion" -> Search.rrfFusionSql(kwTerms),
     "graph_triangles" -> GraphOps.trianglesSql,

@@ -213,4 +213,56 @@ object Cluster {
        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |WHERE $cos >= $threshold""".stripMargin
   }
+
+  /** Cluster topic labeling — the "what IS cluster 7" step after any
+    * clustering run: per label, the top-N distinguishing terms by TF-IDF
+    * (rational log-free idf, the tfidf precedent — no libm at query time).
+    * Docs pair to their cluster by doc_id = vec_id; the tf rollup is one
+    * map-combined shuffle keyed by (label, term), the df table is
+    * O(vocab), and the final top-N window partitions by label — never
+    * global. */
+  def topicTerms(documents: DataFrame, embeddings: DataFrame, topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = documents.select(col("doc_id"), col("text"))
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("label")), "doc_id")
+    val terms = labeled
+      .select(col("label"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("label"), col("term")).agg(count(lit(1)).as("tf"))
+    val nLabels = embeddings.select(countDistinct(col("label")).as("n_labels"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nLabels))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n_labels").cast("double") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5)))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("score").desc, col("term"))))
+      .filter(col("rn") <= topN)
+      .select(col("label"), col("rn").cast("long").as("rn"), col("term"),
+        col("tf"), col("score"))
+  }
+
+  def topicTermsSql(topN: Int = 5): String =
+    s"""WITH labeled AS (
+       |  SELECT e.label, d.text FROM documents d
+       |  JOIN embeddings e ON e.vec_id = d.doc_id),
+       |terms AS (
+       |  SELECT label, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM labeled),
+       |tf AS (
+       |  SELECT label, term, COUNT(*) AS tf FROM terms GROUP BY label, term),
+       |df AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |nl AS (SELECT COUNT(DISTINCT label) AS n_labels FROM embeddings),
+       |scored AS (
+       |  SELECT tf.label, tf.term, tf.tf,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      ((CAST(nl.n_labels AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+       |       (CAST(df.df AS DOUBLE) + 0.5)) AS score
+       |  FROM tf JOIN df ON df.term = tf.term CROSS JOIN nl)
+       |SELECT label,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY score DESC, term) AS BIGINT) AS rn,
+       |  term, tf, score
+       |FROM scored QUALIFY rn <= $topN""".stripMargin
 }

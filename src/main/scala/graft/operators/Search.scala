@@ -134,6 +134,39 @@ object Search {
        |QUALIFY rn <= $k""".stripMargin
   }
 
+  /** Hard-negative mining — the contrastive-training data step (DPR/SBERT
+    * recipe): for each probe, the top-k most-similar vectors with a
+    * DIFFERENT label are exactly the "hard" negatives a bi-encoder trains
+    * against (random negatives are too easy; same-label hits are
+    * positives). Same scale shape as `knnJoin`: probe side broadcast,
+    * scoring in one codegen pass, the label filter prunes BEFORE the
+    * bounded TopKAgg so the shuffle stays O(probes·k). */
+  def hardNegatives(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("label").as("p_label"))
+    embeddings
+      .select(col("vec_id").as("neg_id"), col("embedding"), col("label"))
+      .crossJoin(broadcast(probes))
+      .filter(col("label") =!= col("p_label"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("neg_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neg_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
+  }
+
+  def hardNegativesSql(nProbes: Int = 10, k: Int = 5): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "p.embedding")
+    s"""SELECT p.vec_id AS probe_id, e.vec_id AS neg_id,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rn,
+       |$cos AS cos
+       |FROM embeddings e JOIN embeddings p
+       |  ON p.vec_id < $nProbes AND e.label <> p.label
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
   /** Retrieval-quality evaluation (MRR) — the metric loop every retrieval
     * stack runs against its index: treat same-label vectors as relevant,
     * retrieve top-k with the exact knn join, and report each probe's

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Embedding, ScalarQuant, Winnow}
+import graft.operators.{Cluster, Corpus, Embedding, ScalarQuant, Search, Winnow}
 
 /** Semantic pins for the sketch/split/fingerprint/pooling batch — each
   * operator is also hash-oracle-green via SparkEntry; these fix behavior on
@@ -104,6 +104,30 @@ class Round3CurationSpec extends SparkSpec {
       .filter(col("rn") === 1)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
     assert(approx.keySet == exact.keySet)
+  }
+
+  test("hardNegatives: no negative carries the probe's own label") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val negs = Search.hardNegatives(emb, nProbes = 10, k = 5)
+      .select("probe_id", "neg_id").as[(Long, Long)].collect()
+    assert(negs.nonEmpty)
+    negs.foreach { case (p, n) => assert(labels(p) != labels(n)) }
+  }
+
+  test("topicTerms: a planted cluster-exclusive term tops its cluster") {
+    val d = docs(Seq(
+      (0L, "zork zork zork common words here"),
+      (1L, "zork zork common words again here"),
+      (2L, "plugh plugh plugh common words here"),
+      (3L, "plugh plugh common words again here")))
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = Cluster.topicTerms(d, emb, topN = 1)
+      .select("label", "term").as[(Int, String)].collect().toMap
+    assert(top(0) == "zork" && top(1) == "plugh")
   }
 
   test("meanPool: exact per-dim means on a known input") {
