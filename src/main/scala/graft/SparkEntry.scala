@@ -73,8 +73,6 @@ object SparkEntry {
     "chunk_markdown" -> ((s, d) =>
       graft.sources.Loaders.splitMarkdownSections(
         graft.sources.Loaders.syntheticMarkdownView(Tables.documents(s, d)))),
-    // rows-only: the reference's word-overlap split is a stateful per-doc
-    // loop (boundaries depend on all prior boundaries) — not SQL-portable
     "chunk_words" -> ((s, d) => Chunking.chunkWords(Tables.documents(s, d))),
     "keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), kwTerms)),
     "rank_files" -> ((s, d) =>
@@ -315,6 +313,7 @@ object SparkEntry {
     "range_join" -> AsOf.priceRangeJoinSql,
     "chunk_fixed" -> Chunking.chunkFixedSql(),
     "chunk_markdown" -> graft.sources.Loaders.splitMarkdownSql,
+    "chunk_words" -> Chunking.chunkWordsSql(),
     "keyword_search" -> Search.keywordSearchSql(kwTerms),
     "rank_files" -> Search.rankDocsSql(Seq("spark", "join"), "spark join", "en"),
     "vector_topk" -> Search.vectorTopKSql(),

@@ -46,7 +46,8 @@ object Chunking {
     * positions depend on every prior boundary (the running size resets to
     * the overlap's size), so this is genuinely sequential PER DOCUMENT —
     * a narrow typed kernel, still embarrassingly parallel across docs.
-    * rows-only (stateful loop not SQL-expressible); spec pins semantics. */
+    * Oracle-checked via a DuckDB list_reduce replay of the greedy loop
+    * (see [[chunkWordsSql]]); spec pins semantics besides. */
   def chunkWords(documents: DataFrame, chunkSize: Int = DefaultSize,
                  overlapWords: Int = 8): DataFrame = {
     val spark = documents.sparkSession
@@ -74,5 +75,46 @@ object Chunking {
         chunks.zipWithIndex.map { case (c, i) => (id, i.toLong, c) }
       }
       .toDF("doc_id", "chunk_index", "chunk_text")
+  }
+
+  /** DuckDB replay of the greedy word loop — a sequential fold IS
+    * SQL-expressible after all, via list_reduce with the whole chunker
+    * state packed into one VARCHAR accumulator (list_reduce requires
+    * accumulator type = element type, so a struct won't do):
+    * `emitted-chunks ␝-separated` ␞ `current-words`. The running size
+    * needs no state: cur.map(_.length+1).sum == length(join(cur,' '))+1.
+    * Relies on the corpus being ASCII text (no ␝/␞ control chars) — the
+    * same precondition the multimodal string-replay oracles verify. */
+  def chunkWordsSql(chunkSize: Int = DefaultSize, overlapWords: Int = 8): String = {
+    val cur = "string_split(acc, chr(30))[-1]"
+    val chs = "string_split(acc, chr(30))[1]"
+    s"""WITH st AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(chr(30),
+       |      list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')),
+       |    (acc, w) -> CASE
+       |      WHEN (CASE WHEN $cur = '' THEN 0 ELSE length($cur) + 1 END)
+       |             + length(w) + 1 > $chunkSize
+       |           AND $cur <> ''
+       |      THEN $chs
+       |           || (CASE WHEN $chs = '' THEN '' ELSE chr(29) END)
+       |           || $cur || chr(30)
+       |           || array_to_string(string_split($cur, ' ')[-$overlapWords:], ' ')
+       |           || ' ' || w
+       |      ELSE $chs || chr(30)
+       |           || (CASE WHEN $cur = '' THEN w ELSE $cur || ' ' || w END)
+       |    END) AS s
+       |  FROM documents),
+       |fl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN string_split(s, chr(30))[-1] = '' THEN string_split(s, chr(30))[1]
+       |         WHEN string_split(s, chr(30))[1] = '' THEN string_split(s, chr(30))[-1]
+       |         ELSE string_split(s, chr(30))[1] || chr(29) || string_split(s, chr(30))[-1]
+       |    END AS packed
+       |  FROM st),
+       |ex AS (
+       |  SELECT doc_id, string_split(packed, chr(29)) AS ch FROM fl WHERE packed <> '')
+       |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_index, ch[i] AS chunk_text
+       |FROM (SELECT doc_id, ch, unnest(range(1, len(ch) + 1)) AS i FROM ex)""".stripMargin
   }
 }
