@@ -59,6 +59,8 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_funnel" -> ((s, d) => Relational.funnel(Tables.events(s, d))),
     "events_spike" -> ((s, d) => Relational.eventSpikes(Tables.events(s, d))),
+    "events_zscore" -> ((s, d) => Relational.eventZscores(Tables.events(s, d))),
+    "langid_eval" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d))),
     "asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
     "zorder_key" -> ((s, d) =>
       Tables.lineitem(s, d).select(
@@ -305,6 +307,7 @@ object SparkEntry {
     "q_histogram" -> Relational.priceHistogramSql(),
     "q_funnel" -> Relational.funnelSql,
     "events_spike" -> Relational.eventSpikesSql,
+    "events_zscore" -> Relational.eventZscoresSql(),
     "asof_join" -> AsOf.purchaseAttributionSql,
     "zorder_key" ->
       s"""SELECT l_orderkey, l_partkey,
@@ -330,6 +333,7 @@ object SparkEntry {
     "snapshot_diff" -> SnapshotDiff.snapshotDiffSql,
     "bloom_dedup" -> BloomDedup.bloomDedupSql(),
     "lang_id" -> TextAnalysis.langIdSql,
+    "langid_eval" -> TextAnalysis.langIdEvalSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "quality_classifier" -> TextAnalysis.qualityClassifierSql(),
     "token_count" -> TextAnalysis.tokenCountSql,

@@ -469,6 +469,56 @@ object Relational {
       .select(col("event_type"), col("hour"), col("n"), col("med_n"))
   }
 
+  /** Z-score anomaly detection over hourly event rates — the variance
+    * companion to `eventSpikes`' median gate (classic ops-metrics
+    * monitoring). Determinism: hourly counts are integers, so the mean is
+    * one exact-integer division and the population variance is the
+    * all-integer identity (n·Σx² − (Σx)²)/n² — no summation-order
+    * dependence ever enters; sqrt and the final compare are
+    * correctly-rounded IEEE on both engines. Zero-variance groups are
+    * excluded BEFORE the z division (NaN compares diverge across engines).
+    * At extreme scale the Σx² rollup would ride DECIMAL(38,0). One shuffle
+    * for the rollup, O(types) stats broadcast back. */
+  def eventZscores(events: DataFrame, thresh: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("nh"), sum(col("n")).as("s"), sum(col("n") * col("n")).as("ss"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("meanv", col("s").cast("double") / col("nh").cast("double"))
+      .withColumn("varv",
+        (col("nh") * col("ss") - col("s") * col("s")).cast("double")
+          / (col("nh") * col("nh")).cast("double"))
+      .filter(col("varv") > 0)
+      .withColumn("z", (col("n").cast("double") - col("meanv")) / sqrt(col("varv")))
+      .filter(abs(col("z")) > thresh)
+      .select(col("event_type"), col("hour"), col("n"), col("z"))
+  }
+
+  def eventZscoresSql(thresh: Double = 2.0): String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       |         COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT event_type, COUNT(*) AS nh, CAST(SUM(n) AS BIGINT) AS s,
+       |         CAST(SUM(n * n) AS BIGINT) AS ss
+       |  FROM hourly GROUP BY event_type),
+       |sc AS (
+       |  SELECT h.event_type, h.hour, h.n,
+       |    CAST(st.s AS DOUBLE) / CAST(st.nh AS DOUBLE) AS meanv,
+       |    CAST(st.nh * st.ss - st.s * st.s AS DOUBLE)
+       |      / CAST(st.nh * st.nh AS DOUBLE) AS varv
+       |  FROM hourly h JOIN stats st ON st.event_type = h.event_type
+       |  WHERE CAST(st.nh * st.ss - st.s * st.s AS DOUBLE)
+       |      / CAST(st.nh * st.nh AS DOUBLE) > 0)
+       |SELECT event_type, hour, n,
+       |  (CAST(n AS DOUBLE) - meanv) / sqrt(varv) AS z
+       |FROM sc
+       |WHERE abs((CAST(n AS DOUBLE) - meanv) / sqrt(varv)) > $thresh""".stripMargin
+
   val eventSpikesSql: String =
     """WITH hourly AS (
       |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

@@ -37,6 +37,22 @@ object TextAnalysis {
        |     ELSE 'zh' END AS predicted_lang
        |FROM documents""".stripMargin
 
+  /** Language-ID evaluation — the confusion matrix of the heuristic
+    * classifier against the corpus's ground-truth lang column (the eval
+    * loop any classifier ships with). One narrow scan + one small grouped
+    * rollup; the matrix is O(langs²) rows regardless of corpus size. */
+  def langIdEval(documents: DataFrame): DataFrame =
+    langId(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  def langIdEvalSql: String =
+    s"""WITH pred AS ($langIdSql)
+       |SELECT d.lang, p.predicted_lang, COUNT(*) AS n
+       |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+       |GROUP BY d.lang, p.predicted_lang""".stripMargin
+
   /** Quality features: char/token counts, type-token ratio, punctuation
     * ratio, stopword ratio, mean word length. */
   def qualityScore(documents: DataFrame): DataFrame = {

@@ -130,6 +130,28 @@ class Round3CurationSpec extends SparkSpec {
     assert(top(0) == "zork" && top(1) == "plugh")
   }
 
+  test("eventZscores: zero-variance groups are excluded, outliers flagged") {
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // type "flat": 1 event/hour for 4 hours (variance 0 → no rows);
+    // type "spiky": 1,1,1,9 (mean 3, var 12 → z(9) = 6/sqrt(12) ≈ 1.73… use thresh 1.5)
+    val rows =
+      (0 until 4).map(h => (h.toLong, ts(h, 0), 1L, "flat", 0.0, "{}")) ++
+        Seq((10L, ts(0, 1), 1L, "spiky", 0.0, "{}"), (11L, ts(1, 1), 1L, "spiky", 0.0, "{}"),
+          (12L, ts(2, 1), 1L, "spiky", 0.0, "{}")) ++
+        (0 until 9).map(i => (20L + i, ts(3, 1 + i), 1L, "spiky", 0.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Relational.eventZscores(ev, thresh = 1.5)
+      .select("event_type", "n").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("spiky", 9L)))
+  }
+
+  test("langIdEval: confusion-matrix cells sum to the corpus size") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val total = graft.operators.TextAnalysis.langIdEval(d)
+      .agg(sum("n")).as[Long].collect().head
+    assert(total == d.count())
+  }
+
   test("meanPool: exact per-dim means on a known input") {
     val emb = Seq(
       (1L, Array(1f, 3f), 0),
