@@ -154,6 +154,7 @@ object SparkEntry {
     "graph_khop" -> ((s, d) =>
       GraphOps.khop(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_shortest_path" -> ((s, d) => GraphOps.shortestPaths(Tables.lineitem(s, d))),
+    "graph_betweenness" -> ((s, d) => GraphOps.betweenness(Tables.lineitem(s, d))),
     "graph_path_trace" -> ((s, d) => GraphOps.shortestPathTrace(Tables.lineitem(s, d))),
     "graph_nodes_by_label" -> ((s, d) =>
       GraphOps.nodesByLabel(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -387,6 +388,7 @@ object SparkEntry {
     "graph_degree" -> GraphOps.degreesSql,
     "graph_khop" -> GraphOps.khopSql,
     "graph_shortest_path" -> GraphOps.shortestPathsSql(),
+    "graph_betweenness" -> GraphOps.betweennessSql(),
     "graph_pagerank" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),
     "graph_ppr" -> GraphOps.personalizedPageRankSql(),

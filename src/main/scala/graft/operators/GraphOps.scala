@@ -313,6 +313,100 @@ object GraphOps {
        |(SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
        |GROUP BY node""".stripMargin
 
+  /** Single-source betweenness contributions (Brandes' algorithm, the one
+    * classic centrality the degree/pagerank/hits family doesn't cover):
+    * forward BFS accumulates shortest-path counts σ level by level
+    * (exact-integer sums), then the backward pass folds dependencies
+    * δ(v) = Σ_w (σ_v/σ_w)(1+δ_w) from the deepest level up. At scale this
+    * runs from a SAMPLE of sources (the standard approximation — each
+    * source is an independent run, embarrassingly parallel); here one
+    * deterministic source keeps the oracle exact.
+    *
+    * Determinism: σ is integer throughout; each δ rollup sums its terms as
+    * DECIMAL(38,18) via the string cast (order-independent) and re-enters
+    * double through the string cast — the replayable-iteration recipe
+    * (pageRank/HITS precedent). Every level is one frontier⋈edges join +
+    * grouped sum — log-depth loop, fully distributed. */
+  def betweenness(lineitem: DataFrame, maxDepth: Int = 3): DataFrame = {
+    val cp = copurchase(lineitem).materialize
+    val s0 = cp.agg(min(col("src")).as("node"))
+      .select(col("node"), lit(1L).as("sigma")).materialize
+    val levels = scala.collection.mutable.ArrayBuffer(s0)
+    var seen = s0.select(col("node"))
+    for (_ <- 1 to maxDepth) {
+      val next = levels.last.join(cp, col("node") === col("src"))
+        .join(seen.select(col("node").as("sn")), col("dst") === col("sn"), "left_anti")
+        .groupBy(col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("dst").as("node"), col("sigma")).materialize
+      levels += next
+      seen = seen.unionAll(next.select(col("node"))).materialize
+    }
+    var delta = levels(maxDepth).select(col("node"), col("sigma"), lit(0.0).as("delta"))
+    var out = delta.select(col("node"), lit(maxDepth.toLong).as("dist"),
+      col("sigma"), col("delta"))
+    for (d <- maxDepth - 1 to 1 by -1) {
+      val cur = levels(d)
+      val contrib = cur.join(cp, col("node") === col("src"))
+        .join(delta.select(col("node").as("w"), col("sigma").as("sw"), col("delta").as("dw")),
+          col("dst") === col("w"))
+        .select(col("node"),
+          ((col("sigma").cast("double") / col("sw").cast("double"))
+            * (lit(1.0) + col("dw"))).as("term"))
+        .groupBy(col("node"))
+        .agg(sum(col("term").cast("string").cast("decimal(38,18)")).as("dsum"))
+        .select(col("node"), col("dsum").cast("string").cast("double").as("dd"))
+      delta = cur.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("sigma"), coalesce(col("dd"), lit(0.0)).as("delta"))
+        .materialize
+      out = out.unionAll(delta.select(col("node"), lit(d.toLong).as("dist"),
+        col("sigma"), col("delta")))
+    }
+    out
+  }
+
+  def betweennessSql(maxDepth: Int = 3): String = {
+    require(maxDepth == 3, "oracle replay is spelled for depth 3")
+    val term = "CAST(CAST((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)) * (1.0 + w.delta) AS VARCHAR) AS DECIMAL(38,18))"
+    s"""WITH cp AS ($copurchaseSql),
+       |s0 AS (SELECT MIN(src) AS node, CAST(1 AS BIGINT) AS sigma FROM cp),
+       |l1 AS (
+       |  SELECT cp.dst AS node, CAST(SUM(s0.sigma) AS BIGINT) AS sigma
+       |  FROM s0 JOIN cp ON s0.node = cp.src
+       |  WHERE cp.dst NOT IN (SELECT node FROM s0) GROUP BY cp.dst),
+       |l2 AS (
+       |  SELECT cp.dst AS node, CAST(SUM(l1.sigma) AS BIGINT) AS sigma
+       |  FROM l1 JOIN cp ON l1.node = cp.src
+       |  WHERE cp.dst NOT IN (SELECT node FROM s0 UNION ALL SELECT node FROM l1)
+       |  GROUP BY cp.dst),
+       |l3 AS (
+       |  SELECT cp.dst AS node, CAST(SUM(l2.sigma) AS BIGINT) AS sigma
+       |  FROM l2 JOIN cp ON l2.node = cp.src
+       |  WHERE cp.dst NOT IN (SELECT node FROM s0 UNION ALL SELECT node FROM l1
+       |                       UNION ALL SELECT node FROM l2)
+       |  GROUP BY cp.dst),
+       |d3 AS (SELECT node, sigma, 0.0 AS delta FROM l3),
+       |c2 AS (
+       |  SELECT v.node, SUM($term) AS dsum
+       |  FROM l2 v JOIN cp ON cp.src = v.node JOIN d3 w ON w.node = cp.dst
+       |  GROUP BY v.node),
+       |d2 AS (
+       |  SELECT l2.node, l2.sigma,
+       |    COALESCE(CAST(CAST(c2.dsum AS VARCHAR) AS DOUBLE), 0.0) AS delta
+       |  FROM l2 LEFT JOIN c2 ON c2.node = l2.node),
+       |c1 AS (
+       |  SELECT v.node, SUM($term) AS dsum
+       |  FROM l1 v JOIN cp ON cp.src = v.node JOIN d2 w ON w.node = cp.dst
+       |  GROUP BY v.node),
+       |d1 AS (
+       |  SELECT l1.node, l1.sigma,
+       |    COALESCE(CAST(CAST(c1.dsum AS VARCHAR) AS DOUBLE), 0.0) AS delta
+       |  FROM l1 LEFT JOIN c1 ON c1.node = l1.node)
+       |SELECT node, CAST(3 AS BIGINT) AS dist, sigma, delta FROM d3
+       |UNION ALL SELECT node, CAST(2 AS BIGINT) AS dist, sigma, delta FROM d2
+       |UNION ALL SELECT node, CAST(1 AS BIGINT) AS dist, sigma, delta FROM d1""".stripMargin
+  }
+
   /** Connected components over the sampled co-purchase graph: iterative
     * min-label propagation (each round every node takes the min label in
     * its neighborhood; converges in diameter rounds). Per-round

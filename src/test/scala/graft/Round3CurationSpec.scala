@@ -152,6 +152,24 @@ class Round3CurationSpec extends SparkSpec {
     assert(total == d.count())
   }
 
+  test("betweenness: hand-computed Brandes values on a path and a diamond") {
+    def li(rows: (Long, Long)*) =
+      rows.map { case (ok, pk) => (ok, pk, 1L) }.toDF("l_orderkey", "l_partkey", "l_suppkey")
+    // path 1-2-3-4 (each order links two parts): δ = 2, 1, 0 down the line
+    val path = li((100L, 1L), (100L, 2L), (200L, 2L), (200L, 3L), (300L, 3L), (300L, 4L))
+    val p = graft.operators.GraphOps.betweenness(path)
+      .select("node", "dist", "sigma", "delta").as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(p(2L) == ((1L, 1L, 2.0)) && p(3L) == ((2L, 1L, 1.0)) && p(4L) == ((3L, 1L, 0.0)))
+    // diamond 1-{2,3}-4: two shortest paths to 4 (σ=2), δ(2)=δ(3)=0.5
+    val diamond = li((100L, 1L), (100L, 2L), (200L, 1L), (200L, 3L),
+      (300L, 2L), (300L, 4L), (400L, 3L), (400L, 4L))
+    val dm = graft.operators.GraphOps.betweenness(diamond)
+      .select("node", "sigma", "delta").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dm(2L) == ((1L, 0.5)) && dm(3L) == ((1L, 0.5)) && dm(4L) == ((2L, 0.0)))
+  }
+
   test("meanPool: exact per-dim means on a known input") {
     val emb = Seq(
       (1L, Array(1f, 3f), 0),
