@@ -103,6 +103,7 @@ object SparkEntry {
     "corpus_sample" -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
     "corpus_shuffle" -> ((s, d) => Corpus.corpusShuffle(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => Corpus.stats(Tables.documents(s, d))),
+    "url_hosts" -> ((s, d) => UrlOps.urlHostStats(Tables.documents(s, d))),
     "split_holdout" -> ((s, d) => Corpus.splitHoldout(Tables.documents(s, d))),
     "kmv_distinct" -> ((s, d) => Corpus.kmvDistinct(Tables.events(s, d))),
     "dataset_card" -> ((s, d) => Corpus.datasetCard(Tables.documents(s, d))),
@@ -128,6 +129,8 @@ object SparkEntry {
     "tfidf" -> ((s, d) => TermStats.tfidf(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => ExactSubstr.substringDedup(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_containment" -> ((s, d) => Containment.containmentPairs(Tables.documents(s, d))),
+    "cms_freq" -> ((s, d) => CountMin.cmsFreq(Tables.documents(s, d))),
     // rows-only: transitive clustering is not bounded-depth SQL
     "dedup_resolve" -> ((s, d) => Dedup.resolve(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -144,6 +147,7 @@ object SparkEntry {
     "ann_ivf_mp" -> ((s, d) => Dedup.annIvfMultiprobe(Tables.embeddings(s, d))),
     "ann_ivf_tr" -> ((s, d) => Cluster.annIvfTrained(Tables.embeddings(s, d))),
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
+    "doc_outlier" -> ((s, d) => Cluster.docOutliers(Tables.embeddings(s, d))),
     "semdedup" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
     "ann_sq8" -> ((s, d) => ScalarQuant.sq8Search(Tables.embeddings(s, d))),
@@ -155,6 +159,7 @@ object SparkEntry {
       GraphOps.khop(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_shortest_path" -> ((s, d) => GraphOps.shortestPaths(Tables.lineitem(s, d))),
     "graph_betweenness" -> ((s, d) => GraphOps.betweenness(Tables.lineitem(s, d))),
+    "graph_closeness" -> ((s, d) => GraphOps.closeness(Tables.lineitem(s, d))),
     "graph_path_trace" -> ((s, d) => GraphOps.shortestPathTrace(Tables.lineitem(s, d))),
     "graph_nodes_by_label" -> ((s, d) =>
       GraphOps.nodesByLabel(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -192,6 +197,7 @@ object SparkEntry {
     "mem_summary" -> ((s, d) => Memory.summary(Tables.documents(s, d))),
     "mem_supersede" -> ((s, d) => Memory.supersedeResolve(Tables.documents(s, d))),
     "mem_relate" -> ((s, d) => Memory.relate(Tables.documents(s, d))),
+    "mem_combine" -> ((s, d) => Memory.combine(Tables.documents(s, d))),
     "mem_extract_commits" -> ((s, d) => Memory.extractCommits(Tables.documents(s, d))),
     "embed_qa" -> ((s, d) => EmbedQa.embedQa(Tables.embeddings(s, d))),
     "schema_classify" -> ((s, d) => SchemaClassify.classify(Tables.part(s, d))),
@@ -345,6 +351,7 @@ object SparkEntry {
     "corpus_sample" -> Corpus.stratifiedSampleSql(),
     "corpus_shuffle" -> Corpus.corpusShuffleSql(),
     "corpus_stats" -> Corpus.statsSql,
+    "url_hosts" -> UrlOps.urlHostStatsSql(),
     "split_holdout" -> Corpus.splitHoldoutSql(),
     "kmv_distinct" -> Corpus.kmvDistinctSql(),
     "dataset_card" -> Corpus.datasetCardSql,
@@ -356,6 +363,7 @@ object SparkEntry {
     "domain_mix" -> DomainMix.domainMixSql(),
     "budget_sample" -> DomainMix.budgetSampleSql(),
     "doc_cluster" -> Cluster.kmeansSql(),
+    "doc_outlier" -> Cluster.docOutliersSql(),
     "semdedup" -> Cluster.semdedupSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
     "ann_sq8" -> ScalarQuant.sq8SearchSql(),
@@ -371,6 +379,8 @@ object SparkEntry {
     "tfidf" -> TermStats.tfidfSql(),
     "dedup_substring" -> ExactSubstr.substringDedupSql(),
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    "dedup_containment" -> Containment.containmentPairsSql(),
+    "cms_freq" -> CountMin.cmsFreqSql(),
     "minhash_portable" -> MinhashPortable.minhashPortableSql(),
     "minhash_lsh_portable" -> MinhashPortable.minhashLshPortableSql(),
     "simhash_portable" -> MinhashPortable.simhashPortableSql(),
@@ -389,6 +399,7 @@ object SparkEntry {
     "graph_khop" -> GraphOps.khopSql,
     "graph_shortest_path" -> GraphOps.shortestPathsSql(),
     "graph_betweenness" -> GraphOps.betweennessSql(),
+    "graph_closeness" -> GraphOps.closenessSql(),
     "graph_pagerank" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),
     "graph_ppr" -> GraphOps.personalizedPageRankSql(),
@@ -413,6 +424,7 @@ object SparkEntry {
     "mem_summary" -> Memory.summarySql,
     "mem_supersede" -> Memory.supersedeResolveSql,
     "mem_relate" -> Memory.relateSql,
+    "mem_combine" -> Memory.combineSql(),
     "mem_extract_commits" -> Memory.extractCommitsSql,
     "embed_qa" -> EmbedQa.embedQaSql(),
     "embed_portable" -> Embedding.embedPortableSql(),

@@ -265,4 +265,38 @@ object Cluster {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY score DESC, term) AS BIGINT) AS rn,
        |  term, tf, score
        |FROM scored QUALIFY rn <= $topN""".stripMargin
+
+  /** Prototypicality-based outlier flagging (the SSL-prototypes pruning
+    * recipe, Sorscher et al. 2022: distance to the cluster prototype is
+    * the data-pruning signal): assign every vector to its k-means cell,
+    * rank WITHIN the cell by ascending cosine-to-centroid, flag the
+    * bottom `perCluster` as outliers — candidates for pruning (or, under
+    * the opposite policy, the hard examples worth keeping). The window is
+    * cluster-partitioned (k partitions, never global); everything else is
+    * the zero-shuffle assignment scan kmeans already does. */
+  def docOutliers(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
+                  perCluster: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("cos_to_centroid"), col("vec_id"))
+    kmeans(embeddings, k, iters)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perCluster)
+      .select(col("vec_id"), col("cluster"), col("cos_to_centroid"), col("rank"))
+  }
+
+  def docOutliersSql(k: Int = 8, iters: Int = 1, perCluster: Int = 5): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "c.embedding")
+    s"""WITH ${centsSql(k, iters)},
+       |asg AS (
+       |  SELECT e.vec_id, c.cell AS cluster, $cos AS cos_to_centroid
+       |  FROM embeddings e CROSS JOIN cents_$iters c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell) = 1),
+       |rk AS (
+       |  SELECT vec_id, cluster, cos_to_centroid,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+       |                            ORDER BY cos_to_centroid, vec_id) AS BIGINT) AS rank
+       |  FROM asg)
+       |SELECT vec_id, cluster, cos_to_centroid, rank FROM rk WHERE rank <= $perCluster""".stripMargin
+  }
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch term-frequency estimation — the fixed-memory streaming
+  * counterpart of term_freq (Cormode & Muthukrishnan 2005). d hash rows ×
+  * width cells; every occurrence increments one cell per row; the estimate
+  * for a term is the MIN over its d cells — always ≥ the true count, with
+  * overcount ≤ (e/width)·N w.h.p. The sketch is the archetypal 100 TB
+  * profiling artifact: d·width integers summarize an unbounded token
+  * stream, mergeable across partitions by plain cell-wise addition (which
+  * is exactly what the groupBy(row, cell) SUM below does — map-side
+  * partial aggregation IS the sketch merge).
+  *
+  * Engine-portable by construction: the same base-31 rolling hash mod p +
+  * universal-hash row family as MinhashPortable (a_i·x+b_i mod p, Knuth
+  * constants), so DuckDB rebuilds the identical sketch and the estimates
+  * hash-match — a sketch query with an EXACT oracle.
+  *
+  * Scale shape: one distinct-term shuffle (the same cost term_freq already
+  * pays) builds the sketch; the per-char hash fold runs over distinct
+  * TERMS (bounded vocabulary), not token occurrences, so the interpreted
+  * HOF is off the corpus-sized path. Probes (top-k terms) and the sketch
+  * itself are broadcast-sized artifacts.
+  */
+object CountMin {
+
+  val Mod: Long = MinhashPortable.Mod
+
+  /** (term, tf, cms_est) for the top-`probes` exact terms: true count next
+    * to the sketch estimate. Spec asserts est ≥ tf always (the CMS
+    * guarantee); the oracle asserts bit-equality. */
+  def cmsFreq(documents: DataFrame, d: Int = 4, width: Int = 256,
+              probes: Int = 20): DataFrame = {
+    val tf = documents
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    // per-char fold over the bounded distinct-term vocabulary
+    val hx = tf.withColumn("x",
+      aggregate(split(col("term"), ""), lit(0L),
+        (acc, c) => (acc * 31L + ascii(c)) % Mod))
+    val rows = (0 until d).map { i =>
+      val a = ((i + 1).toLong * 2654435761L) % Mod
+      val b = ((i + 1).toLong * 40503L) % Mod
+      hx.select(lit(i.toLong).as("row"),
+        ((lit(a) * col("x") + lit(b)) % Mod % width).as("cell"), col("tf"))
+    }.reduce(_ unionAll _)
+    val sketch = rows.groupBy(col("row"), col("cell")).agg(sum(col("tf")).as("total"))
+    val probe = hx.orderBy(desc("tf"), col("term")).limit(probes)
+    val probeCells = (0 until d).map { i =>
+      val a = ((i + 1).toLong * 2654435761L) % Mod
+      val b = ((i + 1).toLong * 40503L) % Mod
+      probe.select(col("term"), col("tf"), lit(i.toLong).as("row"),
+        ((lit(a) * col("x") + lit(b)) % Mod % width).as("cell"))
+    }.reduce(_ unionAll _)
+    probeCells.join(sketch, Seq("row", "cell"))
+      .groupBy(col("term"), col("tf"))
+      .agg(min(col("total")).as("cms_est"))
+  }
+
+  def cmsFreqSql(d: Int = 4, width: Int = 256, probes: Int = 20): String =
+    s"""WITH tf AS (
+       |  SELECT term, COUNT(*) AS tf FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents)
+       |  WHERE term <> '' GROUP BY 1),
+       |hx AS (
+       |  SELECT term, tf, list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(term, ''), x -> CAST(ord(x) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % $Mod) AS x
+       |  FROM tf),
+       |cells AS (
+       |  SELECT i.i AS row,
+       |    ((((i.i + 1) * 2654435761 % $Mod) * x + (i.i + 1) * 40503 % $Mod) % $Mod) % $width AS cell,
+       |    tf
+       |  FROM hx CROSS JOIN (SELECT unnest(range(0, $d)) AS i) i),
+       |sketch AS (SELECT row, cell, CAST(SUM(tf) AS BIGINT) AS total FROM cells GROUP BY 1, 2),
+       |probe AS (SELECT term, tf, x FROM hx ORDER BY tf DESC, term LIMIT $probes),
+       |pc AS (
+       |  SELECT term, tf, i.i AS row,
+       |    ((((i.i + 1) * 2654435761 % $Mod) * x + (i.i + 1) * 40503 % $Mod) % $Mod) % $width AS cell
+       |  FROM probe CROSS JOIN (SELECT unnest(range(0, $d)) AS i) i)
+       |SELECT pc.term, pc.tf, MIN(s.total) AS cms_est
+       |FROM pc JOIN sketch s ON pc.row = s.row AND pc.cell = s.cell
+       |GROUP BY 1, 2""".stripMargin
+}

@@ -167,7 +167,7 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  private def hashShingle(s: String): Long = {
+  private[operators] def hashShingle(s: String): Long = {
     var h = 1125899906842597L
     var i = 0
     while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }

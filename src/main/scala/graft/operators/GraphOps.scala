@@ -303,6 +303,66 @@ object GraphOps {
     s"""WITH e AS ($edgesSql)
        |SELECT src, dst, rel FROM e WHERE rel = '$rel'""".stripMargin
 
+  /** Harmonic closeness centrality (GDS closeness analog), bounded depth —
+    * h(s) = Σ_{v≠s, d(s,v)≤D} 1/d(s,v), the centrality behind "which node
+    * reaches the graph fastest". Exact all-pairs closeness is O(V·E) and
+    * nobody runs it at 100 TB; the production form is (a) seed-sampled and
+    * (b) depth-bounded, both of which this operator is: seeds are the
+    * deterministic node sample (node % seedMod = 0), and the multi-source
+    * BFS carries (seed, node) pairs through `maxDepth` join rounds — one
+    * shuffle per level, frontier bounded by seeds × depth-D neighborhood.
+    * With d ∈ {1,2,3} the harmonic sum stays in the integers as
+    * 6·h = 6·n1 + 3·n2 + 2·n3 (LCM trick) — no float division anywhere,
+    * so the DuckDB 3-level replay hash-matches exactly. */
+  def closeness(lineitem: DataFrame, seedMod: Long = 20L): DataFrame = {
+    val cp = copurchase(lineitem).materialize
+    val seeds = cp.select(col("src").as("s")).distinct()
+      .filter(pmod(col("s"), lit(seedMod)) === 0L)
+    var all = seeds.select(col("s"), col("s").as("node"), lit(0L).as("dist"))
+    var frontier = all
+    for (d <- 1 to 3) {
+      frontier = frontier.as("f").join(cp.as("e"), col("f.node") === col("e.src"))
+        .select(col("f.s").as("s"), col("e.dst").as("node"), lit(d.toLong).as("dist"))
+        .distinct()
+        .join(all.select(col("s").as("s2"), col("node").as("seen")),
+          col("s") === col("s2") && col("node") === col("seen"), "left_anti")
+        .materialize
+      all = all.unionAll(frontier)
+    }
+    all.filter(col("dist") > 0L)
+      .groupBy(col("s").as("node"))
+      .agg(
+        sum(when(col("dist") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("dist") === 2L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("dist") === 3L, 1L).otherwise(0L)).as("n3"))
+      .withColumn("harmonic6", col("n1") * 6L + col("n2") * 3L + col("n3") * 2L)
+  }
+
+  def closenessSql(seedMod: Long = 20L): String =
+    s"""WITH cp AS ($copurchaseSql),
+       |l0 AS (SELECT DISTINCT src AS s, src AS node FROM cp WHERE src % $seedMod = 0),
+       |l1 AS (
+       |  SELECT DISTINCT l0.s, cp.dst AS node FROM l0 JOIN cp ON l0.node = cp.src
+       |  EXCEPT SELECT s, node FROM l0),
+       |l2 AS (
+       |  SELECT DISTINCT l1.s, cp.dst AS node FROM l1 JOIN cp ON l1.node = cp.src
+       |  EXCEPT (SELECT s, node FROM l0 UNION ALL SELECT s, node FROM l1)),
+       |l3 AS (
+       |  SELECT DISTINCT l2.s, cp.dst AS node FROM l2 JOIN cp ON l2.node = cp.src
+       |  EXCEPT (SELECT s, node FROM l0 UNION ALL SELECT s, node FROM l1
+       |          UNION ALL SELECT s, node FROM l2)),
+       |lv AS (
+       |  SELECT s, node, 1 AS dist FROM l1
+       |  UNION ALL SELECT s, node, 2 FROM l2
+       |  UNION ALL SELECT s, node, 3 FROM l3)
+       |SELECT s AS node,
+       |  CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |  CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |  CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |  CAST(SUM(CASE WHEN dist = 1 THEN 6 WHEN dist = 2 THEN 3 ELSE 2 END) AS BIGINT)
+       |    AS harmonic6
+       |FROM lv GROUP BY 1""".stripMargin
+
   def shortestPathsSql(maxDepth: Int = 3): String =
     s"""WITH cp AS ($copurchaseSql),
        |s0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM cp),

@@ -172,4 +172,47 @@ object Memory {
   val supersedeResolveSql: String =
     """SELECT doc_id % 100 AS lineage, MAX(doc_id) AS latest_doc_id, COUNT(*) AS n_versions
       |FROM documents GROUP BY 1""".stripMargin
+
+  /** _combine_related_comments (memory_extractor.py:774): after extraction,
+    * keep only the top MAX_ITEMS_PER_TYPE (=3) memories PER TYPE by
+    * importance, deduplicating the flood of similar comments. Re-expressed
+    * per project (source ≙ project): a (source, kind)-partitioned window —
+    * never global, groups are small by construction — ranking by evidence
+    * (≙ importance) with doc_id as the deterministic tie-break (the
+    * reference's stable Python sort keeps insertion order; doc_id IS
+    * insertion order here). */
+  def combine(documents: DataFrame, perType: Int = 3): DataFrame = {
+    val mems = documents
+      .withColumn("kind",
+        when(occ("slow") >= 2, "experience")
+          .when(occ("batch") >= 2, "plan")
+          .when(occ("stream") >= 2, "pattern")
+          .when(occ("query") >= 2, "decision")
+          .otherwise("fact"))
+      .withColumn("evidence",
+        occ("slow") + occ("batch") + occ("stream") + occ("query"))
+      .select(col("doc_id"), col("source"), col("kind"), col("evidence"))
+    val w = Window.partitionBy(col("source"), col("kind"))
+      .orderBy(desc("evidence"), col("doc_id"))
+    mems.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perType)
+      .select(col("source"), col("kind"), col("doc_id"), col("evidence"), col("rank"))
+  }
+
+  def combineSql(perType: Int = 3): String =
+    s"""WITH mems AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN ${occSql("slow")} >= 2 THEN 'experience'
+       |         WHEN ${occSql("batch")} >= 2 THEN 'plan'
+       |         WHEN ${occSql("stream")} >= 2 THEN 'pattern'
+       |         WHEN ${occSql("query")} >= 2 THEN 'decision'
+       |         ELSE 'fact' END AS kind,
+       |    ${occSql("slow")} + ${occSql("batch")} + ${occSql("stream")} + ${occSql("query")} AS evidence
+       |  FROM documents),
+       |rk AS (
+       |  SELECT source, kind, doc_id, evidence,
+       |    ROW_NUMBER() OVER (PARTITION BY source, kind
+       |                       ORDER BY evidence DESC, doc_id) AS rank
+       |  FROM mems)
+       |SELECT source, kind, doc_id, evidence, rank FROM rk WHERE rank <= $perType""".stripMargin
 }

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Cluster, Containment, CountMin, GraphOps, Memory, UrlOps}
+
+/** Semantic pins for the round-4 batch (containment dedup, count-min
+  * sketch, comment combining) — each is also hash-oracle-green via
+  * SparkEntry; these fix behavior on planted inputs where the right answer
+  * is known by construction. */
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("containment: small doc embedded in big doc is found; Jaccard would miss it") {
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val big = ("preamble words here " + small + " " +
+      (100 to 160).map(i => s"filler$i").mkString(" "))
+    val d = docs(Seq((1L, small), (2L, big),
+      (3L, (200 to 260).map(i => s"other$i").mkString(" "))))
+    val out = Containment.containmentPairs(d, threshold = 0.8)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, ca, _) = out.head
+    assert(a == 1L && b == 2L)
+    assert(ca == 1.0) // every shingle of the small doc appears in the big one
+    // the Jaccard of this pair is far below any near-dup threshold
+    val j = graft.operators.Dedup.ngramJaccard(d, threshold = 0.0).collect()
+    assert(j.forall(r => r.getDouble(2) < 0.5))
+  }
+
+  test("containment: df cap drops boilerplate shingles from the index") {
+    // one shingle shared by ALL docs (df above cap) must not create pairs
+    val boiler = "common header line"
+    val d = docs((1L to 6L).map(i =>
+      (i, s"$boiler unique$i distinct$i special$i words$i")))
+    val out = Containment.containmentPairs(d, threshold = 0.5, maxDf = 3)
+    assert(out.count() == 0)
+  }
+
+  test("cmsFreq: estimates always dominate the exact count (CMS guarantee)") {
+    val d = docs((1L to 50L).map(i =>
+      (i, s"alpha alpha beta w$i x${i % 7} y${i % 3} z${i % 11}")))
+    val rows = CountMin.cmsFreq(d, d = 4, width = 64, probes = 10)
+      .select("term", "tf", "cms_est").as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, tf, est) => assert(est >= tf, s"term $t: est $est < tf $tf") }
+    // the heaviest term is present with its exact count
+    val alpha = rows.find(_._1 == "alpha").get
+    assert(alpha._2 == 100L)
+  }
+
+  test("cmsFreq: wide sketch with few terms is exact") {
+    val d = docs(Seq((1L, "a a a b b c")))
+    val rows = CountMin.cmsFreq(d, d = 4, width = 4096, probes = 3)
+      .select("term", "tf", "cms_est").as[(String, Long, Long)].collect()
+    // 3 distinct terms in 4096 cells: collisions vanish, est == tf
+    assert(rows.toSet == Set(("a", 3L, 3L), ("b", 2L, 2L), ("c", 1L, 1L)))
+  }
+
+  test("memCombine: keeps top 3 per (source, kind) by evidence, doc_id tie-break") {
+    // five docs all classified 'experience' (>=2 "slow"), increasing evidence
+    val d = (1L to 5L).map(i => (i, ("slow " * (i.toInt + 1)).trim, "en", "p1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Memory.combine(d, perType = 3)
+      .select("doc_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(5L, 4L, 3L)) // highest evidence wins
+  }
+
+  test("closeness: planted path graph gives the exact integer harmonic sums") {
+    // co-purchase path 10—20—30—40 (orders 0/100/200 pass the %100 gate)
+    val li = Seq((0L, 10L), (0L, 20L), (100L, 20L), (100L, 30L), (200L, 30L), (200L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = GraphOps.closeness(li, seedMod = 20L)
+      .select("node", "n1", "n2", "n3", "harmonic6")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // seed 20: {10,30} at d1, {40} at d2 → 2·6+1·3 = 15
+    // seed 40: {30} d1, {20} d2, {10} d3 → 6+3+2 = 11
+    assert(out == Seq((20L, 2L, 1L, 0L, 15L), (40L, 1L, 1L, 1L, 11L)))
+  }
+
+  test("docOutliers: the off-prototype vector ranks first in its cluster") {
+    def v(xs: Float*): Array[Float] = xs.toArray
+    // cluster 0 seeds at +x, cluster 1 at +y; vec 4 is the +x outlier
+    val emb = Seq(
+      (0L, v(1f, 0f, 0f)), (1L, v(0f, 1f, 0f)),
+      (2L, v(0.9f, 0.1f, 0f)), (3L, v(0f, 0.9f, 0.1f)),
+      (4L, v(0.5f, 0f, 0.8f))).toDF("vec_id", "embedding")
+    val out = Cluster.docOutliers(emb, k = 2, iters = 0, perCluster = 1)
+      .select("cluster", "vec_id").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 4L) // least prototypical of the +x cell
+  }
+
+  test("urlHostStats: planted cdn hosts are blocked, content hosts are not") {
+    val d = docs((1L to 20L).map(i => (i, s"body$i words")))
+    val rows = UrlOps.urlHostStats(d)
+      .select("host", "n_urls", "blocked").as[(String, Long, Boolean)].collect()
+    val (blocked, kept) = rows.partition(_._3)
+    assert(blocked.nonEmpty && blocked.forall(_._1.startsWith("cdn")))
+    assert(kept.nonEmpty && kept.forall(_._1.endsWith("example.com")))
+    assert(rows.map(_._2).sum == 40L) // two urls per doc
+  }
+}
