@@ -104,6 +104,9 @@ object SparkEntry {
     "corpus_shuffle" -> ((s, d) => Corpus.corpusShuffle(Tables.documents(s, d))),
     "corpus_stats" -> ((s, d) => Corpus.stats(Tables.documents(s, d))),
     "url_hosts" -> ((s, d) => UrlOps.urlHostStats(Tables.documents(s, d))),
+    "compaction_plan" -> ((s, d) => Compaction.compactionPlan(Tables.documents(s, d))),
+    "quality_sample" -> ((s, d) => Corpus.qualitySample(Tables.documents(s, d))),
+    "join_skew_stats" -> ((s, d) => Skew.joinSkewStats(Tables.lineitem(s, d), "l_suppkey")),
     "split_holdout" -> ((s, d) => Corpus.splitHoldout(Tables.documents(s, d))),
     "kmv_distinct" -> ((s, d) => Corpus.kmvDistinct(Tables.events(s, d))),
     "dataset_card" -> ((s, d) => Corpus.datasetCard(Tables.documents(s, d))),
@@ -352,6 +355,9 @@ object SparkEntry {
     "corpus_shuffle" -> Corpus.corpusShuffleSql(),
     "corpus_stats" -> Corpus.statsSql,
     "url_hosts" -> UrlOps.urlHostStatsSql(),
+    "compaction_plan" -> Compaction.compactionPlanSql(),
+    "quality_sample" -> Corpus.qualitySampleSql(),
+    "join_skew_stats" -> Skew.joinSkewStatsSql(),
     "split_holdout" -> Corpus.splitHoldoutSql(),
     "kmv_distinct" -> Corpus.kmvDistinctSql(),
     "dataset_card" -> Corpus.datasetCardSql,

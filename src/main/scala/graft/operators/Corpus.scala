@@ -237,4 +237,39 @@ object Corpus {
       |CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |CAST(SUM((length(text) - length(replace(text, 'the', '')))/3) AS BIGINT) AS the_count
       |FROM documents GROUP BY lang""".stripMargin
+
+  /** Quality-weighted sampling (the DCLM/FineWeb recipe: don't drop
+    * low-quality text outright — downsample it): bucket each doc by a
+    * quality signal (type-token ratio — integers divided, identical across
+    * engines), then keep a bucket-dependent fraction via the overflow-safe
+    * multiplicative hash stratifiedSample already uses. High keeps all,
+    * mid half, low a tenth. One narrow scan, zero shuffle; rates are
+    * compile-time constants (at scale: a broadcast rate table). */
+  def qualitySample(documents: DataFrame, highPct: Int = 100, midPct: Int = 50,
+                    lowPct: Int = 10): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val ttr = size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+    val bucket = when(ttr >= 0.9, "high").when(ttr >= 0.7, "mid").otherwise("low")
+    val rate = when(col("bucket") === "high", highPct)
+      .when(col("bucket") === "mid", midPct).otherwise(lowPct)
+    documents
+      .withColumn("bucket", bucket)
+      .filter(pmod(col("doc_id").bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L, lit(100L))
+        < rate.cast("long"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
+  def qualitySampleSql(highPct: Int = 100, midPct: Int = 50, lowPct: Int = 10): String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+       |              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) >= 0.9
+       |         THEN 'high'
+       |         WHEN CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+       |              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) >= 0.7
+       |         THEN 'mid' ELSE 'low' END AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, bucket FROM b
+       |WHERE ((doc_id & 2147483647) * 2654435761) % 100 <
+       |  CASE bucket WHEN 'high' THEN $highPct WHEN 'mid' THEN $midPct ELSE $lowPct END""".stripMargin
 }

@@ -30,6 +30,35 @@ object Skew {
   /** Two-phase distinct count for skewed group keys: per-(key, salt)
     * partial distinct, then exact merge — the hot key's distinct set is
     * built across `salts` reducers. Exact (not approximate). */
+  /** Join-key skew profiler — the diagnostic you run BEFORE deciding to
+    * salt: per-key row counts on the fact side, top-N heaviest keys with
+    * their share of the table, plus the key's multiple of a uniform share
+    * (skew_x = share · n_keys — 1.0 means perfectly uniform). One
+    * map-combined groupBy + a broadcast-back of two scalars; the top-N cut
+    * is TakeOrderedAndProject, never a global sort. A key with skew_x in
+    * the hundreds is the one AQE's skew-join splits or saltedJoin spreads. */
+  def joinSkewStats(fact: DataFrame, key: String, topN: Int = 20): DataFrame = {
+    val counts = fact.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("total_rows"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share", col("cnt").cast("double") / col("total_rows").cast("double"))
+      .withColumn("skew_x",
+        col("share") * col("n_keys").cast("double"))
+      .select(col("key"), col("cnt"), col("share"), col("skew_x"))
+      .orderBy(desc("cnt"), col("key"))
+      .limit(topN)
+  }
+
+  def joinSkewStatsSql(key: String = "l_suppkey", table: String = "lineitem",
+                       topN: Int = 20): String =
+    s"""WITH c AS (SELECT $key AS key, COUNT(*) AS cnt FROM $table GROUP BY 1),
+       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows, COUNT(*) AS n_keys FROM c)
+       |SELECT key, cnt,
+       |  CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE) AS share,
+       |  CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) AS skew_x
+       |FROM c, t ORDER BY cnt DESC, key LIMIT $topN""".stripMargin
+
   def saltedCountDistinct(df: DataFrame, key: String, valueCol: String,
                           salts: Int = 16): DataFrame =
     df

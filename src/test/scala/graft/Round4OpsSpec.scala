@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Cluster, Containment, CountMin, GraphOps, Memory, UrlOps}
+import graft.operators.{Cluster, Compaction, Containment, Corpus, CountMin, GraphOps, Memory, Skew, UrlOps}
 
 /** Semantic pins for the round-4 batch (containment dedup, count-min
   * sketch, comment combining) — each is also hash-oracle-green via
@@ -101,5 +101,51 @@ class Round4OpsSpec extends SparkSpec {
     assert(blocked.nonEmpty && blocked.forall(_._1.startsWith("cdn")))
     assert(kept.nonEmpty && kept.forall(_._1.endsWith("example.com")))
     assert(rows.map(_._2).sum == 40L) // two urls per doc
+  }
+
+  test("compactionPlan: next-fit fills bins size-desc, oversized file gets its own") {
+    val d = Seq(
+      (1L, "s", 3000L), (2L, "s", 2500L), (3L, "s", 1200L),
+      (4L, "s", 900L), (5L, "s", 5000L))
+      .map { case (id, src, n) => (id, "x", "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Compaction.compactionPlan(d, capacity = 4000L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // order: 5(5000) 1(3000) 2(2500) 3(1200) 4(900)
+    // 5000 → bin0 (oversized); 3000 → bin1; 2500 → bin2 (3000+2500>4000);
+    // 1200 → bin2 (3700); 900 → bin3 (4600>4000)
+    assert(out == Map(5L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L))
+    // every bin except possibly singletons stays under capacity when it has >1 file
+    val sizes = Map(1L -> 3000L, 2L -> 2500L, 3L -> 1200L, 4L -> 900L, 5L -> 5000L)
+    out.groupBy(_._2).foreach { case (_, fs) =>
+      if (fs.size > 1) assert(fs.keys.map(sizes).sum <= 4000L)
+    }
+  }
+
+  test("qualitySample: repetitive docs are downsampled, diverse docs kept") {
+    val diverse = (1L to 40L).map(i =>
+      (i, (1 to 20).map(j => s"u${i}w$j").mkString(" "), "en", "s", 100L))
+    val repetitive = (101L to 140L).map(i =>
+      (i, ("dup " * 20).trim, "en", "s", 100L))
+    val d = (diverse ++ repetitive).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.qualitySample(d).select("doc_id", "bucket")
+      .as[(Long, String)].collect()
+    val kept = out.map(_._1).toSet
+    assert((1L to 40L).forall(kept)) // high bucket keeps 100%
+    val lowKept = (101L to 140L).count(kept)
+    assert(lowKept < 15) // low bucket ~10%
+    assert(out.filter(_._1 <= 40L).forall(_._2 == "high"))
+    assert(out.filter(_._1 > 100L).forall(_._2 == "low"))
+  }
+
+  test("joinSkewStats: the planted hot key tops the list with the right share") {
+    val rows = ((1 to 90).map(_ => 7L) ++ (1 to 10).map(i => i.toLong + 100L))
+      .toDF("l_suppkey")
+    val out = Skew.joinSkewStats(rows, "l_suppkey", topN = 3)
+      .select("key", "cnt", "share", "skew_x")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.head._1 == 7L && out.head._2 == 90L)
+    assert(out.head._3 == 0.9)
+    assert(out.head._4 == 0.9 * 11) // 11 distinct keys
   }
 }
