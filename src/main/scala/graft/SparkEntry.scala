@@ -107,6 +107,9 @@ object SparkEntry {
     "compaction_plan" -> ((s, d) => Compaction.compactionPlan(Tables.documents(s, d))),
     "quality_sample" -> ((s, d) => Corpus.qualitySample(Tables.documents(s, d))),
     "join_skew_stats" -> ((s, d) => Skew.joinSkewStats(Tables.lineitem(s, d), "l_suppkey")),
+    "ivf_upsert" -> ((s, d) => Dedup.ivfUpsert(Tables.embeddings(s, d))),
+    "tokenizer_fertility" -> ((s, d) => Bpe.fertility(Tables.documents(s, d))),
+    "char_diversity" -> ((s, d) => TextAnalysis.charDiversity(Tables.documents(s, d))),
     "split_holdout" -> ((s, d) => Corpus.splitHoldout(Tables.documents(s, d))),
     "kmv_distinct" -> ((s, d) => Corpus.kmvDistinct(Tables.events(s, d))),
     "dataset_card" -> ((s, d) => Corpus.datasetCard(Tables.documents(s, d))),
@@ -358,6 +361,9 @@ object SparkEntry {
     "compaction_plan" -> Compaction.compactionPlanSql(),
     "quality_sample" -> Corpus.qualitySampleSql(),
     "join_skew_stats" -> Skew.joinSkewStatsSql(),
+    "ivf_upsert" -> Dedup.ivfUpsertSql(),
+    "tokenizer_fertility" -> Bpe.fertilitySql(),
+    "char_diversity" -> TextAnalysis.charDiversitySql,
     "split_holdout" -> Corpus.splitHoldoutSql(),
     "kmv_distinct" -> Corpus.kmvDistinctSql(),
     "dataset_card" -> Corpus.datasetCardSql,

@@ -122,6 +122,28 @@ object Bpe {
     out
   }
 
+  /** Tokenizer fertility per language — symbols emitted per word under the
+    * trained merges (the metric that decides whether a tokenizer is wasting
+    * sequence length on a language; fertility 1.0 = every word is one
+    * token). Rolls bpeEncode's per-doc counts up by lang; the single
+    * bigint/bigint division is IEEE-exact on both engines. */
+  def fertility(documents: DataFrame, nMerges: Int = 10): DataFrame =
+    bpeEncode(documents, nMerges)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("n_words"), sum(col("n_syms")).as("n_syms"))
+      .withColumn("fertility",
+        col("n_syms").cast("double") / col("n_words").cast("double"))
+
+  def fertilitySql(nMerges: Int = 10): String =
+    s"""WITH enc AS (${bpeEncodeSql(nMerges)})
+       |SELECT d.lang,
+       |  CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(enc.n_syms) AS BIGINT) AS n_syms,
+       |  CAST(SUM(enc.n_syms) AS DOUBLE) / CAST(SUM(enc.n_words) AS DOUBLE) AS fertility
+       |FROM enc JOIN documents d ON enc.doc_id = d.doc_id
+       |GROUP BY d.lang""".stripMargin
+
   // ---- DuckDB oracle: replay the training loop CTE-by-CTE ----
 
   private def baseSql: String =

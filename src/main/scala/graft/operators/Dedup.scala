@@ -426,6 +426,56 @@ object Dedup {
         (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
   }
 
+  /** Incremental IVF index maintenance — the freshness half of ANN serving
+    * (FAISS `add` + the re-train policy every production vector store
+    * runs): the indexed corpus (base) keeps its trained quantizer; a new
+    * arrival batch (delta — here the deterministic vec_id%10 slice) is
+    * assigned to the EXISTING cells with the same narrow broadcast-argmax
+    * scan, and the operator emits the per-cell occupancy report: base
+    * count, delta count, growth ratio, and a retrain verdict for cells
+    * whose delta inflow exceeds `retrainPct`% of their base population
+    * (the drift signal that triggers quantizer re-training). Zero new
+    * machinery at scale: one narrow assignment pass over the delta + one
+    * cell-keyed groupBy of counts. */
+  def ivfUpsert(embeddings: DataFrame, nCells: Int = 16, retrainPct: Int = 30): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val cands = cents.sortBy(_._1).map { case (id, v) =>
+      struct(VectorOps.cosine(col("embedding"), typedlit(v)).as("c"),
+        lit(-id).as("negid"))
+    }
+    val assigned = embeddings.select(col("vec_id"),
+      (-greatest(cands.toSeq: _*).getField("negid")).as("cell"),
+      (pmod(col("vec_id"), lit(10L)) === 0L).as("is_delta"))
+    assigned.groupBy(col("cell"))
+      .agg(
+        sum(when(col("is_delta"), 0L).otherwise(1L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"))
+      .withColumn("growth",
+        col("n_delta").cast("double") / greatest(col("n_base"), lit(1L)).cast("double"))
+      .withColumn("retrain", col("growth") > retrainPct / 100.0)
+  }
+
+  def ivfUpsertSql(nCells: Int = 16, retrainPct: Int = 30): String = {
+    val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
+    s"""WITH cents AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $nCells),
+       |assigned AS (
+       |  SELECT e.vec_id, c.cell_id AS cell, e.vec_id % 10 = 0 AS is_delta
+       |  FROM embeddings e CROSS JOIN cents c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $ccos DESC, c.cell_id) = 1),
+       |occ AS (
+       |  SELECT cell,
+       |    CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+       |    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+       |  FROM assigned GROUP BY cell)
+       |SELECT cell, n_base, n_delta,
+       |  CAST(n_delta AS DOUBLE) / CAST(GREATEST(n_base, 1) AS DOUBLE) AS growth,
+       |  CAST(n_delta AS DOUBLE) / CAST(GREATEST(n_base, 1) AS DOUBLE) > ${retrainPct / 100.0}
+       |    AS retrain
+       |FROM occ""".stripMargin
+  }
+
   /** IVF multi-probe — the recall lever for inverted-file search (FAISS
     * `nprobe`): each probe searches its top-`pCells` nearest cells instead
     * of one. Search cost grows by pCells×; recall loss from cell-boundary

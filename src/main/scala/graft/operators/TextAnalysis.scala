@@ -196,4 +196,49 @@ object TextAnalysis {
        |SELECT doc_id, n_tok, s / CAST(n_tok AS DOUBLE) AS score,
        |  CASE WHEN s / CAST(n_tok AS DOUBLE) > 0.0 THEN 'keep' ELSE 'drop' END AS verdict
        |FROM w""".stripMargin
+
+  /** Character-level Simpson diversity — P(two random chars are equal) =
+    * Σ c·(c−1) / (N·(N−1)): the log-free cousin of char entropy (no libm,
+    * so it stays hash-exact cross-engine where entropy would 1-ulp drift),
+    * and the char-granularity repetition signal Gopher-style gates use —
+    * "aaaa…" scores → 1, diverse prose ≈ 1/alphabet. The per-doc histogram
+    * folds inside one JVM kernel: zero shuffle, linear at 100 TB (the
+    * oracle may explode chars; the engine never does). */
+  def charDiversity(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.flatMap { case (docId, text) =>
+          val n = text.length.toLong
+          if (n < 2) Iterator.empty
+          else {
+            val counts = new java.util.HashMap[Char, Long]()
+            var i = 0
+            while (i < text.length) {
+              counts.merge(text.charAt(i), 1L, _ + _)
+              i += 1
+            }
+            var num = 0L
+            counts.forEach((_, c) => num += c * (c - 1L))
+            Iterator.single((docId, n, num.toDouble / (n * (n - 1L)).toDouble))
+          }
+        }
+      }
+      .toDF("doc_id", "n_chars_m", "simpson")
+  }
+
+  val charDiversitySql: String =
+    """WITH cc AS (
+      |  SELECT doc_id, c, COUNT(*) AS k FROM (
+      |    SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+      |    CAST(SUM(k * (k - 1)) AS BIGINT) AS num
+      |  FROM cc GROUP BY 1)
+      |SELECT doc_id, n AS n_chars_m,
+      |  CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS simpson
+      |FROM agg WHERE n >= 2""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Cluster, Compaction, Containment, Corpus, CountMin, GraphOps, Memory, Skew, UrlOps}
+import graft.operators.{Bpe, Cluster, Compaction, Containment, Corpus, CountMin, Dedup, GraphOps, Memory, Skew, TextAnalysis, UrlOps}
 
 /** Semantic pins for the round-4 batch (containment dedup, count-min
   * sketch, comment combining) — each is also hash-oracle-green via
@@ -147,5 +147,41 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.head._1 == 7L && out.head._2 == 90L)
     assert(out.head._3 == 0.9)
     assert(out.head._4 == 0.9 * 11) // 11 distinct keys
+  }
+
+  test("ivfUpsert: drifting delta inflow flags only the hot cell for retrain") {
+    def v(xs: Float*): Array[Float] = xs.toArray
+    // cells from vec_id<2: 0=+x (itself delta: 0%10==0), 1=+y
+    val emb = Seq(
+      (0L, v(1f, 0f, 0f)), (1L, v(0f, 1f, 0f)),
+      (2L, v(0.9f, 0.1f, 0f)), (3L, v(0.95f, 0f, 0.05f)), (4L, v(0.8f, 0.2f, 0f)),
+      (5L, v(0.1f, 0.9f, 0f)),
+      (10L, v(0f, 0.95f, 0.05f)), (20L, v(0.05f, 0.9f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.ivfUpsert(emb, nCells = 2, retrainPct = 50)
+      .select("cell", "n_base", "n_delta", "retrain")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // cell 0: base {2,3,4}, delta {0} → growth 1/3, no retrain
+    // cell 1: base {1,5}, delta {10,20} → growth 1.0, retrain
+    assert(out == Seq((0L, 3L, 1L, false), (1L, 2L, 2L, true)))
+  }
+
+  test("fertility: zero merges gives chars-per-word; merges only shrink it") {
+    val d = docs(Seq((1L, "aa bb aa bb cc"), (2L, "aa aa aa")))
+    val f0 = Bpe.fertility(d, nMerges = 0)
+      .select("n_words", "n_syms", "fertility").as[(Long, Long, Double)].collect().head
+    assert(f0._1 == 8L && f0._2 == 16L && f0._3 == 2.0) // every word is 2 chars
+    val f5 = Bpe.fertility(d, nMerges = 5)
+      .select("fertility").as[Double].collect().head
+    assert(f5 <= 2.0 && f5 >= 1.0) // merges can only reduce symbol counts
+  }
+
+  test("charDiversity: degenerate repetition scores 1.0, known mix is exact") {
+    val d = docs(Seq((1L, "aaaa"), (2L, "aab"), (3L, "x")))
+    val out = TextAnalysis.charDiversity(d)
+      .select("doc_id", "simpson").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 2.0 / 6.0) // a:2→2, b:1→0; N(N−1)=6
+    assert(!out.contains(3L)) // single-char docs have no pair probability
   }
 }
