@@ -166,6 +166,10 @@ object SparkEntry {
     "graph_shortest_path" -> ((s, d) => GraphOps.shortestPaths(Tables.lineitem(s, d))),
     "graph_betweenness" -> ((s, d) => GraphOps.betweenness(Tables.lineitem(s, d))),
     "graph_closeness" -> ((s, d) => GraphOps.closeness(Tables.lineitem(s, d))),
+    "link_predict" -> ((s, d) => GraphOps.linkPredict(Tables.lineitem(s, d))),
+    "graph_degree_dist" -> ((s, d) =>
+      GraphOps.degreeDistribution(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "event_dedup" -> ((s, d) => Relational.eventDedup(Tables.events(s, d))),
     "graph_path_trace" -> ((s, d) => GraphOps.shortestPathTrace(Tables.lineitem(s, d))),
     "graph_nodes_by_label" -> ((s, d) =>
       GraphOps.nodesByLabel(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -412,6 +416,9 @@ object SparkEntry {
     "graph_shortest_path" -> GraphOps.shortestPathsSql(),
     "graph_betweenness" -> GraphOps.betweennessSql(),
     "graph_closeness" -> GraphOps.closenessSql(),
+    "link_predict" -> GraphOps.linkPredictSql(),
+    "graph_degree_dist" -> GraphOps.degreeDistributionSql,
+    "event_dedup" -> Relational.eventDedupSql,
     "graph_pagerank" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),
     "graph_ppr" -> GraphOps.personalizedPageRankSql(),

@@ -363,6 +363,56 @@ object GraphOps {
        |    AS harmonic6
        |FROM lv GROUP BY 1""".stripMargin
 
+  /** Link prediction by common-neighbor count (the classic
+    * Liben-Nowell/Kleinberg baseline; GDS linkPrediction analog): for node
+    * pairs NOT already connected, count shared neighbors through a wedge
+    * join on the shared endpoint, drop existing edges with an anti-join,
+    * rank by score. Cost is Σ_x deg(x)² — the same wedge bound
+    * graph_node_sim and triangles already live under; at scale the
+    * standard mitigations apply (cap per-node neighbor lists, orient by
+    * degree). Integer scores ⇒ hash-exact oracle. */
+  def linkPredict(lineitem: DataFrame, topN: Int = 20): DataFrame = {
+    val cp = copurchase(lineitem).materialize
+    val pairs = cp.as("e1").join(cp.as("e2"),
+        col("e1.dst") === col("e2.dst") && col("e1.src") < col("e2.src"))
+      .groupBy(col("e1.src").as("node_a"), col("e2.src").as("node_b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    pairs.join(cp,
+        pairs("node_a") === cp("src") && pairs("node_b") === cp("dst"), "left_anti")
+      .orderBy(desc("common_neighbors"), col("node_a"), col("node_b"))
+      .limit(topN)
+  }
+
+  def linkPredictSql(topN: Int = 20): String =
+    s"""WITH cp AS ($copurchaseSql),
+       |pairs AS (
+       |  SELECT e1.src AS node_a, e2.src AS node_b, COUNT(*) AS common_neighbors
+       |  FROM cp e1 JOIN cp e2 ON e1.dst = e2.dst AND e1.src < e2.src
+       |  GROUP BY 1, 2)
+       |SELECT p.node_a, p.node_b, p.common_neighbors
+       |FROM pairs p
+       |WHERE NOT EXISTS (SELECT 1 FROM cp WHERE p.node_a = cp.src AND p.node_b = cp.dst)
+       |ORDER BY common_neighbors DESC, node_a, node_b LIMIT $topN""".stripMargin
+
+  /** Degree-distribution histogram (the power-law sanity check every graph
+    * pipeline plots): total degree per node over the typed edge table, then
+    * node counts per degree value. Two map-combined aggregations, nothing
+    * else. */
+  def degreeDistribution(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e = edges(orders, lineitem)
+    e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  val degreeDistributionSql: String =
+    s"""WITH e AS ($edgesSql),
+       |d AS (
+       |  SELECT node, COUNT(*) AS degree FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+       |  GROUP BY node)
+       |SELECT degree, COUNT(*) AS n_nodes FROM d GROUP BY degree""".stripMargin
+
   def shortestPathsSql(maxDepth: Int = 3): String =
     s"""WITH cp AS ($copurchaseSql),
        |s0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM cp),

@@ -534,4 +534,47 @@ object Relational {
       |SELECT h.event_type, h.hour, h.n, m.med_n
       |FROM hourly h JOIN medians m ON h.event_type = m.event_type
       |WHERE h.n * 2 > m.med_n * 3""".stripMargin
+
+  /** At-least-once delivery repair — the batch half of stream_dedup: an
+    * event log re-delivers a deterministic slice (event_id%10, new ids —
+    * the synthetic stand-in for retried producers), and dedup collapses
+    * payload-identical deliveries (user, type, micros-reconciled ts,
+    * value) to the minimum event id. Emits the per-type delivery audit
+    * (unique / delivered / duplicate counts) — one payload-keyed groupBy
+    * with full map-side partial aggregation, the single-shuffle shape
+    * exact dedup always has. */
+  def eventDedup(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"), col("value"))
+    val delivered = base.unionAll(
+      base.filter(pmod(col("event_id"), lit(10L)) === 0L)
+        .withColumn("event_id", col("event_id") + 10000000L))
+    delivered
+      .groupBy(col("user_id"), col("event_type"), col("tsu"), col("value"))
+      .agg(min(col("event_id")).as("keeper"), count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("n")).as("n_delivered"),
+        sum(col("n") - 1L).as("n_dupes"),
+        min(col("keeper")).as("first_keeper"))
+  }
+
+  val eventDedupSql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu, value FROM events),
+      |delivered AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT event_id + 10000000, user_id, event_type, tsu, value
+      |  FROM base WHERE event_id % 10 = 0),
+      |u AS (
+      |  SELECT user_id, event_type, tsu, value,
+      |    MIN(event_id) AS keeper, COUNT(*) AS n
+      |  FROM delivered GROUP BY 1, 2, 3, 4)
+      |SELECT event_type, COUNT(*) AS n_unique,
+      |  CAST(SUM(n) AS BIGINT) AS n_delivered,
+      |  CAST(SUM(n - 1) AS BIGINT) AS n_dupes,
+      |  MIN(keeper) AS first_keeper
+      |FROM u GROUP BY 1""".stripMargin
 }

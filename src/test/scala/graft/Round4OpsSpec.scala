@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Cluster, Compaction, Containment, Corpus, CountMin, Dedup, GraphOps, Memory, Skew, TextAnalysis, UrlOps}
+import graft.operators.{Bpe, Cluster, Compaction, Containment, Corpus, CountMin, Dedup, GraphOps, Memory, Relational, Skew, TextAnalysis, UrlOps}
 
 /** Semantic pins for the round-4 batch (containment dedup, count-min
   * sketch, comment combining) — each is also hash-oracle-green via
@@ -183,5 +183,38 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(1L) == 1.0)
     assert(out(2L) == 2.0 / 6.0) // a:2→2, b:1→0; N(N−1)=6
     assert(!out.contains(3L)) // single-char docs have no pair probability
+  }
+
+  test("linkPredict: 2-hop neighbors on the planted path are predicted, edges are not") {
+    val li = Seq((0L, 10L), (0L, 20L), (100L, 20L), (100L, 30L), (200L, 30L), (200L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = GraphOps.linkPredict(li)
+      .select("node_a", "node_b", "common_neighbors")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    // 10—20—30—40: (10,30) share 20, (20,40) share 30; adjacent pairs excluded
+    assert(out == Seq((10L, 30L, 1L), (20L, 40L, 1L)))
+  }
+
+  test("degreeDistribution: planted star edge set yields the exact histogram") {
+    val orders = Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((1L, 1L, 1L)).toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val out = GraphOps.degreeDistribution(orders, li)
+      .select("degree", "n_nodes").as[(Long, Long)].collect().toMap
+    // customer/part/supplier have degree 1; the order hub has degree 3
+    assert(out == Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("eventDedup: replayed slice is collapsed and audited per type") {
+    val ts = (i: Int) => new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val ev = Seq(
+      (10L, ts(1), 1L, "click", 1.0, "{}"),   // 10%10==0 → replayed
+      (11L, ts(2), 1L, "click", 2.0, "{}"),
+      (12L, ts(3), 2L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.eventDedup(ev)
+      .select("event_type", "n_unique", "n_delivered", "n_dupes")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("click") == ("click", 2L, 3L, 1L)) // replay of id 10 collapsed
+    assert(out("view") == ("view", 1L, 1L, 0L))
   }
 }
