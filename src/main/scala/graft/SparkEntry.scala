@@ -170,6 +170,10 @@ object SparkEntry {
     "graph_degree_dist" -> ((s, d) =>
       GraphOps.degreeDistribution(Tables.orders(s, d), Tables.lineitem(s, d))),
     "event_dedup" -> ((s, d) => Relational.eventDedup(Tables.events(s, d))),
+    "q_grouping_sets" -> ((s, d) => Relational.orderGroupingSets(Tables.orders(s, d))),
+    "code_stats" -> ((s, d) =>
+      CodeEdges.codeStats(CodeEdges.syntheticCodeView(Tables.documents(s, d)))),
+    "minhash_eval" -> ((s, d) => MinhashPortable.minhashEval(Tables.documents(s, d))),
     "graph_path_trace" -> ((s, d) => GraphOps.shortestPathTrace(Tables.lineitem(s, d))),
     "graph_nodes_by_label" -> ((s, d) =>
       GraphOps.nodesByLabel(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -419,6 +423,9 @@ object SparkEntry {
     "link_predict" -> GraphOps.linkPredictSql(),
     "graph_degree_dist" -> GraphOps.degreeDistributionSql,
     "event_dedup" -> Relational.eventDedupSql,
+    "q_grouping_sets" -> Relational.orderGroupingSetsSql,
+    "code_stats" -> CodeEdges.codeStatsSql,
+    "minhash_eval" -> MinhashPortable.minhashEvalSql(),
     "graph_pagerank" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),
     "graph_ppr" -> GraphOps.personalizedPageRankSql(),

@@ -326,6 +326,45 @@ object CodeEdges {
        |FROM e WHERE rel = 'IMPORTS'
        |GROUP BY dst ORDER BY n_imports DESC, module LIMIT $topN""".stripMargin
 
+  private val ImportLinePat = """(^import |^from |require|^use |import static)"""
+  private val DefLinePat = """(^def |function |^func |class )"""
+
+  /** Per-file source metrics (the cloc/lizard basics the reference's file
+    * nodes carry as properties): line counts, blank/import/definition
+    * lines, max indentation depth, average line length. One explode +
+    * one path-keyed groupBy with full map-side partial aggregation —
+    * linear at any repo size. */
+  def codeStats(files: DataFrame): DataFrame = {
+    val lines = files.select(col("path"), col("language"),
+      explode(split(col("content"), "\n")).as("line"))
+    lines.groupBy(col("path"), col("language"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(trim(col("line")) === "", 1L).otherwise(0L)).as("n_blank"),
+        sum(when(col("line").rlike(ImportLinePat), 1L).otherwise(0L)).as("n_import_lines"),
+        sum(when(col("line").rlike(DefLinePat), 1L).otherwise(0L)).as("n_def_lines"),
+        max((length(col("line")) - length(ltrim(col("line")))).cast("long")).as("max_indent"),
+        sum(length(col("line")).cast("long")).as("n_chars_total"))
+      .withColumn("avg_line_len",
+        col("n_chars_total").cast("double") / col("n_lines").cast("double"))
+  }
+
+  val codeStatsSql: String =
+    s"""WITH $filesCte,
+       |ln AS (
+       |  SELECT path, language, unnest(string_split(content, chr(10))) AS line
+       |  FROM files)
+       |SELECT path, language, COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN trim(line) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+       |  CAST(SUM(CASE WHEN regexp_matches(line, '$ImportLinePat') THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_import_lines,
+       |  CAST(SUM(CASE WHEN regexp_matches(line, '$DefLinePat') THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_def_lines,
+       |  CAST(MAX(length(line) - length(ltrim(line))) AS BIGINT) AS max_indent,
+       |  CAST(SUM(length(line)) AS BIGINT) AS n_chars_total,
+       |  CAST(SUM(length(line)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_line_len
+       |FROM ln GROUP BY path, language""".stripMargin
+
   /** Impact analysis on the CODE graph (the reference's actual domain —
     * graph_service.py:546 over imports instead of purchases): from the
     * most-imported module, depth 1 = every file importing it (score 1.0),

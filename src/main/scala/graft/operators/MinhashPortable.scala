@@ -227,4 +227,76 @@ object MinhashPortable {
        |SELECT doc_id, CAST(perm AS BIGINT) AS perm,
        |  MIN((((perm + 1) * 2654435761) % $Mod * x + ((perm + 1) * 40503) % $Mod) % $Mod) AS minh
        |FROM hx CROSS JOIN perms GROUP BY doc_id, perm""".stripMargin
+
+  /** Sketch-error evaluation for the minhash estimator — every LSH
+    * deployment's calibration step: for each LSH candidate pair, put the
+    * signature-estimated Jaccard next to the EXACT shingle Jaccard and the
+    * absolute error. Exact sets are computed only for the candidate pairs
+    * LSH surfaced (bucket-bounded — never all pairs), so the eval costs
+    * what the dedup already cost plus one bounded join. est is k-rational,
+    * exact is a single integer division: every column is IEEE-exact, so
+    * even this error report hash-matches the oracle. */
+  def minhashEval(documents: DataFrame, nPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val cand = minhashLshPortable(documents, nPerms, bands)
+    val sets = documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        val toks = text.trim.split("\\s+")
+        if (toks.length < 3) Iterator.empty
+        else {
+          val hs = scala.collection.mutable.SortedSet.empty[Long]
+          var i = 0
+          while (i < toks.length - 2) {
+            val s = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+            var h = 0L
+            var j = 0
+            while (j < s.length) { h = (h * 31L + s.charAt(j)) % Mod; j += 1 }
+            hs += h
+            i += 1
+          }
+          Iterator.single((docId, hs.toArray))
+        }
+      }
+      .toDF("doc_id", "hs")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("exact_jaccard", col("inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("inter")).cast("double"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        col("exact_jaccard"), col("abs_err"))
+  }
+
+  def minhashEvalSql(nPerms: Int = 16, bands: Int = 4): String =
+    s"""WITH cand AS MATERIALIZED (${minhashLshPortableSql(nPerms, bands)}),
+       |tk2 AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sh2 AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |    FROM tk2 WHERE len(t) >= 3)),
+       |hx2 AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(s, ''), x -> CAST(ord(x) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % $Mod) AS h
+       |  FROM sh2),
+       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hx2 GROUP BY doc_id)
+       |SELECT c.doc_a, c.doc_b, c.est_jaccard,
+       |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |    CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |    AS exact_jaccard,
+       |  ABS(c.est_jaccard -
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |      CAST(len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS DOUBLE))
+       |    AS abs_err
+       |FROM cand c
+       |JOIN sets a ON c.doc_a = a.doc_id
+       |JOIN sets b ON c.doc_b = b.doc_id""".stripMargin
 }

@@ -535,6 +535,25 @@ object Relational {
       |FROM hourly h JOIN medians m ON h.event_type = m.event_type
       |WHERE h.n * 2 > m.med_n * 3""".stripMargin
 
+  /** Custom GROUPING SETS — the grouping-set shape cube/rollup can't
+    * express: exactly the per-priority slice, the per-status slice, and
+    * the grand total (no (priority, status) cross cells — a CUBE would
+    * compute and discard them). One Expand pass, same single-shuffle
+    * execution as q_cube. */
+  def orderGroupingSets(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+
+  val orderGroupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
+
   /** At-least-once delivery repair — the batch half of stream_dedup: an
     * event log re-delivers a deterministic slice (event_id%10, new ids —
     * the synthetic stand-in for retried producers), and dedup collapses

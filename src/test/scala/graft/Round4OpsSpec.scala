@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Cluster, Compaction, Containment, Corpus, CountMin, Dedup, GraphOps, Memory, Relational, Skew, TextAnalysis, UrlOps}
+import graft.operators.{Bpe, Cluster, CodeEdges, Compaction, Containment, Corpus, CountMin, Dedup, GraphOps, Memory, MinhashPortable, Relational, Skew, TextAnalysis, UrlOps}
 
 /** Semantic pins for the round-4 batch (containment dedup, count-min
   * sketch, comment combining) — each is also hash-oracle-green via
@@ -216,5 +216,40 @@ class Round4OpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(out("click") == ("click", 2L, 3L, 1L)) // replay of id 10 collapsed
     assert(out("view") == ("view", 1L, 1L, 0L))
+  }
+
+  test("codeStats: counts lines/blanks/imports/defs and indentation exactly") {
+    val files = Seq(("a/f.py", "python",
+      "import os\n\ndef f():\n    return 1\nclass C(B):\n        pass"))
+      .toDF("path", "language", "content")
+    val r = CodeEdges.codeStats(files)
+      .select("n_lines", "n_blank", "n_import_lines", "n_def_lines", "max_indent")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((6L, 1L, 1L, 2L, 8L)))
+  }
+
+  test("minhashEval: identical docs get est == exact == 1.0, all errors in [0,1]") {
+    val twin = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs(Seq((1L, twin), (2L, twin),
+      (3L, (100 to 130).map(i => s"v$i").mkString(" "))))
+    val rows = MinhashPortable.minhashEval(d)
+      .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard", "abs_err")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val dup = rows.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(dup._3 == 1.0 && dup._4 == 1.0 && dup._5 == 0.0)
+    rows.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0))
+  }
+
+  test("orderGroupingSets: emits only the requested slices plus the grand total") {
+    val orders = Seq(
+      (1L, "HIGH", "O", 10.0), (2L, "HIGH", "F", 20.0), (3L, "LOW", "O", 30.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val out = Relational.orderGroupingSets(orders)
+      .select("o_orderpriority", "o_orderstatus", "n", "total_price")
+      .as[(Option[String], Option[String], Long, Double)].collect().toSet
+    assert(out == Set(
+      (Some("HIGH"), None, 2L, 30.0), (Some("LOW"), None, 1L, 30.0),
+      (None, Some("O"), 2L, 40.0), (None, Some("F"), 1L, 20.0),
+      (None, None, 3L, 60.0)))
   }
 }
