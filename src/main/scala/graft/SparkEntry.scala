@@ -174,6 +174,8 @@ object SparkEntry {
     "code_stats" -> ((s, d) =>
       CodeEdges.codeStats(CodeEdges.syntheticCodeView(Tables.documents(s, d)))),
     "minhash_eval" -> ((s, d) => MinhashPortable.minhashEval(Tables.documents(s, d))),
+    "graph_modularity" -> ((s, d) => GraphOps.modularity(Tables.lineitem(s, d))),
+    "dedup_savings" -> ((s, d) => Dedup.savings(Tables.documents(s, d))),
     "graph_path_trace" -> ((s, d) => GraphOps.shortestPathTrace(Tables.lineitem(s, d))),
     "graph_nodes_by_label" -> ((s, d) =>
       GraphOps.nodesByLabel(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -426,6 +428,8 @@ object SparkEntry {
     "q_grouping_sets" -> Relational.orderGroupingSetsSql,
     "code_stats" -> CodeEdges.codeStatsSql,
     "minhash_eval" -> MinhashPortable.minhashEvalSql(),
+    "graph_modularity" -> GraphOps.modularitySql(),
+    "dedup_savings" -> Dedup.savingsSql(),
     "graph_pagerank" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),
     "graph_ppr" -> GraphOps.personalizedPageRankSql(),

@@ -146,6 +146,29 @@ object Dedup {
        |FROM l_$rounds""".stripMargin
   }
 
+  /** Dedup SAVINGS report — what the resolution is worth: per near-dup
+    * cluster, member count, dropped count, and the chars (≙ bytes) the
+    * drop verdicts reclaim. The numbers every dedup run is judged by
+    * before anyone green-lights the rewrite. Joins the (tiny) resolved
+    * cluster table back to `documents` for sizes — the corpus-sized side
+    * is touched once, semi-join-shaped. */
+  def savings(documents: DataFrame, w: Int = 3, threshold: Double = 0.5): DataFrame =
+    resolve(documents, w, threshold)
+      .join(documents.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("canonical_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("keep"), 0L).otherwise(col("n_chars"))).as("chars_saved"))
+
+  def savingsSql(w: Int = 3, threshold: Double = 0.5): String =
+    s"""WITH r AS MATERIALIZED (${resolveSql(w, threshold)})
+       |SELECT r.canonical_id, COUNT(*) AS n_members,
+       |  CAST(SUM(CASE WHEN r.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(CASE WHEN r.keep THEN 0 ELSE d.n_chars END) AS BIGINT) AS chars_saved
+       |FROM r JOIN documents d ON r.doc_id = d.doc_id
+       |GROUP BY r.canonical_id""".stripMargin
+
   // ---------- MinHash + LSH ----------
 
   val MinhashPrime = 1000000007L

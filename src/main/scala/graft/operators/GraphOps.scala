@@ -1002,6 +1002,52 @@ object GraphOps {
        |SELECT node, label FROM l_$rounds""".stripMargin
   }
 
+  /** Modularity of the label-propagation communities — the quality score
+    * that tells you whether the community structure is real (Newman's Q;
+    * what GDS reports next to every community algorithm). Kept ENTIRELY in
+    * the integers: with directed-double edge counts (m2 = 2m, e_in2 = 2·
+    * intra-edges, deg_sum = Σ degrees), Q·m2² = Σ_c (e_in2·m2 − deg_sum²)
+    * — so each community's contribution is an exact BIGINT and the oracle
+    * hash-matches where the float Q would 1-ulp drift. Two broadcast-ish
+    * joins of labels onto edges + one community-keyed groupBy. */
+  def modularity(lineitem: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = copurchase(lineitem).materialize
+    val labels = labelProp(lineitem, rounds)
+    val j = e
+      .join(labels.select(col("node"), col("label").as("la")), col("src") === col("node"))
+      .drop("node")
+      .join(labels.select(col("node"), col("label").as("lb")), col("dst") === col("node"))
+      .drop("node")
+    val m = e.agg(count(lit(1)).as("m2"))
+    val nn = labels.groupBy(col("label").as("community")).agg(count(lit(1)).as("n_nodes"))
+    j.groupBy(col("la").as("community"))
+      .agg(
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("e_in2"),
+        count(lit(1)).as("deg_sum"))
+      .join(nn, "community")
+      .crossJoin(broadcast(m))
+      .withColumn("contrib", col("e_in2") * col("m2") - col("deg_sum") * col("deg_sum"))
+      .select(col("community"), col("n_nodes"), col("e_in2"), col("deg_sum"),
+        col("m2"), col("contrib"))
+  }
+
+  def modularitySql(rounds: Int = 4): String =
+    s"""WITH labs AS MATERIALIZED (${labelPropSql(rounds)}),
+       |ee AS MATERIALIZED ($copurchaseSql),
+       |j AS (
+       |  SELECT a.label AS la, b.label AS lb
+       |  FROM ee JOIN labs a ON ee.src = a.node JOIN labs b ON ee.dst = b.node),
+       |m AS (SELECT COUNT(*) AS m2 FROM ee),
+       |nn AS (SELECT label AS community, COUNT(*) AS n_nodes FROM labs GROUP BY 1),
+       |per AS (
+       |  SELECT la AS community,
+       |    CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS e_in2,
+       |    COUNT(*) AS deg_sum
+       |  FROM j GROUP BY 1)
+       |SELECT p.community, nn.n_nodes, p.e_in2, p.deg_sum, m.m2,
+       |  p.e_in2 * m.m2 - p.deg_sum * p.deg_sum AS contrib
+       |FROM per p JOIN nn ON nn.community = p.community CROSS JOIN m""".stripMargin
+
   /** DuckDB oracle replaying the full HITS iteration (decimal-exact sums +
     * max-normalization make every iterate bit-identical). */
   def hitsSql(iters: Int = 5): String = {

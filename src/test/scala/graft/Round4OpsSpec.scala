@@ -240,6 +240,29 @@ class Round4OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0))
   }
 
+  test("modularity: two planted 3-cliques give the exact integer Q contributions") {
+    // order 0 → clique {10,20,30}; order 100 → clique {40,50,60}
+    val li = Seq((0L, 10L), (0L, 20L), (0L, 30L), (100L, 40L), (100L, 50L), (100L, 60L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = GraphOps.modularity(li)
+      .select("community", "n_nodes", "e_in2", "deg_sum", "m2", "contrib")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // per clique: 6 directed intra edges, deg_sum 6, m2 = 12 →
+    // contrib = 6·12 − 36 = 36; Q = (36+36)/12² = 0.5
+    assert(out == Seq((10L, 3L, 6L, 6L, 12L, 36L), (40L, 3L, 6L, 6L, 12L, 36L)))
+  }
+
+  test("savings: a triple of identical docs reclaims two docs' chars") {
+    val dup = (1 to 20).map(i => s"s$i").mkString(" ")
+    val d = docs(Seq((1L, dup), (2L, dup), (3L, dup),
+      (4L, (50 to 70).map(i => s"z$i").mkString(" "))))
+    val out = Dedup.savings(d)
+      .select("canonical_id", "n_members", "n_dropped", "chars_saved")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 1) // doc 4 never enters the pair graph
+    assert(out.head == ((1L, 3L, 2L, 2L * dup.length)))
+  }
+
   test("orderGroupingSets: emits only the requested slices plus the grand total") {
     val orders = Seq(
       (1L, "HIGH", "O", 10.0), (2L, "HIGH", "F", 20.0), (3L, "LOW", "O", 30.0))
