@@ -70,6 +70,8 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("l_orderkey"),
           org.apache.spark.sql.functions.col("l_partkey")).as("zval"))),
     "range_join" -> ((s, d) => AsOf.priceRangeJoin(Tables.lineitem(s, d))),
+    "hilbert_key" -> ((s, d) =>
+      graft.sources.Writers.hilbertKeys(Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
     // --- RAG / search surface ---
     "chunk_fixed" -> ((s, d) => Chunking.chunkFixed(Tables.documents(s, d))),
     "chunk_markdown" -> ((s, d) =>
@@ -430,6 +432,7 @@ object SparkEntry {
     "minhash_eval" -> MinhashPortable.minhashEvalSql(),
     "graph_modularity" -> GraphOps.modularitySql(),
     "dedup_savings" -> Dedup.savingsSql(),
+    "hilbert_key" -> graft.sources.Writers.hilbertSql("l_orderkey", "l_partkey", "lineitem"),
     "graph_pagerank" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),
     "graph_ppr" -> GraphOps.personalizedPageRankSql(),

@@ -56,6 +56,74 @@ object Writers {
       s"(((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " + ", ")")
 
+  /** Hilbert-curve distance of a 2-D key (the layout Databricks OPTIMIZE
+    * prefers over Z-order): unlike Morton, CONSECUTIVE Hilbert values are
+    * always spatially adjacent cells (no diagonal jumps across the plane),
+    * so file key-ranges stay tighter and min/max pruning prunes more. The
+    * classic bitwise xy2d walk (quadrant digit + rotate) is inherently
+    * sequential in the bit levels with state (x, y, d) — unrolling it as a
+    * Catalyst expression tree would blow up exponentially (x and y each
+    * feed the next level 2-3 times), so the engine side is a narrow JVM
+    * kernel (zero shuffle, codegen irrelevant at one call/row) and the
+    * oracle unrolls the same walk as one CTE per bit level, where columns
+    * materialize per step and the blowup vanishes. */
+  def hilbertXY2D(a: Long, b: Long, bits: Int = 16): Long = {
+    val n = 1L << bits
+    var x = a & (n - 1L)
+    var y = b & (n - 1L)
+    var d = 0L
+    var s = n >> 1
+    while (s > 0L) {
+      val rx = if ((x & s) > 0L) 1L else 0L
+      val ry = if ((y & s) > 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = n - 1L - x; y = n - 1L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** (key_a, key_b, hval) over a two-column DataFrame via the kernel. */
+  def hilbertKeys(df: DataFrame, colA: String, colB: String, bits: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(colA).cast("long"),
+        org.apache.spark.sql.functions.col(colB).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (a, b) => (a, b, hilbertXY2D(a, b, bits)) })
+      .toDF(colA, colB, "hval")
+  }
+
+  /** One CTE per bit level; each step's (x, y, d) are materialized columns
+    * so the state walk stays linear-sized. */
+  def hilbertSql(a: String, b: String, table: String, bits: Int = 16): String = {
+    val n = 1L << bits
+    val steps = (0 until bits).map { i =>
+      val s = n >> (i + 1)
+      val rx = s"CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END"
+      val ry = s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END"
+      s"""h${i + 1} AS (
+         |  SELECT ka, kb,
+         |    CASE WHEN $ry = 0 THEN
+         |      CASE WHEN $rx = 1 THEN ${n - 1} - y ELSE y END
+         |    ELSE x END AS x,
+         |    CASE WHEN $ry = 0 THEN
+         |      CASE WHEN $rx = 1 THEN ${n - 1} - x ELSE x END
+         |    ELSE y END AS y,
+         |    d + $s * $s * xor(3 * ($rx), $ry) AS d
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT $a AS ka, $b AS kb,
+       |    $a & ${n - 1} AS x, $b & ${n - 1} AS y, CAST(0 AS BIGINT) AS d
+       |  FROM $table),
+       |$steps
+       |SELECT ka AS $a, kb AS $b, d AS hval FROM h$bits""".stripMargin
+  }
+
   /** Write the corpus in deterministic shuffled (training) order: range-
     * partition + sort by the reproducible shuffle key so shard files read
     * back in key order ARE the shuffled corpus. One range shuffle; no

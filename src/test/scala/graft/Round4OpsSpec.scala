@@ -263,6 +263,19 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.head == ((1L, 3L, 2L, 2L * dup.length)))
   }
 
+  test("hilbertXY2D: consecutive curve values are always spatially adjacent") {
+    // the property Morton lacks: walk an 8×8 grid in Hilbert order and
+    // every step moves exactly one cell (Manhattan distance 1)
+    val cells = for (x <- 0 until 8; y <- 0 until 8)
+      yield (x, y, graft.sources.Writers.hilbertXY2D(x, y, bits = 3))
+    assert(cells.map(_._3).toSet == (0L until 64L).toSet) // a bijection
+    val walk = cells.sortBy(_._3)
+    walk.sliding(2).foreach { case Seq((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+    // Morton (zorder) violates this: d=3→4 jumps from (1,1) to (2,0)
+  }
+
   test("orderGroupingSets: emits only the requested slices plus the grand total") {
     val orders = Seq(
       (1L, "HIGH", "O", 10.0), (2L, "HIGH", "F", 20.0), (3L, "LOW", "O", 30.0))
