@@ -33,6 +33,9 @@ object SparkEntry {
       Relational.q5(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q17_corr_agg" -> ((s, d) => Relational.q17(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q10_returns" -> ((s, d) =>
+      Relational.q10(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q14_promo" -> ((s, d) => Relational.q14(Tables.lineitem(s, d), Tables.part(s, d))),
     "q18_having" -> ((s, d) =>
       Relational.q18(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_window" -> ((s, d) => Relational.topOrdersPerCustomer(Tables.orders(s, d))),
@@ -433,6 +436,8 @@ object SparkEntry {
     "graph_modularity" -> GraphOps.modularitySql(),
     "dedup_savings" -> Dedup.savingsSql(),
     "hilbert_key" -> graft.sources.Writers.hilbertSql("l_orderkey", "l_partkey", "lineitem"),
+    "q10_returns" -> Relational.q10Sql(),
+    "q14_promo" -> Relational.q14Sql,
     "graph_pagerank" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),
     "graph_ppr" -> GraphOps.personalizedPageRankSql(),

@@ -41,20 +41,20 @@ object CountMin {
     val hx = tf.withColumn("x",
       aggregate(split(col("term"), ""), lit(0L),
         (acc, c) => (acc * 31L + ascii(c)) % Mod))
-    val rows = (0 until d).map { i =>
+    // all d (row, cell) coordinates in ONE pass (a union of d branches
+    // would re-run the distinct-term aggregate d times)
+    val coords = array((0 until d).map { i =>
       val a = ((i + 1).toLong * 2654435761L) % Mod
       val b = ((i + 1).toLong * 40503L) % Mod
-      hx.select(lit(i.toLong).as("row"),
-        ((lit(a) * col("x") + lit(b)) % Mod % width).as("cell"), col("tf"))
-    }.reduce(_ unionAll _)
-    val sketch = rows.groupBy(col("row"), col("cell")).agg(sum(col("tf")).as("total"))
-    val probe = hx.orderBy(desc("tf"), col("term")).limit(probes)
-    val probeCells = (0 until d).map { i =>
-      val a = ((i + 1).toLong * 2654435761L) % Mod
-      val b = ((i + 1).toLong * 40503L) % Mod
-      probe.select(col("term"), col("tf"), lit(i.toLong).as("row"),
+      struct(lit(i.toLong).as("row"),
         ((lit(a) * col("x") + lit(b)) % Mod % width).as("cell"))
-    }.reduce(_ unionAll _)
+    }: _*)
+    val rows = hx.select(col("tf"), explode(coords).as("rc"))
+      .select(col("rc.row").as("row"), col("rc.cell").as("cell"), col("tf"))
+    val sketch = rows.groupBy(col("row"), col("cell")).agg(sum(col("tf")).as("total"))
+    val probeCells = hx.orderBy(desc("tf"), col("term")).limit(probes)
+      .select(col("term"), col("tf"), explode(coords).as("rc"))
+      .select(col("term"), col("tf"), col("rc.row").as("row"), col("rc.cell").as("cell"))
     probeCells.join(sketch, Seq("row", "cell"))
       .groupBy(col("term"), col("tf"))
       .agg(min(col("total")).as("cms_est"))

@@ -203,6 +203,57 @@ object Relational {
       |  FROM customer)
       |WHERE rn = (cnt + 1) // 2""".stripMargin
 
+  /** Returned-item revenue per customer (TPC-H Q10 shape): the
+    * return-flag filter pushes to the lineitem scan, the two fact joins
+    * shuffle on their keys, and the per-customer revenue rollup feeds a
+    * TakeOrderedAndProject top-k (never a global sort). */
+  def q10(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+          topN: Int = 20): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(topN)
+
+  def q10Sql(topN: Int = 20): String =
+    s"""SELECT c_custkey, c_mktsegment,
+       |  CAST(SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_mktsegment
+       |ORDER BY revenue DESC, c_custkey LIMIT $topN""".stripMargin
+
+  /** Promotion revenue share (TPC-H Q14 shape): conditional aggregation
+    * over a broadcast dimension join — promo share = promo revenue /
+    * total revenue, both accumulated decimal-exact in one pass. */
+  def q14(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+      .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
+
+  val q14Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(CAST(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue,
+      |  CAST(SUM(CAST(CAST(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) /
+      |  CAST(SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
   /** Small-quantity-order revenue (TPC-H Q17 shape): correlated aggregate
     * de-correlated into a per-part average joined back to the fact — the
     * aggregate side is |parts|-sized, broadcast when it fits. */

@@ -113,7 +113,7 @@ object Writers {
          |    CASE WHEN $ry = 0 THEN
          |      CASE WHEN $rx = 1 THEN ${n - 1} - x ELSE x END
          |    ELSE y END AS y,
-         |    d + $s * $s * xor(3 * ($rx), $ry) AS d
+         |    d + CAST($s AS BIGINT) * $s * xor(3 * ($rx), $ry) AS d
          |  FROM h$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH h0 AS (
