@@ -26,6 +26,7 @@ object Compaction {
   /** (source, doc_id, n_chars, bin): `documents` stands in for the file
     * manifest — source ≙ table partition, n_chars ≙ file size. */
   def compactionPlan(documents: DataFrame, capacity: Long = 4000L): DataFrame = {
+    require(capacity > 0L, s"capacity must be positive: $capacity")
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("source"), col("doc_id"), col("n_chars"))

@@ -32,6 +32,7 @@ object Containment {
     * engines). */
   def containmentPairs(documents: DataFrame, w: Int = 3, threshold: Double = 0.8,
                        maxDf: Int = 50): DataFrame = {
+    require(w > 0 && maxDf > 0 && threshold > 0.0, s"bad params w=$w maxDf=$maxDf threshold=$threshold")
     val spark = documents.sparkSession
     import spark.implicits._
     val sh = documents.select(col("doc_id"), col("lang"), col("text"))

@@ -33,6 +33,7 @@ object CountMin {
     * guarantee); the oracle asserts bit-equality. */
   def cmsFreq(documents: DataFrame, d: Int = 4, width: Int = 256,
               probes: Int = 20): DataFrame = {
+    require(d > 0 && width > 0 && probes > 0, s"bad params d=$d width=$width probes=$probes")
     val tf = documents
       .select(explode(split(trim(col("text")), "\\s+")).as("term"))
       .filter(col("term") =!= "")

@@ -315,6 +315,7 @@ object GraphOps {
     * 6·h = 6·n1 + 3·n2 + 2·n3 (LCM trick) — no float division anywhere,
     * so the DuckDB 3-level replay hash-matches exactly. */
   def closeness(lineitem: DataFrame, seedMod: Long = 20L): DataFrame = {
+    require(seedMod > 0L, s"seedMod must be positive: $seedMod")
     val cp = copurchase(lineitem).materialize
     val seeds = cp.select(col("src").as("s")).distinct()
       .filter(pmod(col("s"), lit(seedMod)) === 0L)

@@ -68,6 +68,7 @@ object Writers {
     * oracle unrolls the same walk as one CTE per bit level, where columns
     * materialize per step and the blowup vanishes. */
   def hilbertXY2D(a: Long, b: Long, bits: Int = 16): Long = {
+    require(bits > 0 && bits < 32, s"bits must be in [1,31]: $bits")
     val n = 1L << bits
     var x = a & (n - 1L)
     var y = b & (n - 1L)
