@@ -175,6 +175,8 @@ object SparkEntry {
     "graph_degree_dist" -> ((s, d) =>
       GraphOps.degreeDistribution(Tables.orders(s, d), Tables.lineitem(s, d))),
     "event_dedup" -> ((s, d) => Relational.eventDedup(Tables.events(s, d))),
+    "quantile_hist" -> ((s, d) => Relational.quantileHist(Tables.events(s, d))),
+    "q_ntile" -> ((s, d) => Relational.custQuartiles(Tables.customer(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.orderGroupingSets(Tables.orders(s, d))),
     "code_stats" -> ((s, d) =>
       CodeEdges.codeStats(CodeEdges.syntheticCodeView(Tables.documents(s, d)))),
@@ -438,6 +440,8 @@ object SparkEntry {
     "hilbert_key" -> graft.sources.Writers.hilbertSql("l_orderkey", "l_partkey", "lineitem"),
     "q10_returns" -> Relational.q10Sql(),
     "q14_promo" -> Relational.q14Sql,
+    "quantile_hist" -> Relational.quantileHistSql(),
+    "q_ntile" -> Relational.custQuartilesSql,
     "graph_pagerank" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),
     "graph_ppr" -> GraphOps.personalizedPageRankSql(),

@@ -605,6 +605,87 @@ object Relational {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
 
+  /** Deterministic histogram quantiles — the scalable approximate
+    * percentile (what you run at 100 TB where exact global quantiles would
+    * need a full sort): pass 1 takes per-type min/max/count (broadcast-
+    * sized), pass 2 buckets every value into nb fixed-width bins with one
+    * map-combined groupBy. Quantile selection is INTEGER arithmetic over
+    * the bounded per-type histogram (cum·2 ≥ n for p50, cum·20 ≥ 19n for
+    * p95 — no float thresholds), and the reported estimate is the bucket's
+    * lower edge. Unlike percentile_approx's sketch this is bit-
+    * deterministic, so the oracle hash-matches. Window is partitioned per
+    * type over ≤ nb rows — bounded by construction. */
+  def quantileHist(events: DataFrame, nb: Int = 100): DataFrame = {
+    val mm = events.groupBy(col("event_type")).agg(
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+      count(lit(1)).as("n"))
+    val hist = events.join(broadcast(mm), "event_type")
+      .withColumn("bucket",
+        least(floor((col("value") - col("vmin")) / (col("vmax") - col("vmin")) * nb)
+          .cast("long"), lit(nb - 1L)))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(mm), "event_type")
+      .groupBy(col("event_type"), col("vmin"), col("vmax"), col("n"))
+      .agg(
+        min(when(col("cum") * 2L >= col("n"), col("bucket"))).as("b50"),
+        min(when(col("cum") * 20L >= col("n") * 19L, col("bucket"))).as("b95"))
+      .select(col("event_type"), col("n"),
+        (col("vmin") + col("b50").cast("double") * (col("vmax") - col("vmin")) / lit(nb.toDouble)).as("p50_est"),
+        (col("vmin") + col("b95").cast("double") * (col("vmax") - col("vmin")) / lit(nb.toDouble)).as("p95_est"))
+  }
+
+  def quantileHistSql(nb: Int = 100): String =
+    s"""WITH mm AS (
+       |  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax, COUNT(*) AS n
+       |  FROM events GROUP BY 1),
+       |hist AS (
+       |  SELECT e.event_type,
+       |    LEAST(CAST(FLOOR((e.value - mm.vmin) / (mm.vmax - mm.vmin) * $nb) AS BIGINT),
+       |          ${nb - 1}) AS bucket,
+       |    COUNT(*) AS c
+       |  FROM events e JOIN mm ON e.event_type = mm.event_type
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, bucket, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+       |  FROM hist),
+       |sel AS (
+       |  SELECT c.event_type, mm.vmin, mm.vmax, mm.n,
+       |    MIN(CASE WHEN c.cum * 2 >= mm.n THEN c.bucket END) AS b50,
+       |    MIN(CASE WHEN c.cum * 20 >= mm.n * 19 THEN c.bucket END) AS b95
+       |  FROM cum c JOIN mm ON c.event_type = mm.event_type
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT event_type, n,
+       |  vmin + CAST(b50 AS DOUBLE) * (vmax - vmin) / ${nb.toDouble} AS p50_est,
+       |  vmin + CAST(b95 AS DOUBLE) * (vmax - vmin) / ${nb.toDouble} AS p95_est
+       |FROM sel""".stripMargin
+
+  /** Quartile assignment per nation (NTILE — the window primitive the
+    * rank/lag/sum family doesn't cover), rolled up to per-(nation,
+    * quartile) balance stats. Deterministic via the (acctbal, custkey)
+    * total order; windows partition per nation, never global. */
+  def custQuartiles(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+    customer
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("c_nationkey"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal"))
+  }
+
+  val custQuartilesSql: String =
+    """WITH q AS (
+      |  SELECT c_nationkey,
+      |    CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+      |                        ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
+      |    c_acctbal
+      |  FROM customer)
+      |SELECT c_nationkey, quartile, COUNT(*) AS n,
+      |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+      |FROM q GROUP BY 1, 2""".stripMargin
+
   /** At-least-once delivery repair — the batch half of stream_dedup: an
     * event log re-delivers a deterministic slice (event_id%10, new ids —
     * the synthetic stand-in for retried producers), and dedup collapses

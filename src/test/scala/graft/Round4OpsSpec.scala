@@ -263,6 +263,28 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.head == ((1L, 3L, 2L, 2L * dup.length)))
   }
 
+  test("quantileHist: uniform values give edge estimates near the true quantiles") {
+    val ts0 = new java.sql.Timestamp(1700000000000L)
+    val ev = (1 to 100).map(i => (i.toLong, ts0, 1L, "t", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val Array((n, p50, p95)) = Relational.quantileHist(ev)
+      .select("n", "p50_est", "p95_est").as[(Long, Double, Double)].collect()
+    assert(n == 100L)
+    assert(p50 > 45.0 && p50 < 55.0)
+    assert(p95 > 90.0 && p95 <= 100.0)
+    assert(p50 < p95)
+  }
+
+  test("custQuartiles: 8 customers split into 4 quartiles of 2, ordered by balance") {
+    val c = (1 to 8).map(i => (i.toLong, 1, i * 10.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val out = Relational.custQuartiles(c)
+      .select("quartile", "n", "min_bal", "max_bal")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 10.0, 20.0), (2L, 2L, 30.0, 40.0),
+      (3L, 2L, 50.0, 60.0), (4L, 2L, 70.0, 80.0)))
+  }
+
   test("hilbertXY2D: consecutive curve values are always spatially adjacent") {
     // the property Morton lacks: walk an 8×8 grid in Hilbert order and
     // every step moves exactly one cell (Manhattan distance 1)
