@@ -181,6 +181,7 @@ object SparkEntry {
     "code_stats" -> ((s, d) =>
       CodeEdges.codeStats(CodeEdges.syntheticCodeView(Tables.documents(s, d)))),
     "minhash_eval" -> ((s, d) => MinhashPortable.minhashEval(Tables.documents(s, d))),
+    "pair_features" -> ((s, d) => MinhashPortable.pairFeatures(Tables.documents(s, d))),
     "graph_modularity" -> ((s, d) => GraphOps.modularity(Tables.lineitem(s, d))),
     "dedup_savings" -> ((s, d) => Dedup.savings(Tables.documents(s, d))),
     "graph_path_trace" -> ((s, d) => GraphOps.shortestPathTrace(Tables.lineitem(s, d))),
@@ -435,6 +436,7 @@ object SparkEntry {
     "q_grouping_sets" -> Relational.orderGroupingSetsSql,
     "code_stats" -> CodeEdges.codeStatsSql,
     "minhash_eval" -> MinhashPortable.minhashEvalSql(),
+    "pair_features" -> MinhashPortable.pairFeaturesSql(),
     "graph_modularity" -> GraphOps.modularitySql(),
     "dedup_savings" -> Dedup.savingsSql(),
     "hilbert_key" -> graft.sources.Writers.hilbertSql("l_orderkey", "l_partkey", "lineitem"),

@@ -236,11 +236,12 @@ object MinhashPortable {
     * what the dedup already cost plus one bounded join. est is k-rational,
     * exact is a single integer division: every column is IEEE-exact, so
     * even this error report hash-matches the oracle. */
-  def minhashEval(documents: DataFrame, nPerms: Int = 16, bands: Int = 4): DataFrame = {
+  /** Per-doc distinct shingle-hash sets under the portable family — the
+    * exact-side input for minhashEval / pairFeatures. */
+  private def shingleSets(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val cand = minhashLshPortable(documents, nPerms, bands)
-    val sets = documents.select(col("doc_id"), col("text"))
+    documents.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (docId, text) =>
         val toks = text.trim.split("\\s+")
@@ -260,6 +261,11 @@ object MinhashPortable {
         }
       }
       .toDF("doc_id", "hs")
+  }
+
+  def minhashEval(documents: DataFrame, nPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val cand = minhashLshPortable(documents, nPerms, bands)
+    val sets = shingleSets(documents)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
@@ -299,4 +305,69 @@ object MinhashPortable {
        |FROM cand c
        |JOIN sets a ON c.doc_a = a.doc_id
        |JOIN sets b ON c.doc_b = b.doc_id""".stripMargin
+
+  /** Pair FEATURE table for training/calibrating a dedup decision model
+    * (the ML-prep step after candidate generation: NearDedup-style
+    * pipelines learn a keep/merge classifier over exactly these
+    * signals): per LSH candidate pair — estimated Jaccard, exact
+    * Jaccard, max directional containment, shingle-count ratio, and
+    * same-language flag. Candidates stay bucket-bounded; exact sets join
+    * only against surfaced pairs; every column is integer-derived or a
+    * single IEEE division, so the feature table itself is hash-exact. */
+  def pairFeatures(documents: DataFrame, nPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val cand = minhashLshPortable(documents, nPerms, bands)
+    val sets = shingleSets(documents)
+    val langs = documents.select(col("doc_id"), col("lang"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")), "doc_a")
+      .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")), "doc_b")
+      .withColumn("na", size(col("ha")).cast("long"))
+      .withColumn("nb", size(col("hb")).cast("long"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("exact_jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("na"), col("nb")).cast("double"))
+      .withColumn("len_ratio", least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")).cast("double"))
+      .withColumn("same_lang", col("lang_a") === col("lang_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("exact_jaccard"),
+        col("containment"), col("len_ratio"), col("same_lang"))
+  }
+
+  def pairFeaturesSql(nPerms: Int = 16, bands: Int = 4): String =
+    s"""WITH cand AS MATERIALIZED (${minhashLshPortableSql(nPerms, bands)}),
+       |tk2 AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sh2 AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |    FROM tk2 WHERE len(t) >= 3)),
+       |hx2 AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(s, ''), x -> CAST(ord(x) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % $Mod) AS h
+       |  FROM sh2),
+       |sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM hx2 GROUP BY doc_id),
+       |f AS (
+       |  SELECT c.doc_a, c.doc_b, c.est_jaccard,
+       |    CAST(len(a.hs) AS BIGINT) AS na, CAST(len(b.hs) AS BIGINT) AS nb,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+       |    la.lang AS lang_a, lb.lang AS lang_b
+       |  FROM cand c
+       |  JOIN sets a ON c.doc_a = a.doc_id
+       |  JOIN sets b ON c.doc_b = b.doc_id
+       |  JOIN documents la ON c.doc_a = la.doc_id
+       |  JOIN documents lb ON c.doc_b = lb.doc_id)
+       |SELECT doc_a, doc_b, est_jaccard,
+       |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS exact_jaccard,
+       |  CAST(inter AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) AS containment,
+       |  CAST(LEAST(na, nb) AS DOUBLE) / CAST(GREATEST(na, nb) AS DOUBLE) AS len_ratio,
+       |  lang_a = lang_b AS same_lang
+       |FROM f""".stripMargin
 }

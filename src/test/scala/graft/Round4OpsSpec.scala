@@ -263,6 +263,20 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.head == ((1L, 3L, 2L, 2L * dup.length)))
   }
 
+  test("pairFeatures: twin docs get maximal features; ranges hold for all pairs") {
+    val twin = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs(Seq((1L, twin), (2L, twin),
+      (3L, (100 to 130).map(i => s"v$i").mkString(" "))))
+    val rows = MinhashPortable.pairFeatures(d)
+      .select("doc_a", "doc_b", "exact_jaccard", "containment", "len_ratio", "same_lang")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+    val t = rows.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(t._3 == 1.0 && t._4 == 1.0 && t._5 == 1.0 && t._6)
+    rows.foreach { r =>
+      assert(r._3 >= 0.0 && r._3 <= 1.0 && r._4 >= r._3 && r._5 > 0.0 && r._5 <= 1.0)
+    }
+  }
+
   test("quantileHist: uniform values give edge estimates near the true quantiles") {
     val ts0 = new java.sql.Timestamp(1700000000000L)
     val ev = (1 to 100).map(i => (i.toLong, ts0, 1L, "t", i.toDouble, "{}"))
