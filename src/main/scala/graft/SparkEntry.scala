@@ -112,6 +112,8 @@ object SparkEntry {
     "compaction_plan" -> ((s, d) => Compaction.compactionPlan(Tables.documents(s, d))),
     "quality_sample" -> ((s, d) => Corpus.qualitySample(Tables.documents(s, d))),
     "join_skew_stats" -> ((s, d) => Skew.joinSkewStats(Tables.lineitem(s, d), "l_suppkey")),
+    "join_card_est" -> ((s, d) =>
+      Skew.joinCardEst(Tables.orders(s, d), Tables.lineitem(s, d), "o_orderkey", "l_orderkey")),
     "ivf_upsert" -> ((s, d) => Dedup.ivfUpsert(Tables.embeddings(s, d))),
     "tokenizer_fertility" -> ((s, d) => Bpe.fertility(Tables.documents(s, d))),
     "char_diversity" -> ((s, d) => TextAnalysis.charDiversity(Tables.documents(s, d))),
@@ -379,6 +381,7 @@ object SparkEntry {
     "compaction_plan" -> Compaction.compactionPlanSql(),
     "quality_sample" -> Corpus.qualitySampleSql(),
     "join_skew_stats" -> Skew.joinSkewStatsSql(),
+    "join_card_est" -> Skew.joinCardEstSql(),
     "ivf_upsert" -> Dedup.ivfUpsertSql(),
     "tokenizer_fertility" -> Bpe.fertilitySql(),
     "char_diversity" -> TextAnalysis.charDiversitySql,

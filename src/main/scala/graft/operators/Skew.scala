@@ -59,6 +59,41 @@ object Skew {
        |  CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) AS skew_x
        |FROM c, t ORDER BY cnt DESC, key LIMIT $topN""".stripMargin
 
+  /** Equi-join cardinality estimation BEFORE running the join — the
+    * number the optimizer guesses and the engineer wants exactly:
+    * |A ⋈ B| = Σ_k cntA(k)·cntB(k). Two map-combined per-key counts + a
+    * count-table join (each far smaller than the join itself), so you
+    * learn whether the join explodes — and which keys explode it — for a
+    * fraction of its cost. Emits the top-N contributing keys plus the
+    * exact total and matched-key count on every row (broadcast scalars).
+    * All integers: hash-exact. */
+  def joinCardEst(left: DataFrame, right: DataFrame, leftKey: String,
+                  rightKey: String, topN: Int = 10): DataFrame = {
+    val ca = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("ca"))
+    val cb = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("cb"))
+    val j = ca.join(cb, "key").withColumn("pairs", col("ca") * col("cb"))
+    val totals = j.agg(sum(col("pairs")).as("total_pairs"),
+      count(lit(1)).as("n_join_keys"))
+    j.crossJoin(broadcast(totals))
+      .select(col("key"), col("ca"), col("cb"), col("pairs"),
+        col("total_pairs"), col("n_join_keys"))
+      .orderBy(desc("pairs"), col("key"))
+      .limit(topN)
+  }
+
+  def joinCardEstSql(leftTable: String = "orders", leftKey: String = "o_orderkey",
+                     rightTable: String = "lineitem", rightKey: String = "l_orderkey",
+                     topN: Int = 10): String =
+    s"""WITH ca AS (SELECT $leftKey AS key, COUNT(*) AS ca FROM $leftTable GROUP BY 1),
+       |cb AS (SELECT $rightKey AS key, COUNT(*) AS cb FROM $rightTable GROUP BY 1),
+       |j AS (SELECT ca.key, ca.ca, cb.cb, ca.ca * cb.cb AS pairs
+       |      FROM ca JOIN cb ON ca.key = cb.key),
+       |t AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs,
+       |             COUNT(*) AS n_join_keys FROM j)
+       |SELECT j.key, j.ca, j.cb, j.pairs, t.total_pairs, t.n_join_keys
+       |FROM j CROSS JOIN t
+       |ORDER BY pairs DESC, key LIMIT $topN""".stripMargin
+
   def saltedCountDistinct(df: DataFrame, key: String, valueCol: String,
                           salts: Int = 16): DataFrame =
     df

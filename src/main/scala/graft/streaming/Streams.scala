@@ -51,6 +51,23 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("term"), col("n"))
 
+  /** Streaming value-distribution profiling — the stream twin of
+    * Relational.quantileHist: fixed-range bucket counts per tumbling
+    * window (range is a config, not a data-dependent min/max — a stream
+    * can't two-pass), watermark bounds state to open windows. Downstream
+    * quantile selection over the ≤ nb buckets of a closed window is a
+    * bounded batch step, same as the batch operator's integer cum-count
+    * walk. */
+  def streamingHistogram(events: DataFrame, nb: Int = 20, vmax: Double = 500.0): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("bucket",
+        least(floor(col("value") / vmax * nb).cast("long"), lit(nb - 1L)))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("bucket"), col("n"))
+
   /** Streaming spike detection against a BATCH baseline — the stream-static
     * join pattern: the per-type median hourly rate is computed offline
     * (Relational.eventSpikes' medians, a tiny static table), and the live

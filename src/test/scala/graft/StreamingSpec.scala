@@ -34,6 +34,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("view", 1L, 3.0)))
   }
 
+  test("streaming histogram buckets windowed values with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // nb=20, vmax=500 → bucket width 25
+    input.addData(
+      Event(1, ts(5), 10, "click", 10.0),   // bucket 0
+      Event(2, ts(10), 10, "click", 20.0),  // bucket 0
+      Event(3, ts(20), 10, "click", 60.0),  // bucket 2
+      Event(4, ts(25), 11, "view", 999.0))  // clamps to bucket 19
+    val q = Streams.streamingHistogram(input.toDF())
+      .writeStream.format("memory").queryName("shist")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Event(5, Timestamp.valueOf("2024-01-01 03:00:00"), 10, "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("shist")
+      .select("event_type", "bucket", "n").as[(String, Long, Long)].collect().toSet
+    assert(rows.contains(("click", 0L, 2L)))
+    assert(rows.contains(("click", 2L, 1L)))
+    assert(rows.contains(("view", 19L, 1L)))
+  }
+
   test("streaming dedup flags duplicates across batches, first arrival wins") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Doc]
