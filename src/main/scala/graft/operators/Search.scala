@@ -134,6 +134,46 @@ object Search {
        |QUALIFY rn <= $k""".stripMargin
   }
 
+  /** Late-interaction MaxSim retrieval (the ColBERT scoring pattern): a
+    * document is a BAG of vectors (here: the label groups its member
+    * vectors ≙ a doc's token/chunk embeddings) and its score against a
+    * probe is the MAX similarity over the bag — far more robust than one
+    * pooled vector when only part of a doc matches. Same scale shape as
+    * knnJoin (probe side broadcast, one codegen scoring pass) with the
+    * per-(probe, doc) MAX folded into the same shuffle as a partial
+    * aggregate, then the bounded TopKAgg keeps shuffle O(probes·k). */
+  def maxsimRetrieve(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    embeddings
+      .select(col("vec_id").as("vid"), col("label").cast("long").as("doc"), col("embedding"))
+      .crossJoin(broadcast(probes))
+      .filter(col("vid") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .groupBy(col("probe_id"), col("doc"))
+      .agg(max(col("cos")).as("maxsim"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("maxsim"), col("doc"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("doc"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("maxsim"))
+  }
+
+  def maxsimRetrieveSql(nProbes: Int = 10, k: Int = 3): String = {
+    val cos = VectorOps.cosineSql("e.embedding", "p.embedding")
+    s"""WITH ms AS (
+       |  SELECT p.vec_id AS probe_id, CAST(e.label AS BIGINT) AS doc,
+       |    MAX($cos) AS maxsim
+       |  FROM embeddings e JOIN embeddings p
+       |    ON p.vec_id < $nProbes AND e.vec_id <> p.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT probe_id, doc,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                          ORDER BY maxsim DESC, doc) AS BIGINT) AS rn,
+       |  maxsim
+       |FROM ms QUALIFY rn <= $k""".stripMargin
+  }
+
   /** Hard-negative mining — the contrastive-training data step (DPR/SBERT
     * recipe): for each probe, the top-k most-similar vectors with a
     * DIFFERENT label are exactly the "hard" negatives a bi-encoder trains

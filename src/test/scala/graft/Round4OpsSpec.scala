@@ -263,6 +263,21 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.head == ((1L, 3L, 2L, 2L * dup.length)))
   }
 
+  test("maxsimRetrieve: partial match wins via the bag MAX where pooling would dilute") {
+    def v(xs: Float*): Array[Float] = xs.toArray
+    // doc 7 = two orthogonal member vectors; probe 0 matches one of them
+    // exactly → MaxSim ≈ 1.0 even though the doc's average points elsewhere
+    val emb = Seq(
+      (0L, v(1f, 0f, 0f), 99),               // probe
+      (10L, v(1f, 0f, 0f), 7), (11L, v(0f, 1f, 0f), 7),
+      (20L, v(0.5f, 0.5f, 0.7f), 8), (21L, v(0.4f, 0.6f, 0.7f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Search.maxsimRetrieve(emb, nProbes = 1, k = 2)
+      .select("doc", "rn", "maxsim").as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.head._1 == 7L && out.head._3 > 0.999)
+    assert(out.length == 3 || out.forall(r => r._3 <= out.head._3))
+  }
+
   test("pairFeatures: twin docs get maximal features; ranges hold for all pairs") {
     val twin = (1 to 30).map(i => s"w$i").mkString(" ")
     val d = docs(Seq((1L, twin), (2L, twin),
