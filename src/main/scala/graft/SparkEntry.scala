@@ -87,6 +87,7 @@ object SparkEntry {
     "vector_topk" -> ((s, d) => Search.vectorTopK(Tables.embeddings(s, d))),
     "knn_join" -> ((s, d) => Search.knnJoin(Tables.embeddings(s, d))),
     "ann_maxsim" -> ((s, d) => Search.maxsimRetrieve(Tables.embeddings(s, d))),
+    "mmr_rerank" -> ((s, d) => Search.mmrRerank(Tables.embeddings(s, d))),
     "hybrid_search" -> ((s, d) =>
       Search.hybrid(Tables.documents(s, d), Tables.embeddings(s, d), kwTerms)),
     "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d), kwTerms)),
@@ -384,6 +385,7 @@ object SparkEntry {
     "join_skew_stats" -> Skew.joinSkewStatsSql(),
     "join_card_est" -> Skew.joinCardEstSql(),
     "ann_maxsim" -> Search.maxsimRetrieveSql(),
+    "mmr_rerank" -> Search.mmrRerankSql(),
     "ivf_upsert" -> Dedup.ivfUpsertSql(),
     "tokenizer_fertility" -> Bpe.fertilitySql(),
     "char_diversity" -> TextAnalysis.charDiversitySql,

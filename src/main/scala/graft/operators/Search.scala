@@ -174,6 +174,85 @@ object Search {
        |FROM ms QUALIFY rn <= $k""".stripMargin
   }
 
+  /** MMR diversified reranking (Carbonell & Goldstein; every RAG stack's
+    * post-retrieval step): greedily select k results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected, so near-
+    * duplicate hits don't crowd out coverage. The candidate pool is the
+    * bounded top-nCand retrieval (a model-parameter-sized artifact — the
+    * IVF-centroid collect precedent); relevance and the nCand² candidate
+    * sim matrix are computed by the ENGINE's cosine kernel and only the
+    * greedy argmax loop (k steps over ≤ nCand doubles) runs on the
+    * driver, reusing those exact numbers — so the oracle's unrolled
+    * k-step replay is bit-identical. λ = 0.7 and 1−λ = 0.3 appear as the
+    * same two literals in both engines. */
+  def mmrRerank(embeddings: DataFrame, queryVecId: Long = 0L, nCand: Int = 30,
+                k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val cand = embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.cosine(col("embedding"), col("qv")).as("rel"))
+      .orderBy(desc("rel"), col("vec_id"))
+      .limit(nCand)
+    val rels: Array[(Long, Double)] =
+      cand.select(col("vec_id"), col("rel")).as[(Long, Double)].collect().sortBy(_._1)
+    val simRows: Map[(Long, Long), Double] = cand.as("a").join(cand.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(rels: _*)
+    for (rank <- 1 to math.min(k, rels.length)) {
+      val scored = remaining.toSeq.map { case (id, rel) =>
+        val pen =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => simRows((id, s._2))).max
+        (id, rel, 0.7 * rel - 0.3 * pen)
+      }
+      val (id, rel, mmr) = scored.maxBy { case (id, _, m) => (m, -id) }
+      selected += ((rank.toLong, id, rel, mmr))
+      remaining.remove(id)
+    }
+    selected.toSeq.toDF("rank", "vec_id", "rel", "mmr")
+  }
+
+  def mmrRerankSql(queryVecId: Long = 0L, nCand: Int = 30, k: Int = 5): String = {
+    val relCos = VectorOps.cosineSql("e.embedding", "q.qv")
+    val simCos = VectorOps.cosineSql("a.embedding", "b.embedding")
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        s"""s1 AS (
+           |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, 0.7 * rel - 0.3 * 0.0 AS mmr
+           |  FROM cand ORDER BY 0.7 * rel - 0.3 * 0.0 DESC, vec_id LIMIT 1)""".stripMargin
+      else {
+        val prev = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+        s"""s$i AS (
+           |  SELECT CAST($i AS BIGINT) AS rank, c.vec_id, c.rel,
+           |    0.7 * c.rel - 0.3 * (SELECT MAX(s.sim) FROM sims s
+           |                         WHERE s.ia = c.vec_id AND s.ib IN ($prev)) AS mmr
+           |  FROM cand c WHERE c.vec_id NOT IN ($prev)
+           |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+      }
+    }.mkString(",\n")
+    val out = (1 to k).map(i => s"SELECT * FROM s$i").mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryVecId),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, $relCos AS rel
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> $queryVecId
+       |  ORDER BY rel DESC, e.vec_id LIMIT $nCand),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, $simCos AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |$steps
+       |$out""".stripMargin
+  }
+
   /** Hard-negative mining — the contrastive-training data step (DPR/SBERT
     * recipe): for each probe, the top-k most-similar vectors with a
     * DIFFERENT label are exactly the "hard" negatives a bi-encoder trains

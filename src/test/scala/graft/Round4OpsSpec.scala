@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Cluster, CodeEdges, Compaction, Containment, Corpus, CountMin, Dedup, GraphOps, Memory, MinhashPortable, Relational, Skew, TextAnalysis, UrlOps}
+import graft.operators.{Bpe, Cluster, CodeEdges, Compaction, Containment, Corpus, CountMin, Dedup, GraphOps, Memory, MinhashPortable, Relational, Search, Skew, TextAnalysis, UrlOps}
 
 /** Semantic pins for the round-4 batch (containment dedup, count-min
   * sketch, comment combining) — each is also hash-oracle-green via
@@ -276,6 +276,22 @@ class Round4OpsSpec extends SparkSpec {
       .select("doc", "rn", "maxsim").as[(Long, Long, Double)].collect().sortBy(_._2)
     assert(out.head._1 == 7L && out.head._3 > 0.999)
     assert(out.length == 3 || out.forall(r => r._3 <= out.head._3))
+  }
+
+  test("mmrRerank: the near-duplicate of the first pick is displaced by a diverse hit") {
+    def v(xs: Float*): Array[Float] = xs.toArray
+    val emb = Seq(
+      (0L, v(1f, 0f, 0f)),                     // query
+      (1L, v(0.9f, 0.43589f, 0f)),             // A1
+      (2L, v(0.9f, 0.43589f, 0f)),             // A2 = exact dup of A1
+      (3L, v(0.9f, -0.43589f, 0f)))            // B: same relevance, diverse
+      .toDF("vec_id", "embedding")
+    val out = Search.mmrRerank(emb, queryVecId = 0L, nCand = 3, k = 2)
+      .select("rank", "vec_id").as[(Long, Long)].collect().sortBy(_._1)
+    val picked = out.map(_._2).toSet
+    // MMR must NOT pick both duplicates; the diverse candidate displaces one
+    assert(picked.contains(3L))
+    assert(!(picked.contains(1L) && picked.contains(2L)))
   }
 
   test("pairFeatures: twin docs get maximal features; ranges hold for all pairs") {
