@@ -180,6 +180,7 @@ object SparkEntry {
       GraphOps.degreeDistribution(Tables.orders(s, d), Tables.lineitem(s, d))),
     "event_dedup" -> ((s, d) => Relational.eventDedup(Tables.events(s, d))),
     "quantile_hist" -> ((s, d) => Relational.quantileHist(Tables.events(s, d))),
+    "path_mining" -> ((s, d) => Relational.pathMining(Tables.events(s, d))),
     "q_ntile" -> ((s, d) => Relational.custQuartiles(Tables.customer(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.orderGroupingSets(Tables.orders(s, d))),
     "code_stats" -> ((s, d) =>
@@ -450,6 +451,7 @@ object SparkEntry {
     "q10_returns" -> Relational.q10Sql(),
     "q14_promo" -> Relational.q14Sql,
     "quantile_hist" -> Relational.quantileHistSql(),
+    "path_mining" -> Relational.pathMiningSql(),
     "q_ntile" -> Relational.custQuartilesSql,
     "graph_pagerank" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),

@@ -686,6 +686,64 @@ object Relational {
       |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
       |FROM q GROUP BY 1, 2""".stripMargin
 
+  /** Session path mining — the "most common user journeys" query of
+    * product analytics: sessionize (same gap logic as
+    * q_events_sessionize), order each session's event types, slide a
+    * trigram window over the sequence, count paths globally, top-N.
+    * Windows partition per user and the trigram HOF runs over bounded
+    * session sequences; the global cut is TakeOrderedAndProject. */
+  def pathMining(events: DataFrame, gapMinutes: Int = 30, topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val s = events
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("tsu"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("tsu") - col("prev") > gapUs, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val seqs = s.groupBy(col("user_id"), col("session_id"))
+      .agg(array_sort(collect_list(
+        struct(col("tsu"), col("event_id"), col("event_type")))).as("evs"))
+      .withColumn("types", transform(col("evs"), x => x.getField("event_type")))
+    seqs.select(
+        explode(when(size(col("types")) >= 3,
+          transform(sequence(lit(0), size(col("types")) - 3),
+            i => concat_ws("->", get(col("types"), i), get(col("types"), i + 1),
+              get(col("types"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(topN)
+  }
+
+  def pathMiningSql(gapMinutes: Int = 30, topN: Int = 20): String = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    s"""WITH g AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $gapUs
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, event_type, tsu, event_id,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM g),
+       |seqs AS (
+       |  SELECT user_id, session_id,
+       |    list(event_type ORDER BY tsu, event_id) AS types
+       |  FROM s GROUP BY 1, 2),
+       |tri AS (
+       |  SELECT unnest(CASE WHEN len(types) >= 3
+       |    THEN list_transform(range(1, len(types) - 1),
+       |      i -> types[i] || '->' || types[i+1] || '->' || types[i+2])
+       |    ELSE CAST([] AS VARCHAR[]) END) AS path
+       |  FROM seqs)
+       |SELECT path, COUNT(*) AS n FROM tri
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT $topN""".stripMargin
+  }
+
   /** At-least-once delivery repair — the batch half of stream_dedup: an
     * event log re-delivers a deterministic slice (event_id%10, new ids —
     * the synthetic stand-in for retried producers), and dedup collapses

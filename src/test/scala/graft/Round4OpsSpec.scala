@@ -204,6 +204,19 @@ class Round4OpsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 3L -> 1L))
   }
 
+  test("pathMining: planted session yields its trigrams; short sessions yield none") {
+    val ts = (i: Int) => new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val ev = Seq(
+      (1L, ts(1), 1L, "view", 0.0, "{}"), (2L, ts(2), 1L, "click", 0.0, "{}"),
+      (3L, ts(3), 1L, "purchase", 0.0, "{}"), (4L, ts(4), 1L, "view", 0.0, "{}"),
+      (5L, ts(1), 2L, "view", 0.0, "{}"), (6L, ts(2), 2L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.pathMining(ev)
+      .select("path", "n").as[(String, Long)].collect().toMap
+    // user 1's 4-event session has exactly 2 trigrams; user 2 (2 events) none
+    assert(out == Map("view->click->purchase" -> 1L, "click->purchase->view" -> 1L))
+  }
+
   test("eventDedup: replayed slice is collapsed and audited per type") {
     val ts = (i: Int) => new java.sql.Timestamp(1700000000000L + i * 1000L)
     val ev = Seq(
