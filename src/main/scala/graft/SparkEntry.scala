@@ -36,6 +36,9 @@ object SparkEntry {
     "q10_returns" -> ((s, d) =>
       Relational.q10(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q14_promo" -> ((s, d) => Relational.q14(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q6_forecast" -> ((s, d) => Relational.q6(Tables.lineitem(s, d))),
+    "inverted_index" -> ((s, d) => Search.invertedIndex(Tables.documents(s, d))),
+    "prf_expand" -> ((s, d) => Search.prfExpand(Tables.documents(s, d), kwTerms)),
     "q18_having" -> ((s, d) =>
       Relational.q18(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_window" -> ((s, d) => Relational.topOrdersPerCustomer(Tables.orders(s, d))),
@@ -450,6 +453,9 @@ object SparkEntry {
     "hilbert_key" -> graft.sources.Writers.hilbertSql("l_orderkey", "l_partkey", "lineitem"),
     "q10_returns" -> Relational.q10Sql(),
     "q14_promo" -> Relational.q14Sql,
+    "q6_forecast" -> Relational.q6Sql,
+    "inverted_index" -> Search.invertedIndexSql(),
+    "prf_expand" -> Search.prfExpandSql(kwTerms),
     "quantile_hist" -> Relational.quantileHistSql(),
     "path_mining" -> Relational.pathMiningSql(),
     "q_ntile" -> Relational.custQuartilesSql,

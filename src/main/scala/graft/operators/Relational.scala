@@ -203,6 +203,27 @@ object Relational {
       |  FROM customer)
       |WHERE rn = (cnt + 1) // 2""".stripMargin
 
+  /** Forecast revenue change (TPC-H Q6 shape) — THE filter-pushdown
+    * benchmark: three conjunctive predicates all land in the parquet
+    * scan (`PushedFilters` in explain), then one decimal-exact sum. No
+    * join, no wide shuffle — the query is scan-bound by construction. */
+  def q6(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(CAST(l_extendedprice * l_discount AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin
+
   /** Returned-item revenue per customer (TPC-H Q10 shape): the
     * return-flag filter pushes to the lineitem scan, the two fact joins
     * shuffle on their keys, and the per-customer revenue rollup feeds a

@@ -174,6 +174,65 @@ object Search {
        |FROM ms QUALIFY rn <= $k""".stripMargin
   }
 
+  /** Positional inverted-index build — the persistent artifact behind
+    * keyword/BM25 search (term → postings): one posexplode pass + a
+    * (term, doc) groupBy, bounded to the top-`vocabSize` corpus
+    * vocabulary (real indexes stop at a vocabulary too; the unbounded
+    * long tail is hapax noise). Emits (term, doc_id, n_occ, first_pos) —
+    * the posting row with its minimal positional payload. */
+  def invertedIndex(documents: DataFrame, vocabSize: Int = 500): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "term")))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("term")).limit(vocabSize)
+      .select(col("term"))
+    toks.join(broadcast(vocab), Seq("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("pos")).cast("long").as("first_pos"))
+  }
+
+  def invertedIndexSql(vocabSize: Int = 500): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS term,
+       |    unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT term FROM toks GROUP BY term
+       |  ORDER BY COUNT(*) DESC, term LIMIT $vocabSize)
+       |SELECT t.term, t.doc_id, COUNT(*) AS n_occ,
+       |  CAST(MIN(t.pos) - 1 AS BIGINT) AS first_pos
+       |FROM toks t JOIN vocab v ON t.term = v.term
+       |GROUP BY t.term, t.doc_id""".stripMargin
+
+  /** Pseudo-relevance feedback query expansion (Rocchio/PRF — the classic
+    * IR trick): run the keyword query, take the top feedback docs, and
+    * surface the terms that co-occur most in them (minus the query terms
+    * themselves) as expansion candidates. The feedback set is bounded
+    * (top-N docs → broadcast semi-join); the term rollup is one explode +
+    * groupBy over only those docs. */
+  def prfExpand(documents: DataFrame, terms: Seq[String], fbDocs: Int = 10,
+                expansions: Int = 10): DataFrame = {
+    val top = keywordSearch(documents, terms, fbDocs).select(col("doc_id"))
+    documents.join(broadcast(top), Seq("doc_id"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(!col("term").isin(terms: _*) && col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("term"))
+      .limit(expansions)
+  }
+
+  def prfExpandSql(terms: Seq[String], fbDocs: Int = 10, expansions: Int = 10): String = {
+    val notIn = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH top AS (${keywordSearchSql(terms, fbDocs)}),
+       |tk AS (
+       |  SELECT unnest(string_split_regex(trim(d.text), '\\s+')) AS term
+       |  FROM documents d JOIN top ON d.doc_id = top.doc_id)
+       |SELECT term, COUNT(*) AS c FROM tk
+       |WHERE term NOT IN ($notIn) AND term <> ''
+       |GROUP BY term ORDER BY c DESC, term LIMIT $expansions""".stripMargin
+  }
+
   /** MMR diversified reranking (Carbonell & Goldstein; every RAG stack's
     * post-retrieval step): greedily select k results maximizing
     * λ·relevance − (1−λ)·max-similarity-to-already-selected, so near-

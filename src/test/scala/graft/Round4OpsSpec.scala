@@ -291,6 +291,30 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.length == 3 || out.forall(r => r._3 <= out.head._3))
   }
 
+  test("invertedIndex: exact postings with occurrence counts and first positions") {
+    val d = docs(Seq((1L, "alpha beta alpha"), (2L, "beta gamma")))
+    val out = Search.invertedIndex(d, vocabSize = 10)
+      .select("term", "doc_id", "n_occ", "first_pos")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("alpha", 1L, 2L, 0L), ("beta", 1L, 1L, 1L),
+      ("beta", 2L, 1L, 0L), ("gamma", 2L, 1L, 1L)))
+  }
+
+  test("prfExpand: terms co-occurring in feedback docs surface, query terms don't") {
+    val d = docs(Seq(
+      (1L, "filter join window vectorized pipeline"),
+      (2L, "filter join vectorized shuffle"),
+      (3L, "unrelated text entirely different")))
+    val out = Search.prfExpand(d, Seq("filter", "join"), fbDocs = 2, expansions = 5)
+      .select("term", "c").as[(String, Long)].collect()
+    val terms = out.map(_._1).toSet
+    assert(terms.contains("vectorized")) // co-occurs in both feedback docs
+    assert(!terms.contains("filter") && !terms.contains("join"))
+    assert(!terms.contains("unrelated")) // doc 3 never enters the feedback set
+    assert(out.find(_._1 == "vectorized").get._2 == 2L)
+  }
+
   test("mmrRerank: the near-duplicate of the first pick is displaced by a diverse hit") {
     def v(xs: Float*): Array[Float] = xs.toArray
     val emb = Seq(
