@@ -964,8 +964,13 @@ object GraphOps {
     * bounded argmax agg — two shuffles linear in |edges|, the Pregel LPA
     * shape. The argmax is `max(struct(c, -label))`: max count, then min
     * label (oracle-determinism recipe). */
-  def labelProp(lineitem: DataFrame, rounds: Int = 4): DataFrame = {
-    val e = copurchase(lineitem).materialize
+  def labelProp(lineitem: DataFrame, rounds: Int = 4): DataFrame =
+    labelPropEdges(copurchase(lineitem).materialize, rounds)
+
+  /** Same fixed-round update over a PRE-MATERIALIZED edge table — lets
+    * callers that already hold the edges (modularity) avoid deriving the
+    * co-purchase self-join twice. */
+  private[operators] def labelPropEdges(e: DataFrame, rounds: Int): DataFrame = {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")).materialize
     for (_ <- 1 to rounds) {
@@ -1013,7 +1018,7 @@ object GraphOps {
     * joins of labels onto edges + one community-keyed groupBy. */
   def modularity(lineitem: DataFrame, rounds: Int = 4): DataFrame = {
     val e = copurchase(lineitem).materialize
-    val labels = labelProp(lineitem, rounds)
+    val labels = labelPropEdges(e, rounds)
     val j = e
       .join(labels.select(col("node"), col("label").as("la")), col("src") === col("node"))
       .drop("node")
