@@ -39,6 +39,9 @@ object SparkEntry {
     "q6_forecast" -> ((s, d) => Relational.q6(Tables.lineitem(s, d))),
     "inverted_index" -> ((s, d) => Search.invertedIndex(Tables.documents(s, d))),
     "prf_expand" -> ((s, d) => Search.prfExpand(Tables.documents(s, d), kwTerms)),
+    "search_snippets" -> ((s, d) => Search.searchSnippets(Tables.documents(s, d), kwTerms)),
+    "term_drift" -> ((s, d) => TermStats.termDrift(Tables.documents(s, d))),
+    "winnow_matches" -> ((s, d) => Winnow.winnowMatches(Tables.documents(s, d))),
     "q18_having" -> ((s, d) =>
       Relational.q18(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_window" -> ((s, d) => Relational.topOrdersPerCustomer(Tables.orders(s, d))),
@@ -456,6 +459,9 @@ object SparkEntry {
     "q6_forecast" -> Relational.q6Sql,
     "inverted_index" -> Search.invertedIndexSql(),
     "prf_expand" -> Search.prfExpandSql(kwTerms),
+    "search_snippets" -> Search.searchSnippetsSql(kwTerms),
+    "term_drift" -> TermStats.termDriftSql(),
+    "winnow_matches" -> Winnow.winnowMatchesSql(),
     "quantile_hist" -> Relational.quantileHistSql(),
     "path_mining" -> Relational.pathMiningSql(),
     "q_ntile" -> Relational.custQuartilesSql,

@@ -205,6 +205,50 @@ object Search {
        |FROM toks t JOIN vocab v ON t.term = v.term
        |GROUP BY t.term, t.doc_id""".stripMargin
 
+  /** Search-result snippet extraction — the highlight window every search
+    * UI renders: for each keyword hit, a ±`width`-token window around the
+    * first exact-token query match (fallback: document head when the
+    * substring match never aligns to a whole token). Narrow string ops
+    * over the bounded hit set only. */
+  def searchSnippets(documents: DataFrame, terms: Seq[String], limit: Int = 20,
+                     width: Int = 5): DataFrame = {
+    val top = keywordSearch(documents, terms, limit)
+    val toks = split(trim(col("text")), "\\s+")
+    val Far = 1000000000L
+    val minPos = terms
+      .map(t => when(array_position(toks, t) === 0L, lit(Far))
+        .otherwise(array_position(toks, t)))
+      .reduce(least(_, _))
+    documents.join(broadcast(top), Seq("doc_id"))
+      .withColumn("mp", minPos)
+      .withColumn("start",
+        when(col("mp") === Far, lit(1L)).otherwise(greatest(col("mp") - width, lit(1L))))
+      .select(col("doc_id"), col("score"),
+        concat_ws(" ", slice(toks, col("start").cast("int"), lit(2 * width + 1))).as("snippet"))
+  }
+
+  def searchSnippetsSql(terms: Seq[String], limit: Int = 20, width: Int = 5): String = {
+    val far = 1000000000L
+    // list_position returns 0 (not NULL) for a missing element — map the
+    // miss to `far` so it can't win the LEAST (mirrors Spark's === 0 guard)
+    val minPos = terms
+      .map(t => s"(CASE WHEN COALESCE(list_position(string_split_regex(trim(text), '\\s+'), '$t'), 0) = 0 THEN $far ELSE list_position(string_split_regex(trim(text), '\\s+'), '$t') END)")
+      .mkString("LEAST(", ", ", ")")
+    s"""WITH top AS (${keywordSearchSql(terms, limit)}),
+       |j AS (
+       |  SELECT d.doc_id, top.score,
+       |    string_split_regex(trim(d.text), '\\s+') AS t,
+       |    $minPos AS mp
+       |  FROM documents d JOIN top ON d.doc_id = top.doc_id),
+       |s AS (
+       |  SELECT doc_id, score, t,
+       |    CASE WHEN mp = $far THEN 1 ELSE GREATEST(mp - $width, 1) END AS start
+       |  FROM j)
+       |SELECT doc_id, score,
+       |  array_to_string(t[start:start + ${2 * width}], ' ') AS snippet
+       |FROM s""".stripMargin
+  }
+
   /** Pseudo-relevance feedback query expansion (Rocchio/PRF — the classic
     * IR trick): run the keyword query, take the top feedback docs, and
     * surface the terms that co-occur most in them (minus the query terms

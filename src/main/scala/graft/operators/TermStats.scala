@@ -275,4 +275,52 @@ object TermStats {
        |FROM d a JOIN d b ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id
        |WHERE abs(length(a.p) - length(b.p)) <= $maxDist
        |  AND levenshtein(a.p, b.p) <= $maxDist""".stripMargin
+
+  /** Term drift between corpus snapshots — the topic-shift monitor every
+    * continuously-crawled corpus runs: split the corpus into old/new
+    * halves (doc_id parity ≙ snapshot id), count each term in both, and
+    * rank by the normalized rate ratio drift = (c_new·t_old)/(c_old·t_new)
+    * — 1.0 means stable, far from 1 (either way) means the term's share
+    * moved. Magnitude = max(drift, 1/drift) sorts risers and faders
+    * together. One explode + term groupBy + two broadcast scalars; ratios
+    * are single IEEE divisions of exact integers. */
+  def termDrift(documents: DataFrame, minCount: Int = 20, topN: Int = 20): DataFrame = {
+    val toks = documents.select(pmod(col("doc_id"), lit(2L)).as("half"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val counts = toks.groupBy(col("term")).agg(
+      sum(when(col("half") === 0L, 1L).otherwise(0L)).as("c_old"),
+      sum(when(col("half") === 1L, 1L).otherwise(0L)).as("c_new"))
+    val totals = counts.agg(sum(col("c_old")).as("t_old"), sum(col("c_new")).as("t_new"))
+    counts
+      .filter(col("c_old") + col("c_new") >= minCount &&
+        col("c_old") > 0L && col("c_new") > 0L)
+      .crossJoin(broadcast(totals))
+      .withColumn("drift_x", (col("c_new") * col("t_old")).cast("double") /
+        (col("c_old") * col("t_new")).cast("double"))
+      .withColumn("mag", greatest(col("drift_x"), lit(1.0) / col("drift_x")))
+      .select(col("term"), col("c_old"), col("c_new"), col("drift_x"), col("mag"))
+      .orderBy(desc("mag"), col("term"))
+      .limit(topN)
+  }
+
+  def termDriftSql(minCount: Int = 20, topN: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id % 2 AS half,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |c AS (
+       |  SELECT term,
+       |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+       |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+       |  FROM toks GROUP BY 1),
+       |t AS (SELECT CAST(SUM(c_old) AS BIGINT) AS t_old,
+       |             CAST(SUM(c_new) AS BIGINT) AS t_new FROM c)
+       |SELECT term, c_old, c_new,
+       |  CAST(c_new * t_old AS DOUBLE) / CAST(c_old * t_new AS DOUBLE) AS drift_x,
+       |  GREATEST(CAST(c_new * t_old AS DOUBLE) / CAST(c_old * t_new AS DOUBLE),
+       |           1.0 / (CAST(c_new * t_old AS DOUBLE) / CAST(c_old * t_new AS DOUBLE)))
+       |    AS mag
+       |FROM c CROSS JOIN t
+       |WHERE c_old + c_new >= $minCount AND c_old > 0 AND c_new > 0
+       |ORDER BY mag DESC, term LIMIT $topN""".stripMargin
 }

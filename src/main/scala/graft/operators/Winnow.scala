@@ -81,4 +81,29 @@ object Winnow {
        |SELECT doc_id, comb // ${1L << PosBits} AS fp_hash,
        |  comb % ${1L << PosBits} AS fp_pos
        |FROM fp""".stripMargin
+
+  /** Cross-document fingerprint MATCHING — the second half of MOSS:
+    * documents sharing winnowed fingerprints are plagiarism/reuse
+    * suspects, and the shared-fingerprint count approximates the length
+    * of the copied region. Pairs materialize only through equal hashes
+    * (inverted-index join over the sparse fingerprint table — winnowing
+    * already thinned shingles ~w-fold), so cost follows true reuse, not
+    * corpus². */
+  def winnowMatches(documents: DataFrame, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fp = winnowFingerprint(documents, w)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def winnowMatchesSql(w: Int = 4, minShared: Int = 2): String =
+    s"""WITH f AS MATERIALIZED (${winnowFingerprintSql(w)}),
+       |fpp AS (SELECT DISTINCT doc_id, fp_hash FROM f)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |FROM fpp a JOIN fpp b
+       |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Cluster, CodeEdges, Compaction, Containment, Corpus, CountMin, Dedup, GraphOps, Memory, MinhashPortable, Relational, Search, Skew, TextAnalysis, UrlOps}
+import graft.operators.{Bpe, Cluster, CodeEdges, Compaction, Containment, Corpus, CountMin, Dedup, GraphOps, Memory, MinhashPortable, Relational, Search, Skew, TermStats, TextAnalysis, UrlOps}
 
 /** Semantic pins for the round-4 batch (containment dedup, count-min
   * sketch, comment combining) — each is also hash-oracle-green via
@@ -289,6 +289,41 @@ class Round4OpsSpec extends SparkSpec {
       .select("doc", "rn", "maxsim").as[(Long, Long, Double)].collect().sortBy(_._2)
     assert(out.head._1 == 7L && out.head._3 > 0.999)
     assert(out.length == 3 || out.forall(r => r._3 <= out.head._3))
+  }
+
+  test("winnowMatches: docs sharing a long token run pair up; unrelated doc doesn't") {
+    val shared = (1 to 12).map(i => s"run$i").mkString(" ")
+    val d = docs(Seq(
+      (1L, s"prefix words here $shared tail one"),
+      (2L, s"$shared other ending material two"),
+      (3L, "totally different content with no overlap at all here")))
+    val out = graft.operators.Winnow.winnowMatches(d)
+      .select("doc_a", "doc_b", "n_shared").as[(Long, Long, Long)].collect()
+    assert(out.length == 1)
+    assert(out.head._1 == 1L && out.head._2 == 2L && out.head._3 >= 2L)
+  }
+
+  test("termDrift: a term that floods the new half tops the movers") {
+    // 'surge' appears in both halves but 3x denser in the new (odd) half;
+    // one-sided terms ('calm') are excluded by the c_old>0 && c_new>0 guard
+    val d = docs((1L to 40L).map { i =>
+      val body = if (i % 2 == 1) "stable surge surge surge" else "stable calm surge"
+      (i, s"$body filler$i")
+    })
+    val out = TermStats.termDrift(d, minCount = 10, topN = 5)
+      .select("term", "drift_x").as[(String, Double)].collect()
+    assert(out.head._1 == "surge" && out.head._2 > 2.0)
+    assert(!out.map(_._1).contains("calm")) // one-sided → filtered
+  }
+
+  test("searchSnippets: window centers on the first query-term token") {
+    val d = docs(Seq(
+      (1L, "a b c d e f g filter h i j k l m n"),
+      (2L, "no match tokens at all in this one")))
+    val out = Search.searchSnippets(d, Seq("filter"), width = 2)
+      .select("doc_id", "snippet").as[(Long, String)].collect().toMap
+    assert(out(1L) == "f g filter h i") // tokens 6..10 around position 8
+    assert(!out.contains(2L)) // zero keyword score → not a hit
   }
 
   test("invertedIndex: exact postings with occurrence counts and first positions") {
