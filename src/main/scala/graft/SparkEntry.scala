@@ -37,6 +37,7 @@ object SparkEntry {
       Relational.q10(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q14_promo" -> ((s, d) => Relational.q14(Tables.lineitem(s, d), Tables.part(s, d))),
     "q6_forecast" -> ((s, d) => Relational.q6(Tables.lineitem(s, d))),
+    "table_profile" -> ((s, d) => Relational.tableProfile(Tables.lineitem(s, d))),
     "inverted_index" -> ((s, d) => Search.invertedIndex(Tables.documents(s, d))),
     "prf_expand" -> ((s, d) => Search.prfExpand(Tables.documents(s, d), kwTerms)),
     "search_snippets" -> ((s, d) => Search.searchSnippets(Tables.documents(s, d), kwTerms)),
@@ -87,6 +88,9 @@ object SparkEntry {
       graft.sources.Loaders.splitMarkdownSections(
         graft.sources.Loaders.syntheticMarkdownView(Tables.documents(s, d)))),
     "chunk_words" -> ((s, d) => Chunking.chunkWords(Tables.documents(s, d))),
+    "md_outline" -> ((s, d) =>
+      graft.sources.Loaders.markdownOutline(
+        graft.sources.Loaders.syntheticMarkdownView(Tables.documents(s, d)))),
     "keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), kwTerms)),
     "rank_files" -> ((s, d) =>
       Search.rankDocs(Tables.documents(s, d), Seq("spark", "join"), "spark join", "en")),
@@ -457,9 +461,11 @@ object SparkEntry {
     "q10_returns" -> Relational.q10Sql(),
     "q14_promo" -> Relational.q14Sql,
     "q6_forecast" -> Relational.q6Sql,
+    "table_profile" -> Relational.tableProfileSql,
     "inverted_index" -> Search.invertedIndexSql(),
     "prf_expand" -> Search.prfExpandSql(kwTerms),
     "search_snippets" -> Search.searchSnippetsSql(kwTerms),
+    "md_outline" -> graft.sources.Loaders.markdownOutlineSql,
     "term_drift" -> TermStats.termDriftSql(),
     "winnow_matches" -> Winnow.winnowMatchesSql(),
     "quantile_hist" -> Relational.quantileHistSql(),

@@ -203,6 +203,39 @@ object Relational {
       |  FROM customer)
       |WHERE rn = (cnt + 1) // 2""".stripMargin
 
+  /** ANALYZE-style column profile — the table statistics every optimizer
+    * and every data-quality dashboard wants: row count, distinct count,
+    * min/max per key column, emitted as one row per column via a stack.
+    * All three distinct aggregates ride ONE Expand-based aggregation pass
+    * (Spark's multi-distinct rewrite), not three scans. */
+  def tableProfile(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("l_orderkey")).as("d_ok"),
+      min(col("l_orderkey")).as("mn_ok"), max(col("l_orderkey")).as("mx_ok"),
+      countDistinct(col("l_partkey")).as("d_pk"),
+      min(col("l_partkey")).as("mn_pk"), max(col("l_partkey")).as("mx_pk"),
+      countDistinct(col("l_suppkey")).as("d_sk"),
+      min(col("l_suppkey")).as("mn_sk"), max(col("l_suppkey")).as("mx_sk"))
+    .selectExpr("""stack(3,
+      'l_orderkey', n, d_ok, mn_ok, mx_ok,
+      'l_partkey',  n, d_pk, mn_pk, mx_pk,
+      'l_suppkey',  n, d_sk, mn_sk, mx_sk)
+      AS (column_name, n_rows, n_distinct, min_v, max_v)""")
+
+  val tableProfileSql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(DISTINCT l_orderkey) AS d_ok, MIN(l_orderkey) AS mn_ok, MAX(l_orderkey) AS mx_ok,
+      |    COUNT(DISTINCT l_partkey) AS d_pk, MIN(l_partkey) AS mn_pk, MAX(l_partkey) AS mx_pk,
+      |    COUNT(DISTINCT l_suppkey) AS d_sk, MIN(l_suppkey) AS mn_sk, MAX(l_suppkey) AS mx_sk
+      |  FROM lineitem)
+      |SELECT 'l_orderkey' AS column_name, n AS n_rows, d_ok AS n_distinct, mn_ok AS min_v, mx_ok AS max_v FROM a
+      |UNION ALL
+      |SELECT 'l_partkey', n, d_pk, mn_pk, mx_pk FROM a
+      |UNION ALL
+      |SELECT 'l_suppkey', n, d_sk, mn_sk, mx_sk FROM a""".stripMargin
+
   /** Forecast revenue change (TPC-H Q6 shape) — THE filter-pushdown
     * benchmark: three conjunctive predicates all land in the parquet
     * scan (`PushedFilters` in explain), then one decimal-exact sum. No

@@ -134,4 +134,72 @@ object Loaders {
        |  COALESCE(title, 'Section ' || (section_index + 1)) AS title,
        |  content, CAST(length(content) AS BIGINT) AS n_chars
        |FROM e WHERE trim(content) <> ''""".stripMargin
+
+  /** Markdown heading OUTLINE with parent links — the document structure
+    * tree (transformers.py's header metadata, one level deeper): heading
+    * level from the leading-# run, parent = the most recent
+    * strictly-smaller-level heading, recovered with per-level "last seen
+    * index" window maxima over strictly-preceding rows (no per-row
+    * conditional window needed). NULL-free greatest: both engines compute
+    * greatest over COALESCE(…, 0) then NULLIF back — DuckDB's GREATEST
+    * and Spark's differ on NULL handling, integers don't. */
+  def markdownOutline(markdown: DataFrame): DataFrame = {
+    val lines = markdown.select(col("path"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val heads = lines.filter(col("line").rlike("^#{1,6} "))
+      .withColumn("level", length(regexp_extract(col("line"), "^(#+)", 1)).cast("long"))
+      .withColumn("title", trim(regexp_replace(col("line"), "^#+\\s*", "")))
+    val w = Window.partitionBy("path").orderBy("pos")
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    heads
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("l1", max(when(col("level") === 1L, col("idx"))).over(prev))
+      .withColumn("l2", max(when(col("level") === 2L, col("idx"))).over(prev))
+      .withColumn("parent_idx",
+        when(col("level") === 1L, lit(null).cast("long"))
+          .when(col("level") === 2L, col("l1"))
+          .otherwise(nullif(greatest(coalesce(col("l1"), lit(0L)),
+            coalesce(col("l2"), lit(0L))), lit(0L))))
+      .select(col("path"), col("idx"), col("level"), col("title"), col("parent_idx"))
+  }
+
+  val markdownOutlineSql: String =
+    raw"""WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |md AS (
+      |  SELECT source || '/m' || doc_id || '.md' AS path,
+      |    'intro for ' || source || chr(10) ||
+      |    '# Overview ' || ws[1] || chr(10) ||
+      |    'body alpha' || chr(10) ||
+      |    '## Details ' || ws[2] || chr(10) ||
+      |    'body beta ' || ws[4] || chr(10) || chr(10) ||
+      |    '## Usage ' || ws[3] || chr(10) ||
+      |    'body gamma' || chr(10) ||
+      |    '### Trailing ' || ws[1] AS text
+      |  FROM w),
+      |ln AS (
+      |  SELECT path,
+      |    unnest(string_split(text, chr(10))) AS line,
+      |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      |  FROM md),
+      |h AS (
+      |  SELECT path, pos,
+      |    CAST(length(regexp_extract(line, '^(#+)', 1)) AS BIGINT) AS level,
+      |    trim(regexp_replace(line, '^#+\s*', '')) AS title
+      |  FROM ln WHERE regexp_matches(line, '^#{1,6} ')),
+      |x AS (
+      |  SELECT path, pos, level, title,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS idx
+      |  FROM h WINDOW w AS (PARTITION BY path ORDER BY pos)),
+      |y AS (
+      |  SELECT path, idx, level, title,
+      |    MAX(CASE WHEN level = 1 THEN idx END) OVER wp AS l1,
+      |    MAX(CASE WHEN level = 2 THEN idx END) OVER wp AS l2
+      |  FROM x WINDOW wp AS (PARTITION BY path ORDER BY idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT path, idx, level, title,
+      |  CASE WHEN level = 1 THEN NULL
+      |       WHEN level = 2 THEN l1
+      |       ELSE NULLIF(GREATEST(COALESCE(l1, 0), COALESCE(l2, 0)), 0) END AS parent_idx
+      |FROM y""".stripMargin
 }

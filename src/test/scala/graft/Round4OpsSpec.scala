@@ -291,6 +291,33 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.length == 3 || out.forall(r => r._3 <= out.head._3))
   }
 
+  test("markdownOutline: parent links follow the most recent smaller level") {
+    val md = Seq(("a.md",
+      "intro\n# One\nbody\n## Two\n## Three\n### Four\n# Five\n### Six"))
+      .toDF("path", "text")
+    val out = graft.sources.Loaders.markdownOutline(md)
+      .select("idx", "level", "title", "parent_idx")
+      .as[(Long, Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, "One", None), (2L, 2L, "Two", Some(1L)), (3L, 2L, "Three", Some(1L)),
+      (4L, 3L, "Four", Some(3L)), (5L, 1L, "Five", None),
+      // Six's most recent smaller-level heading is ## Three (idx 3) by the
+      // last-seen rule — h1 'Five' (idx 5) is even more recent and wins
+      (6L, 3L, "Six", Some(5L))))
+  }
+
+  test("tableProfile: exact per-column stats on a planted fact table") {
+    val li = Seq((1L, 10L, 100L), (1L, 20L, 100L), (2L, 10L, 200L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val out = Relational.tableProfile(li)
+      .select("column_name", "n_rows", "n_distinct", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("l_orderkey", 3L, 2L, 1L, 2L),
+      ("l_partkey", 3L, 2L, 10L, 20L),
+      ("l_suppkey", 3L, 2L, 100L, 200L)))
+  }
+
   test("winnowMatches: docs sharing a long token run pair up; unrelated doc doesn't") {
     val shared = (1 to 12).map(i => s"run$i").mkString(" ")
     val d = docs(Seq(
