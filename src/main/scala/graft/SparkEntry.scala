@@ -64,6 +64,7 @@ object SparkEntry {
     "q_events_json" -> ((s, d) => Relational.eventsJson(Tables.events(s, d))),
     "q_retention" -> ((s, d) => Relational.retention(Tables.events(s, d))),
     "events_cohort" -> ((s, d) => Relational.cohortMatrix(Tables.events(s, d))),
+    "events_wow" -> ((s, d) => Relational.eventsWow(Tables.events(s, d))),
     "q_string_agg" -> ((s, d) =>
       Relational.nationsPerRegion(Tables.region(s, d), Tables.nation(s, d))),
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
@@ -349,6 +350,7 @@ object SparkEntry {
     "q_events_json" -> Relational.eventsJsonSql,
     "q_retention" -> Relational.retentionSql,
     "events_cohort" -> Relational.cohortMatrixSql,
+    "events_wow" -> Relational.eventsWowSql,
     "q_string_agg" -> Relational.nationsPerRegionSql,
     "q_histogram" -> Relational.priceHistogramSql(),
     "q_funnel" -> Relational.funnelSql,

@@ -203,6 +203,35 @@ object Relational {
       |  FROM customer)
       |WHERE rn = (cnt + 1) // 2""".stripMargin
 
+  /** Week-over-week growth per event type — the standard reporting shape
+    * (lag window over the tiny per-week rollup, never over raw events):
+    * epoch-week bucketing keeps both engines' week boundaries identical
+    * (the events_cohort recipe), growth is one IEEE division. */
+  def eventsWow(events: DataFrame): DataFrame = {
+    val wk = (unix_micros(col("ts")) / lit(604800000000L)).cast("long")
+    val weekly = events.select(col("event_type"), wk.as("epoch_week"))
+      .groupBy(col("event_type"), col("epoch_week")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("epoch_week")
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("wow", col("n").cast("double") / col("prev_n").cast("double"))
+      .select(col("event_type"), col("epoch_week"), col("n"), col("prev_n"), col("wow"))
+  }
+
+  val eventsWowSql: String =
+    """WITH weekly AS (
+      |  SELECT event_type, CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS epoch_week,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, epoch_week, n,
+      |    lag(n) OVER (PARTITION BY event_type ORDER BY epoch_week) AS prev_n
+      |  FROM weekly)
+      |SELECT event_type, epoch_week, n, prev_n,
+      |  CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS wow
+      |FROM l WHERE prev_n IS NOT NULL""".stripMargin
+
   /** ANALYZE-style column profile — the table statistics every optimizer
     * and every data-quality dashboard wants: row count, distinct count,
     * min/max per key column, emitted as one row per column via a stack.

@@ -125,6 +125,17 @@ object Writers {
        |SELECT ka AS $a, kb AS $b, d AS hval FROM h$bits""".stripMargin
   }
 
+  /** Graph export (neo4j_knowledge_service.py `export_graph`): persist the
+    * node and edge tables as partitioned parquet — the lakehouse graph
+    * snapshot any engine (or a later graft run) can re-read. Edges
+    * partition by rel type (the reference exports per-type sections);
+    * nodes ride the REBALANCE-compacted writer. */
+  def exportGraph(nodes: DataFrame, edges: DataFrame, dir: String): Unit = {
+    writePartitioned(edges, s"$dir/edges", "rel")
+    nodes.hint("rebalance")
+      .write.mode("overwrite").parquet(s"$dir/nodes")
+  }
+
   /** Write the corpus in deterministic shuffled (training) order: range-
     * partition + sort by the reproducible shuffle key so shard files read
     * back in key order ARE the shuffled corpus. One range shuffle; no

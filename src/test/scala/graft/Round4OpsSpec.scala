@@ -291,6 +291,29 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.length == 3 || out.forall(r => r._3 <= out.head._3))
   }
 
+  test("exportGraph: node/edge snapshot round-trips with rel partitioning") {
+    val nodes = Seq((1L, "customer"), (2L, "order")).toDF("node", "label")
+    val edges = Seq((1L, 2L, "PLACED"), (2L, 3L, "CONTAINS")).toDF("src", "dst", "rel")
+    val dir = java.nio.file.Files.createTempDirectory("graftexport").toString
+    graft.sources.Writers.exportGraph(nodes, edges, dir)
+    val n2 = spark.read.parquet(s"$dir/nodes")
+    val e2 = spark.read.parquet(s"$dir/edges")
+    assert(n2.count() == 2 && e2.count() == 2)
+    assert(e2.select("rel").distinct().count() == 2) // partition column survives
+    assert(new java.io.File(s"$dir/edges/rel=PLACED").exists)
+  }
+
+  test("eventsWow: week-over-week ratio on a planted two-week stream") {
+    val week = 604800000000L / 1000L // micros → millis for Timestamp
+    val ev = ((1 to 4).map(i => (i.toLong, new java.sql.Timestamp(week * 3000 + i), 1L, "click", 0.0, "{}")) ++
+      (5 to 10).map(i => (i.toLong, new java.sql.Timestamp(week * 3001 + i), 1L, "click", 0.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.eventsWow(ev)
+      .select("n", "prev_n", "wow").as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    assert(out.head == ((6L, 4L, 1.5)))
+  }
+
   test("markdownOutline: parent links follow the most recent smaller level") {
     val md = Seq(("a.md",
       "intro\n# One\nbody\n## Two\n## Three\n### Four\n# Five\n### Six"))
