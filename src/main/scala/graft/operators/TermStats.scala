@@ -109,10 +109,19 @@ object TermStats {
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
-    val w = tf.join(df, "term").crossJoin(broadcast(n))
+    // materialize: the weighted posting table feeds THREE consumers
+    // (both sides of the pair join + the norm rollup); without it the
+    // tf⋈df pipeline re-executes per consumer (ReuseExchange only dedups
+    // the exchange, not the upstream joins). Same cluster-safety gate as
+    // GraphOps: spark.graft.reliableCheckpoint switches to checkpoint().
+    val w0 = tf.join(df, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("lang"), col("source"), col("term"),
         (col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
           .as("w"))
+    val w =
+      if (documents.sparkSession.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean)
+        w0.checkpoint()
+      else w0.localCheckpoint()
     def dec(c: org.apache.spark.sql.Column) = c.cast("string").cast("decimal(38,18)")
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(dec(col("w") * col("w"))).cast("string").cast("double").as("nsq"))
