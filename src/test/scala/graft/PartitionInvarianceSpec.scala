@@ -17,7 +17,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     "domain_mix",    // decimal weight total broadcast back
     "doc_cluster",   // decimal-exact Lloyd update, collected centroids
     "pack_builder",  // two-phase distributed prefix sum over nPartitions
-    "seq_pack")      // shard-local running sums
+    "seq_pack",      // shard-local running sums
+    // round-4 additions with order-sensitive or kernel-side accumulation
+    "cms_freq",         // sketch cell sums must merge identically
+    "compaction_plan",  // per-group sequential fold after an in-group sort
+    "graph_modularity", // label-prop rounds + integer contributions
+    "quantile_hist",    // bucket histogram + integer cum selection
+    "mmr_rerank",       // driver greedy over engine-computed doubles
+    "hilbert_key")      // pure kernel — trivially invariant, pins the claim
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
