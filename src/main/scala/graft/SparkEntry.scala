@@ -85,6 +85,9 @@ object SparkEntry {
       graft.sources.Writers.hilbertKeys(Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
     // --- RAG / search surface ---
     "chunk_fixed" -> ((s, d) => Chunking.chunkFixed(Tables.documents(s, d))),
+    "chunk_dedup" -> ((s, d) => Chunking.chunkDedup(Tables.documents(s, d))),
+    "corpus_overlap" -> ((s, d) => Corpus.corpusOverlap(Tables.documents(s, d))),
+    "embed_drift" -> ((s, d) => Embedding.embedDrift(Tables.embeddings(s, d))),
     "chunk_markdown" -> ((s, d) =>
       graft.sources.Loaders.splitMarkdownSections(
         graft.sources.Loaders.syntheticMarkdownView(Tables.documents(s, d)))),
@@ -468,6 +471,9 @@ object SparkEntry {
     "prf_expand" -> Search.prfExpandSql(kwTerms),
     "search_snippets" -> Search.searchSnippetsSql(kwTerms),
     "md_outline" -> graft.sources.Loaders.markdownOutlineSql,
+    "chunk_dedup" -> Chunking.chunkDedupSql(),
+    "corpus_overlap" -> Corpus.corpusOverlapSql,
+    "embed_drift" -> Embedding.embedDriftSql,
     "term_drift" -> TermStats.termDriftSql(),
     "winnow_matches" -> Winnow.winnowMatchesSql(),
     "quantile_hist" -> Relational.quantileHistSql(),

@@ -27,6 +27,49 @@ object Chunking {
         expr(s"substring(text, CAST(chunk_index*$step + 1 AS INT), $size)").as("chunk_text"))
   }
 
+  /** Chunk-level dedup — RAG index hygiene: the same chunk must not be
+    * embedded and indexed twice. Hash every fixed chunk, find hashes that
+    * appear in more than one document (overlap-tail chunks repeat WITHIN
+    * a doc by construction — only cross-doc repeats matter), and emit the
+    * per-doc duplicated-chunk fraction with an indexing verdict. One
+    * hash-groupBy over chunks — the exact-dedup shape one level down. */
+  def chunkDedup(documents: DataFrame, size: Int = DefaultSize,
+                 overlap: Int = DefaultOverlap, maxDupFrac: Double = 0.5): DataFrame = {
+    val ch = chunkFixed(documents, size, overlap)
+      .select(col("doc_id"), md5(col("chunk_text")).as("h"))
+    val shared = ch.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1L)
+      .select(col("h"))
+    ch.join(shared, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_chunks"))
+      .join(ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks")), Seq("doc_id"), "right_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+      .withColumn("index_verdict",
+        when(col("dup_frac") > maxDupFrac, "skip").otherwise("index"))
+  }
+
+  def chunkDedupSql(size: Int = DefaultSize, overlap: Int = DefaultOverlap,
+                    maxDupFrac: Double = 0.5): String =
+    s"""WITH ch AS MATERIALIZED (
+       |  SELECT doc_id, md5(chunk_text) AS h FROM (${chunkFixedSql(size, overlap)})),
+       |shared AS (
+       |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM ch)
+       |  GROUP BY h HAVING COUNT(*) > 1),
+       |dup AS (
+       |  SELECT doc_id, COUNT(*) AS n_dup_chunks
+       |  FROM ch WHERE h IN (SELECT h FROM shared) GROUP BY 1),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY 1)
+       |SELECT t.doc_id, t.n_chunks, COALESCE(d.n_dup_chunks, 0) AS n_dup_chunks,
+       |  CAST(COALESCE(d.n_dup_chunks, 0) AS DOUBLE) / CAST(t.n_chunks AS DOUBLE) AS dup_frac,
+       |  CASE WHEN CAST(COALESCE(d.n_dup_chunks, 0) AS DOUBLE) / CAST(t.n_chunks AS DOUBLE)
+       |            > $maxDupFrac
+       |       THEN 'skip' ELSE 'index' END AS index_verdict
+       |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id""".stripMargin
+
   /** DuckDB oracle for chunkFixed (series + join filter — DuckDB lacks
     * lateral table functions). The series bound is derived from the
     * longest document, so the oracle is unconditionally equivalent — a

@@ -238,6 +238,27 @@ object Corpus {
       |CAST(SUM((length(text) - length(replace(text, 'the', '')))/3) AS BIGINT) AS the_count
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** Cross-source overlap matrix — dataset-composition diligence (how
+    * much of source A also appears in source B; the question every
+    * multi-source training mix has to answer before weighting): exact
+    * content hashes per (source, hash), then a hash-keyed self-join
+    * counting shared hashes per source pair. The join runs over the
+    * DISTINCT (source, hash) table — corpus-sized text never moves, and
+    * pairs materialize only through genuinely shared content. */
+  def corpusOverlap(documents: DataFrame): DataFrame = {
+    val sh = documents.select(col("source"), md5(col("text")).as("h")).distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val corpusOverlapSql: String =
+    """WITH sh AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
+      |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+
   /** Quality-weighted sampling (the DCLM/FineWeb recipe: don't drop
     * low-quality text outright — downsample it): bucket each doc by a
     * quality signal (type-token ratio — integers divided, identical across

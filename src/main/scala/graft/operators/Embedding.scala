@@ -274,4 +274,44 @@ object Embedding {
        |FROM embeddings e CROSS JOIN pv p
        |QUALIFY rn <= $k""".stripMargin
   }
+
+  /** Embedding-model drift monitor — per-dimension mean shift between
+    * corpus snapshots (vec_id parity ≙ snapshot id): the MLOps check that
+    * catches a silently re-versioned or mis-normalized encoder before it
+    * poisons the index. Means are decimal-exact sums of the floats'
+    * string reprs divided in double (the doc_cluster recipe), so the
+    * whole drift table hash-matches; delta = mean_new − mean_old, one
+    * IEEE subtraction. One posexplode + (half, dim) groupBy. */
+  def embedDrift(embeddings: DataFrame): DataFrame = {
+    val exploded = embeddings.select(
+      pmod(col("vec_id"), lit(2L)).as("half"),
+      posexplode(col("embedding")).as(Seq("dim", "val")))
+    def dmean(h: Long) =
+      (sum(when(col("half") === h, col("val")).cast("string").cast("decimal(38,18)"))
+        .cast("string").cast("double") /
+        count(when(col("half") === h, lit(1))).cast("double"))
+    exploded.groupBy(col("dim").cast("long").as("dim"))
+      .agg(dmean(0L).as("mean_old"), dmean(1L).as("mean_new"))
+      .withColumn("delta", col("mean_new") - col("mean_old"))
+  }
+
+  val embedDriftSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id % 2 AS half,
+      |    unnest(range(0, CAST(len(embedding) AS BIGINT))) AS dim,
+      |    unnest(embedding) AS val
+      |  FROM embeddings)
+      |SELECT CAST(dim AS BIGINT) AS dim,
+      |  CAST(CAST(SUM(CASE WHEN half = 0 THEN CAST(CAST(val AS VARCHAR) AS DECIMAL(38,18)) END)
+      |    AS VARCHAR) AS DOUBLE) / CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS DOUBLE)
+      |    AS mean_old,
+      |  CAST(CAST(SUM(CASE WHEN half = 1 THEN CAST(CAST(val AS VARCHAR) AS DECIMAL(38,18)) END)
+      |    AS VARCHAR) AS DOUBLE) / CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS DOUBLE)
+      |    AS mean_new,
+      |  CAST(CAST(SUM(CASE WHEN half = 1 THEN CAST(CAST(val AS VARCHAR) AS DECIMAL(38,18)) END)
+      |    AS VARCHAR) AS DOUBLE) / CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS DOUBLE) -
+      |  CAST(CAST(SUM(CASE WHEN half = 0 THEN CAST(CAST(val AS VARCHAR) AS DECIMAL(38,18)) END)
+      |    AS VARCHAR) AS DOUBLE) / CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS DOUBLE)
+      |    AS delta
+      |FROM ex GROUP BY dim""".stripMargin
 }

@@ -291,6 +291,39 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.length == 3 || out.forall(r => r._3 <= out.head._3))
   }
 
+  test("chunkDedup: cross-doc repeated chunks flagged, within-doc overlap ignored") {
+    val shared = "x" * 600 // spans >1 chunk at default size
+    val d = docs(Seq((1L, shared), (2L, shared), (3L, "y" * 600)))
+    val out = graft.operators.Chunking.chunkDedup(d)
+      .select("doc_id", "n_dup_chunks", "index_verdict")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 > 0L && out(1L)._3 == "skip") // fully duplicated
+    assert(out(2L)._2 > 0L && out(2L)._3 == "skip")
+    assert(out(3L)._2 == 0L && out(3L)._3 == "index") // unique content
+  }
+
+  test("corpusOverlap: only sources sharing exact content pair up") {
+    val d = Seq(
+      (1L, "same body", "en", "srcA", 9L), (2L, "same body", "en", "srcB", 9L),
+      (3L, "unique one", "en", "srcA", 10L), (4L, "unique two", "en", "srcC", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.corpusOverlap(d)
+      .select("source_a", "source_b", "n_shared")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("srcA", "srcB", 1L)))
+  }
+
+  test("embedDrift: a planted per-dim shift in the odd half is recovered exactly") {
+    def v(xs: Float*): Array[Float] = xs.toArray
+    // even half: (0, 0); odd half: (1, 0) → delta = (1.0, 0.0)
+    val emb = Seq(
+      (0L, v(0f, 0f)), (2L, v(0f, 0f)),
+      (1L, v(1f, 0f)), (3L, v(1f, 0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Embedding.embedDrift(emb)
+      .select("dim", "delta").as[(Long, Double)].collect().toMap
+    assert(out == Map(0L -> 1.0, 1L -> 0.0))
+  }
+
   test("exportGraph: node/edge snapshot round-trips with rel partitioning") {
     val nodes = Seq((1L, "customer"), (2L, "order")).toDF("node", "label")
     val edges = Seq((1L, 2L, "PLACED"), (2L, 3L, "CONTAINS")).toDF("src", "dst", "rel")
