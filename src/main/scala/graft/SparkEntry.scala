@@ -472,7 +472,7 @@ object SparkEntry {
     "search_snippets" -> Search.searchSnippetsSql(kwTerms),
     "md_outline" -> graft.sources.Loaders.markdownOutlineSql,
     "chunk_dedup" -> Chunking.chunkDedupSql(),
-    "corpus_overlap" -> Corpus.corpusOverlapSql,
+    "corpus_overlap" -> Corpus.corpusOverlapSql(),
     "embed_drift" -> Embedding.embedDriftSql,
     "term_drift" -> TermStats.termDriftSql(),
     "winnow_matches" -> Winnow.winnowMatchesSql(),

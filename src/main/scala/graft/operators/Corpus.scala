@@ -240,24 +240,34 @@ object Corpus {
 
   /** Cross-source overlap matrix — dataset-composition diligence (how
     * much of source A also appears in source B; the question every
-    * multi-source training mix has to answer before weighting): exact
-    * content hashes per (source, hash), then a hash-keyed self-join
-    * counting shared hashes per source pair. The join runs over the
-    * DISTINCT (source, hash) table — corpus-sized text never moves, and
-    * pairs materialize only through genuinely shared content. */
-  def corpusOverlap(documents: DataFrame): DataFrame = {
-    val sh = documents.select(col("source"), md5(col("text")).as("h")).distinct()
-    sh.as("a").join(sh.as("b"),
+    * multi-source training mix has to answer before weighting) — measured
+    * at CHUNK granularity: whole-document hashing only catches verbatim
+    * re-publication, while real cross-source contamination is shared
+    * passages inside otherwise-different documents (the chunk_dedup
+    * finding: duplicate content exists at chunk level where doc level
+    * shows zero). Chunks are hashed per (source, hash) DISTINCT, then a
+    * hash-keyed self-join counts shared hashes per source pair —
+    * corpus-sized text never moves past the chunk hash, and pairs
+    * materialize only through genuinely shared content. */
+  def corpusOverlap(documents: DataFrame, chunkSize: Int = 256,
+                    chunkOverlap: Int = 32): DataFrame = {
+    val ch = Chunking.chunkFixed(documents, chunkSize, chunkOverlap)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), md5(col("chunk_text")).as("h")).distinct()
+    ch.as("a").join(ch.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  val corpusOverlapSql: String =
-    """WITH sh AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
-      |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
-      |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
-      |GROUP BY 1, 2""".stripMargin
+  def corpusOverlapSql(chunkSize: Int = 256, chunkOverlap: Int = 32): String =
+    s"""WITH chx AS (${Chunking.chunkFixedSql(chunkSize, chunkOverlap)}),
+       |sh AS (
+       |  SELECT DISTINCT d.source, md5(chx.chunk_text) AS h
+       |  FROM chx JOIN documents d USING (doc_id))
+       |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+       |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
 
   /** Quality-weighted sampling (the DCLM/FineWeb recipe: don't drop
     * low-quality text outright — downsample it): bucket each doc by a

@@ -93,14 +93,56 @@ object TermStats {
   /** Sparse TF-IDF cosine similarity pairs — the weighted-sparse-vector
     * twin of dedup_ngram_jaccard (set overlap → weighted overlap): docs as
     * sparse term→weight maps with rational idf = N/df (no libm, tfidf
-    * precedent), pairwise cosine computed via the inverted index (pairs
-    * materialize ONLY through shared terms), blocked by (lang, source) so
-    * candidate generation is bucket-bounded — at 100 TB the block key
-    * becomes an LSH/cluster prefilter (semdedup precedent), same plan.
+    * precedent), blocked by (lang, source).
+    *
+    * Candidate generation is ALL-PAIRS PREFIX FILTERING (Bayardo,Ma &
+    * Srikant, "Scaling Up All Pairs Similarity Search", WWW'07) — an EXACT
+    * bound, not a heuristic: order every doc's terms by global df
+    * descending, accumulate the running similarity upper bound
+    * b(t) = Σ_{t'≤t} x[t']·maxw(t') over the unit-normalized weights
+    * (maxw = the corpus max of that term's normalized weight), and index
+    * a posting only once b ≥ minCos. If two docs have cos ≥ minCos, the
+    * smaller doc MUST index a shared term (if every shared term sat in
+    * its unindexed prefix, dot ≤ Σ_prefix x[t]·maxw(t) < minCos), so
+    * joining the indexed postings of the smaller side against the full
+    * postings of the larger loses nothing — and a stopword structurally
+    * CANNOT fan out pairs: its per-doc contribution bound x·maxw is
+    * negligible, it sorts first (df desc), lands in every unindexed
+    * prefix, and its indexed posting list is EMPTY. The df²-quadratic
+    * inverted-index trap is closed without changing a single output row
+    * (SparseCosineSpec pins both: zero candidates through a planted
+    * stopword-heavy block, and output identity on near-dups).
+    *
     * Determinism: pair dots and norm sums are DECIMAL(38,18)-exact over the
-    * doubles' shortest reprs (order-independent), sqrt is IEEE-exact on
+    * doubles' shortest reprs (order-independent); the running bound is a
+    * DECIMAL window sum over a total order (df desc, term), so no float
+    * accumulation order can differ across engines; sqrt is IEEE-exact on
     * both engines, and the final divide is one correctly-rounded op. */
   def sparseCosine(documents: DataFrame, minCos: Double = 0.8): DataFrame = {
+    val (w, norms, cand) = sparseCosineParts(documents, minCos)
+    val dots = cand
+      .join(w.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(w.as("b"), col("doc_b") === col("b.doc_id") && col("b.term") === col("a.term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(dec38(col("a.w") * col("b.w"))).cast("string").cast("double").as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), (col("dot") / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Candidate pairs only — exposed so SparseCosineSpec can pin the
+    * sub-quadratic bound (a stopword-heavy block yields ZERO candidates,
+    * not merely zero post-filter rows). */
+  def sparseCosineCandidates(documents: DataFrame, minCos: Double = 0.8): DataFrame =
+    sparseCosineParts(documents, minCos)._3
+
+  private def dec38(c: org.apache.spark.sql.Column) = c.cast("string").cast("decimal(38,18)")
+
+  private def sparseCosineParts(documents: DataFrame, minCos: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val terms = documents.select(
       col("doc_id"), col("lang"), col("source"),
       explode(split(trim(col("text")), "\\s+")).as("term"))
@@ -109,34 +151,44 @@ object TermStats {
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
-    // materialize: the weighted posting table feeds THREE consumers
-    // (both sides of the pair join + the norm rollup); without it the
-    // tf⋈df pipeline re-executes per consumer (ReuseExchange only dedups
-    // the exchange, not the upstream joins). Same cluster-safety gate as
-    // GraphOps: spark.graft.reliableCheckpoint switches to checkpoint().
+    // materialize: the weighted posting table feeds FIVE consumers (norms,
+    // the normalized-weight table, the candidate probe side, both dot
+    // sides); without it the tf⋈df pipeline re-executes per consumer
+    // (ReuseExchange only dedups the exchange, not the upstream joins).
+    // Same cluster-safety gate as GraphOps: spark.graft.reliableCheckpoint
+    // switches to checkpoint().
+    val gate = documents.sparkSession.conf
+      .get("spark.graft.reliableCheckpoint", "false").toBoolean
     val w0 = tf.join(df, "term").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("lang"), col("source"), col("term"),
+      .select(col("doc_id"), col("lang"), col("source"), col("term"), col("df"),
         (col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
           .as("w"))
-    val w =
-      if (documents.sparkSession.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean)
-        w0.checkpoint()
-      else w0.localCheckpoint()
-    def dec(c: org.apache.spark.sql.Column) = c.cast("string").cast("decimal(38,18)")
+    val w = if (gate) w0.checkpoint() else w0.localCheckpoint()
     val norms = w.groupBy(col("doc_id"))
-      .agg(sum(dec(col("w") * col("w"))).cast("string").cast("double").as("nsq"))
+      .agg(sum(dec38(col("w") * col("w"))).cast("string").cast("double").as("nsq"))
       .select(col("doc_id"), sqrt(col("nsq")).as("norm"))
-    val dots = w.as("a")
-      .join(w.as("b"),
-        col("a.term") === col("b.term") && col("a.lang") === col("b.lang") &&
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum(dec(col("a.w") * col("b.w"))).cast("string").cast("double").as("dot"))
-    dots
-      .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
-      .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), (col("dot") / (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= minCos)
+    // unit-normalized weights (feeds maxw + the running bound)
+    val nw0 = w.join(norms, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("term"), col("df"),
+        (col("w") / col("norm")).as("x"))
+    val nw = if (gate) nw0.checkpoint() else nw0.localCheckpoint()
+    val maxw = nw.groupBy(col("term")).agg(max(col("x")).as("mw"))
+    // running upper bound over the GLOBAL term order (df desc, term):
+    // per-doc window — partitioned by doc_id, frame bounded by doc vocab
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").desc, col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bnd = nw.join(maxw, "term")
+      .withColumn("b", sum(dec38(col("x") * col("mw"))).over(win))
+    val idx = bnd.filter(col("b") >= lit(minCos.toString).cast("decimal(38,18)"))
+      .select(col("doc_id"), col("lang"), col("source"), col("term"))
+    val cand = idx.as("i")
+      .join(w.as("p"),
+        col("i.term") === col("p.term") && col("i.lang") === col("p.lang") &&
+          col("i.source") === col("p.source") && col("i.doc_id") < col("p.doc_id"))
+      .select(col("i.doc_id").as("doc_a"), col("p.doc_id").as("doc_b"))
+      .distinct()
+    (w, norms, cand)
   }
 
   def sparseCosineSql(minCos: Double = 0.8): String =
@@ -145,24 +197,42 @@ object TermStats {
        |  FROM documents),
        |tf AS (SELECT doc_id, lang, source, term, COUNT(*) AS tf
        |       FROM terms GROUP BY doc_id, lang, source, term),
-       |df AS (SELECT term, COUNT(*) AS df FROM
+       |dfx AS (SELECT term, COUNT(*) AS df FROM
        |       (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |w AS MATERIALIZED (
-       |  SELECT tf.doc_id, tf.lang, tf.source, tf.term,
-       |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS w
-       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |  SELECT tf.doc_id, tf.lang, tf.source, tf.term, dfx.df,
+       |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(dfx.df AS DOUBLE) AS w
+       |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
        |norms AS (
        |  SELECT doc_id, sqrt(CAST(CAST(SUM(CAST(CAST(w * w AS VARCHAR) AS DECIMAL(38,18)))
        |    AS VARCHAR) AS DOUBLE)) AS norm
        |  FROM w GROUP BY doc_id),
+       |nw AS MATERIALIZED (
+       |  SELECT w.doc_id, w.lang, w.source, w.term, w.df, w.w,
+       |    w.w / norms.norm AS x
+       |  FROM w JOIN norms USING (doc_id)),
+       |maxw AS (SELECT term, MAX(x) AS mw FROM nw GROUP BY term),
+       |bnd AS (
+       |  SELECT nw.doc_id, nw.lang, nw.source, nw.term,
+       |    SUM(CAST(CAST(nw.x * maxw.mw AS VARCHAR) AS DECIMAL(38,18)))
+       |      OVER (PARTITION BY nw.doc_id ORDER BY nw.df DESC, nw.term
+       |            ROWS UNBOUNDED PRECEDING) AS b
+       |  FROM nw JOIN maxw USING (term)),
+       |idx AS (SELECT doc_id, lang, source, term FROM bnd
+       |        WHERE b >= CAST('$minCos' AS DECIMAL(38,18))),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS doc_a, p.doc_id AS doc_b
+       |  FROM idx i JOIN w p ON p.term = i.term AND p.lang = i.lang
+       |    AND p.source = i.source AND i.doc_id < p.doc_id),
        |dots AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  SELECT c.doc_a, c.doc_b,
        |    CAST(CAST(SUM(CAST(CAST(a.w * b.w AS VARCHAR) AS DECIMAL(38,18)))
        |      AS VARCHAR) AS DOUBLE) AS dot
-       |  FROM w a JOIN w b ON a.term = b.term AND a.lang = b.lang
-       |    AND a.source = b.source AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)
+       |  FROM cand c
+       |  JOIN w a ON a.doc_id = c.doc_a
+       |  JOIN w b ON b.doc_id = c.doc_b AND b.term = a.term
+       |  GROUP BY c.doc_a, c.doc_b)
        |SELECT doc_a, doc_b, dot / (na.norm * nb.norm) AS cos
        |FROM dots
        |JOIN norms na ON na.doc_id = doc_a

@@ -313,6 +313,20 @@ class Round4OpsSpec extends SparkSpec {
     assert(out == Seq(("srcA", "srcB", 1L)))
   }
 
+  test("corpusOverlap: shared passage inside DIFFERENT documents is caught at chunk granularity") {
+    // Two long docs differ overall but embed an identical aligned span —
+    // invisible to whole-doc hashing, visible to chunk hashing. Chunk
+    // size 8, step 8 (overlap 0): chars 9..16 are identical in both.
+    val d = Seq(
+      (1L, "AAAAAAAASHAREDXXTAILONE1", "en", "srcA", 24L),
+      (2L, "BBBBBBBBSHAREDXXTAILTWO2", "en", "srcB", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.corpusOverlap(d, chunkSize = 8, chunkOverlap = 0)
+      .select("source_a", "source_b", "n_shared")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("srcA", "srcB", 1L)))
+  }
+
   test("embedDrift: a planted per-dim shift in the odd half is recovered exactly") {
     def v(xs: Float*): Array[Float] = xs.toArray
     // even half: (0, 0); odd half: (1, 0) → delta = (1.0, 0.0)

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.TermStats
+
+/** Pins the All-Pairs prefix-filtering contract of sparse_cosine
+  * (TermStats.sparseCosine, after Bayardo/Ma/Srikant WWW'07): a
+  * stopword-heavy block must produce ZERO candidate pairs — not merely
+  * zero post-filter rows — because a high-df term's contribution bound is
+  * negligible and its indexed posting list is empty. True near-dups
+  * (which concentrate cosine mass in rare shared terms) are found with
+  * EXACT scores: prefix filtering is lossless, so the output matches the
+  * full quadratic join row for row. */
+class SparseCosineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String)]) =
+    rows.map { case (id, text) => (id, text, "en", "web", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("planted stopword block stays sub-quadratic: ZERO candidates, not just zero rows") {
+    // 200 docs in ONE (lang, source) block, ALL sharing the stopword
+    // "the"; each otherwise unique. A raw posting self-join would emit
+    // 200·199/2 = 19900 candidate pairs through "the" alone. Under
+    // prefix filtering "the" (high df ⇒ sorts first, tiny normalized
+    // weight ⇒ never pushes the running bound to minCos before the
+    // unique terms do) is indexed by NO doc, and the unique terms have
+    // df = 1 — so the candidate join emits NOTHING. The bound is pinned
+    // on the candidate table itself, upstream of the cosine filter.
+    val stopBlock = docs((1L to 200L).map(i => (i, s"the unique_$i only_$i")))
+    assert(TermStats.sparseCosineCandidates(stopBlock, minCos = 0.8).count() === 0L)
+    assert(TermStats.sparseCosine(stopBlock, minCos = 0.8).count() === 0L)
+  }
+
+  test("near-dups sharing rare terms are found with the EXACT full-join score") {
+    // Two near-identical docs sharing 20 rare terms (one unique term
+    // each) plus the stopword, in a sea of 50 stopword-sharing filler
+    // docs. N = 52: w(the) = 52/52 = 1, w(shared) = 52/2 = 26,
+    // w(unique) = 52/1 = 52. Prefix filtering is lossless, so
+    // cos = (20·26² + 1·1²)/(1 + 20·26² + 52²) = 13521/16225 exactly.
+    val shared = (1 to 20).map(k => s"raresharedterm_$k").mkString(" ")
+    val filler = (100L to 149L).map(i => (i, s"the common filler_$i"))
+    val d = docs(Seq((1L, s"the $shared alpha"), (2L, s"the $shared beta")) ++ filler)
+    val out = TermStats.sparseCosine(d, minCos = 0.8)
+      .select("doc_a", "doc_b", "cos").as[(Long, Long, Double)].collect()
+    assert(out.length === 1)
+    assert(out.head._1 === 1L && out.head._2 === 2L)
+    assert(math.abs(out.head._3 - 13521.0 / 16225.0) < 1e-12)
+  }
+
+  test("identical docs score cos ~ 1.0 (norms and dots use the same postings)") {
+    // cos within 1 ulp of 1.0 (not exactly 1.0: norm is sqrt(nsq) and
+    // sqrt(x)·sqrt(x) = x is not an IEEE identity).
+    val filler = (10L to 29L).map(i => (i, s"the pad_$i"))
+    val d = docs(Seq((1L, "the raredup_x raredup_y"), (2L, "the raredup_x raredup_y")) ++ filler)
+    val out = TermStats.sparseCosine(d, minCos = 0.5)
+      .select("doc_a", "doc_b", "cos").as[(Long, Long, Double)].collect()
+    assert(out.length === 1)
+    assert(math.abs(out.head._3 - 1.0) < 1e-12)
+  }
+}
