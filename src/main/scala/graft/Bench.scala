@@ -20,6 +20,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // pack_builder's offsets window (≤ numShufflePartitions rows, whitelisted
+    // structurally in PlanAuditSpec) triggers WindowExec's "No Partition
+    // Defined" warning on every run — benign but it floods the bench log, so
+    // silence that one logger rather than re-deriving its benignity per round
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     def esc(s: String) = s.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
     def f2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

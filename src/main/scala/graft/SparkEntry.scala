@@ -262,6 +262,8 @@ object SparkEntry {
       Embedding.ragRetrieve(Tables.documents(s, d), Tables.embeddings(s, d))),
     "rag_retrieve_portable" -> ((s, d) =>
       Embedding.ragRetrievePortable(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "rag_refresh" -> ((s, d) =>
+      RagRefresh.ragRefresh(Tables.documents(s, d), Tables.embeddings(s, d))),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (column names aligned with the
@@ -508,6 +510,7 @@ object SparkEntry {
     "embed_qa" -> EmbedQa.embedQaSql(),
     "embed_portable" -> Embedding.embedPortableSql(),
     "rag_retrieve_portable" -> Embedding.ragRetrievePortableSql(),
+    "rag_refresh" -> RagRefresh.ragRefreshSql(),
     "embed_pool" -> Embedding.meanPoolSql,
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,

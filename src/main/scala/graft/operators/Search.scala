@@ -287,9 +287,18 @@ object Search {
     * greedy argmax loop (k steps over ≤ nCand doubles) runs on the
     * driver, reusing those exact numbers — so the oracle's unrolled
     * k-step replay is bit-identical. λ = 0.7 and 1−λ = 0.3 appear as the
-    * same two literals in both engines. */
+    * same two literals in both engines.
+    *
+    * Driver-side contract: the greedy argmax is inherently sequential, so
+    * the pool and its nCand² sim matrix are collected — O(nCand²) driver
+    * memory and k·nCand driver work BY DESIGN. The require() caps the knob
+    * so nobody scales nCand into a driver OOM; at larger pools, rerank
+    * per-shard first. */
   def mmrRerank(embeddings: DataFrame, queryVecId: Long = 0L, nCand: Int = 30,
                 k: Int = 5): DataFrame = {
+    require(nCand <= 1024,
+      s"mmrRerank collects an nCand² sim matrix on the driver; nCand=$nCand > 1024 " +
+        "would OOM — rerank per-shard or raise the retrieval threshold instead")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val q = embeddings.filter(col("vec_id") === queryVecId)

@@ -463,6 +463,14 @@ class Round4OpsSpec extends SparkSpec {
     assert(!(picked.contains(1L) && picked.contains(2L)))
   }
 
+  test("mmrRerank: the driver-side pool is capped (nCand > 1024 refused)") {
+    val emb = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Search.mmrRerank(emb, queryVecId = 0L, nCand = 2048, k = 5)
+    }
+    assert(e.getMessage.contains("nCand"))
+  }
+
   test("pairFeatures: twin docs get maximal features; ranges hold for all pairs") {
     val twin = (1 to 30).map(i => s"w$i").mkString(" ")
     val d = docs(Seq((1L, twin), (2L, twin),
