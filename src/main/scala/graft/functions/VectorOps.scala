@@ -55,6 +55,9 @@ object VectorOps {
   //      lock-step; both are sequential double-precision folds) ----
   def dotSql(a: String, b: String, dim: Int = 64): String =
     s"list_sum(list_transform(range(1,${dim + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
+  /** Squared L2 — the same sequential fold shape as the JVM l2D kernel. */
+  def l2Sql(a: String, b: String, dim: Int = 64): String =
+    s"list_sum(list_transform(range(1,${dim + 1}), i -> (CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))))"
   def cosineSql(a: String, b: String, dim: Int = 64): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 }

@@ -82,8 +82,8 @@ class CurationSpec extends SparkSpec {
   test("pq codes stay in range and reconstruct a plausible score") {
     val enc = ProductQuant.pqEncode(emb)
     val bad = enc.filter(
-      exists(col("codes"), c => c < 0 || c > 15) || size(col("codes")) =!= 8).count()
-    assert(bad == 0, "PQ code out of [0,16) range or wrong arity")
+      exists(col("codes"), c => c < 0 || c > 63) || size(col("codes")) =!= 32).count()
+    assert(bad == 0, "PQ code out of [0,64) range or wrong arity")
     val res = ProductQuant.pqSearch(emb, nProbes = 5, k = 3)
     assert(res.count() == 15, "5 probes × top-3 expected")
   }

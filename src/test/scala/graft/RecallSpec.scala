@@ -63,12 +63,14 @@ class RecallSpec extends SparkSpec {
     val rIvfPq = graft.operators.Recall.recallAtK(
       exact, graft.operators.ProductQuant.ivfPqSearch(emb, nProbes = 10, k = 3))
     info(f"recall@3: pq=$rPq%.2f ivf_pq=$rIvfPq%.2f")
-    // cell routing restricts candidates, so composed recall is bounded by
-    // full-scan PQ; it must stay useful
-    assert(rIvfPq >= 0.1, f"ivf_pq recall degraded: $rIvfPq%.2f")
+    // cell routing restricts candidates; residual encoding (FAISS
+    // IndexIVFPQ layout) keeps the within-cell quantization sharp
+    assert(rIvfPq >= 0.5, f"ivf_pq recall degraded: $rIvfPq%.2f")
     // PQ scores all rows (no candidate pruning — it's a COMPRESSION layer,
     // 32× smaller corpus residency), so recall is bounded only by
-    // quantization error of the untrained first-n codebooks.
-    assert(rPq >= 0.30, f"pq recall degraded: $rPq%.2f")
+    // quantization error — L2-nearest assignment over w=2 subspaces keeps
+    // it ≥ 0.5 even with untrained first-n codebooks (the round-3 0.20 was
+    // argmax-dot assignment over w=8, a quantizer-objective mismatch).
+    assert(rPq >= 0.5, f"pq recall degraded: $rPq%.2f")
   }
 }
