@@ -264,6 +264,15 @@ object SparkEntry {
       Embedding.ragRetrievePortable(Tables.documents(s, d), Tables.embeddings(s, d))),
     "rag_refresh" -> ((s, d) =>
       RagRefresh.ragRefresh(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // streaming operators run to completion through the deterministic
+    // multi-batch replay harness (real Structured Streaming execution,
+    // cross-batch state included) — the driver oracles their final output
+    "stream_window" -> ((s, d) => graft.streaming.StreamReplay.streamWindow(s, d)),
+    "stream_histogram" -> ((s, d) => graft.streaming.StreamReplay.streamHistogram(s, d)),
+    "stream_dedup" -> ((s, d) => graft.streaming.StreamReplay.streamDedup(s, d)),
+    "stream_session" -> ((s, d) => graft.streaming.StreamReplay.streamSession(s, d)),
+    "stream_upsert" -> ((s, d) => graft.streaming.StreamReplay.streamUpsert(s, d)),
+    "stream_trending" -> ((s, d) => graft.streaming.StreamReplay.streamTrending(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (column names aligned with the
@@ -511,6 +520,12 @@ object SparkEntry {
     "embed_portable" -> Embedding.embedPortableSql(),
     "rag_retrieve_portable" -> Embedding.ragRetrievePortableSql(),
     "rag_refresh" -> RagRefresh.ragRefreshSql(),
+    "stream_window" -> graft.streaming.StreamReplay.streamWindowSql,
+    "stream_histogram" -> graft.streaming.StreamReplay.streamHistogramSql(),
+    "stream_dedup" -> graft.streaming.StreamReplay.streamDedupSql,
+    "stream_session" -> graft.streaming.StreamReplay.streamSessionSql(),
+    "stream_upsert" -> graft.streaming.StreamReplay.streamUpsertSql,
+    "stream_trending" -> graft.streaming.StreamReplay.streamTrendingSql,
     "embed_pool" -> Embedding.meanPoolSql,
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,

@@ -1,0 +1,252 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.sources.Tables
+import graft.streaming.Streams.{Doc, Event, Upsert}
+
+/** Deterministic replay harness that puts the STREAMING operators into the
+  * driver's batch CORRECTNESS loop: each registered `stream_*` query feeds
+  * the real Structured-Streaming operator (the same code StreamingSpec
+  * exercises) a fixed multi-batch script derived from the test tables —
+  * rows sorted on a total order, split into 4 contiguous micro-batches so
+  * cross-batch STATE is genuinely exercised — runs it to completion
+  * through a memory sink, and returns the final output as a DataFrame the
+  * DuckDB oracle can hash. Append-mode windowed operators get a trailing
+  * far-future flush event so the watermark closes every real window
+  * (per-user flushes for sessionization close every real session); the
+  * flush rows themselves never emit, so the output is exactly the batch
+  * semantics the oracle states in SQL.
+  *
+  * This harness is verification plumbing, not a production path — at
+  * scale the same operators run on readStream sources with the state
+  * store sharded across executors (see Streams.productionStateStoreConf);
+  * what the oracle proves is that the incremental, stateful execution
+  * converges to the declarative batch answer.
+  */
+object StreamReplay {
+
+  private val nameCtr = new AtomicLong(0L)
+  private val FlushGapMs = 7200000L // 2 h past the last event: closes every window
+
+  /** Feed `batches` through `build`'s streaming query one micro-batch at a
+    * time (processAllAvailable = a deterministic batch boundary), then
+    * snapshot the memory sink. */
+  private def replay[T: Encoder](spark: SparkSession, batches: Seq[Seq[T]],
+                                 build: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[T]
+    val name = s"graft_replay_${nameCtr.incrementAndGet()}"
+    val q = build(input.toDF()).writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.filter(_.nonEmpty).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** 4 contiguous micro-batches of a pre-sorted script. */
+  private def quarters[T](rows: Seq[T]): Seq[Seq[T]] = {
+    val n = rows.length
+    (0 until 4).map(i => rows.slice(i * n / 4, (i + 1) * n / 4))
+  }
+
+  /** The event script: the events table on the (ms, event_id) total order
+    * the stateful operators sort on. */
+  private def eventScript(spark: SparkSession, dir: String): Seq[Event] = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+  }
+
+  // ---- registered stream twins ----
+
+  def streamWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + FlushGapMs), -1L, "__flush", 0.0)
+    replay[Event](spark, quarters(ev) :+ Seq(flush), df => Streams.windowAgg(df))
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  val streamWindowSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+      |COUNT(*) AS n,
+      |CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  def streamHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + FlushGapMs), -1L, "__flush", 0.0)
+    replay[Event](spark, quarters(ev) :+ Seq(flush), df => Streams.streamingHistogram(df))
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("bucket"), col("n"))
+  }
+
+  def streamHistogramSql(nb: Int = 20, vmax: Double = 500.0): String =
+    s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       |LEAST(CAST(FLOOR(value / $vmax * $nb) AS BIGINT), ${nb - 1}) AS bucket,
+       |COUNT(*) AS n
+       |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** Exact streaming dedup over the documents feed, batched by doc_id
+    * quartiles — first arrival (= global min doc_id) wins, later content
+    * replays are flagged, including ACROSS batch boundaries (the state
+    * path a single-batch run would never touch). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq.sortBy(_._1).map { case (id, t) => Doc(id, t) }
+    replay[Doc](spark, quarters(docs),
+      df => Streams.streamingDedup(df.as[Doc]).toDF())
+      .select(col("doc_id"), col("is_duplicate"))
+  }
+
+  /** The oracle groups by TEXT where Spark groups by its 64-bit content
+    * hash — they differ only if two distinct texts collide (≈ n²/2⁶⁵, the
+    * ngramJaccard precedent). */
+  val streamDedupSql: String =
+    """SELECT doc_id, doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate
+      |FROM documents""".stripMargin
+
+  /** Streaming sessionization run to completion: one far-future flush per
+    * user closes every real session (the flush-opened sessions never
+    * emit), so the output is the COMPLETE session log the batch gap-split
+    * states in SQL. Millisecond grain on both sides (Timestamp.getTime). */
+  def streamSession(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    val flushTs = new Timestamp(ev.last.ts.getTime + FlushGapMs)
+    val flushes = ev.map(_.user_id).distinct.sorted.zipWithIndex
+      .map { case (u, i) => Event(2000000000L + i, flushTs, u, "__flush", 0.0) }
+    replay[Event](spark, quarters(ev) :+ flushes,
+      df => Streams.sessionize(df.as[Event]).toDF())
+  }
+
+  def streamSessionSql(gapMinutes: Int = 30): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+       |g AS (
+       |  SELECT user_id, ms, event_id,
+       |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > ${gapMinutes * 60000L}
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+       |s AS (
+       |  SELECT user_id, ms,
+       |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM g)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |MIN(ms) * 1000 AS start_us, MAX(ms) * 1000 AS end_us
+       |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  /** Streaming CDC upsert over an ops log derived from events (key =
+    * user_id, seq = event_id, every 7th op a delete), batched by seq
+    * quartiles WITH deterministic replays: each batch re-sends the
+    * previous batch's seq%11 ops, which must come back `stale` without
+    * mutating state — the idempotent-reprocessing property. */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ops = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+      .map { case (eid, uid, etype) =>
+        Upsert(uid, eid, if (eid % 7 == 0) "delete" else "upsert", etype)
+      }
+    val qs = quarters(ops)
+    val script = (0 until 4).map { i =>
+      qs(i) ++ (if (i > 0) qs(i - 1).filter(_.seq % 11 == 0) else Nil)
+    }
+    replay[Upsert](spark, script,
+      df => Streams.streamingUpsert(df.as[Upsert]).toDF())
+  }
+
+  val streamUpsertSql: String =
+    """WITH base AS (
+      |  -- batch = which of the 4 contiguous seq-sorted slices the row sits
+      |  -- in, with the SAME integer-division boundaries the Scala quarters()
+      |  -- uses: slice i covers [i*n//4, (i+1)*n//4)
+      |  SELECT user_id AS key, event_id AS seq,
+      |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+      |    event_type AS payload,
+      |    CASE WHEN rn0 < n // 4 THEN 0
+      |         WHEN rn0 < (2 * n) // 4 THEN 1
+      |         WHEN rn0 < (3 * n) // 4 THEN 2
+      |         ELSE 3 END AS batch
+      |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn0 FROM events)
+      |  CROSS JOIN (SELECT COUNT(*) AS n FROM events) t),
+      |inst AS (
+      |  SELECT key, seq, op, payload, batch FROM base
+      |  UNION ALL
+      |  SELECT key, seq, op, payload, batch + 1 FROM base
+      |  WHERE seq % 11 = 0 AND batch <= 2),
+      |st AS (
+      |  SELECT *, MAX(seq) OVER (PARTITION BY key ORDER BY batch, seq
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM inst),
+      |fl AS (
+      |  SELECT *, (pmax IS NOT NULL AND seq <= pmax) AS stale FROM st),
+      |ns AS (
+      |  SELECT *, LAG(op) OVER (PARTITION BY key ORDER BY batch, seq) AS prev_op
+      |  FROM fl WHERE NOT stale),
+      |act AS (
+      |  SELECT key, batch, seq,
+      |    CASE WHEN op = 'delete' AND COALESCE(prev_op, 'delete') <> 'delete' THEN 'deleted'
+      |         WHEN op = 'delete' THEN 'noop'
+      |         WHEN COALESCE(prev_op, 'delete') <> 'delete' THEN 'updated'
+      |         ELSE 'inserted' END AS action
+      |  FROM ns),
+      |acted AS (
+      |  SELECT f.key, f.batch, f.seq, f.op, f.payload,
+      |    CASE WHEN f.stale THEN 'stale' ELSE a.action END AS action
+      |  FROM fl f LEFT JOIN act a ON a.key = f.key AND a.batch = f.batch AND a.seq = f.seq)
+      |SELECT key, seq, op, payload, action,
+      |  CAST(SUM(CASE WHEN action IN ('deleted', 'inserted', 'updated') THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY key ORDER BY batch, seq
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |FROM acted""".stripMargin
+
+  /** Trending terms over a deterministic timestamped document feed
+    * (doc_id minutes past a fixed origin → a few tumbling hours). */
+  def streamTrending(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val origin = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+      .map { case (id, t) => (new Timestamp(origin + (id % 180) * 60000L), t, id) }
+      .sortBy(r => (r._1.getTime, r._3))
+      .map(r => (r._1, r._2))
+    val flush = (new Timestamp(origin + 180 * 60000L + FlushGapMs), "__flush")
+    replay[(Timestamp, String)](spark, quarters(docs) :+ Seq(flush),
+      df => Streams.trendingTerms(df.toDF("ts", "text")))
+      .filter(col("term") =!= "__flush")
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("term"), col("n"))
+  }
+
+  val streamTrendingSql: String =
+    """WITH d AS (
+      |  SELECT TIMESTAMP '2024-01-01 00:00:00'
+      |           + to_milliseconds((doc_id % 180) * 60000) AS ts, text
+      |  FROM documents),
+      |t AS (
+      |  SELECT ts, unnest(string_split_regex(trim(text), '\s+')) AS term FROM d)
+      |SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, term, COUNT(*) AS n
+      |FROM t GROUP BY 1, 2""".stripMargin
+}

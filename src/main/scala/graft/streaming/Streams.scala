@@ -28,12 +28,17 @@ object Streams {
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, start_us: Long, end_us: Long)
 
   /** Tumbling 1-hour windowed aggregation with a 10-minute watermark —
-    * late data beyond the watermark is dropped, state is bounded. */
+    * late data beyond the watermark is dropped, state is bounded. The
+    * value sum goes through DECIMAL(38,6) (Relational.dsum's discipline):
+    * double partial aggregates depend on arrival/partition order, which a
+    * restarted stream would not reproduce — decimal sums are exact. */
   def windowAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
