@@ -34,8 +34,13 @@ object Bench {
     // sorted order so per-query numbers are comparable across rounds
     try graft.sources.Tables.lineitem(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY=q1,q2 runs a subset (scale-stress runs at sf1 hit
+    // only the slowest queries); recall is skipped for subset runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a crashed query must be visible, not a misleadingly fast number:
       // its time is recorded as -1 and the message lands in "errors"
@@ -48,7 +53,8 @@ object Bench {
     // recall@k of the approximate ANN indexes vs exact brute force — the
     // accuracy/cost tradeoff tracked per round next to the wall times
     val recalls =
-      try {
+      if (only.isDefined) Map.empty[String, Double]
+      else try {
         val emb = graft.sources.Tables.embeddings(spark, sfDir)
         val exact = Search.knnJoin(emb, nProbes = 10, k = 3)
         Map(
@@ -80,9 +86,11 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,"queries":$fullQs,"recall":$rs,"errors":$es,"sf":"$sfDir"}"""
-    try Files.write(Paths.get("/root/repo/BENCH_FULL.json"),
-      (full + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // subset (scale-stress) runs must not clobber the round's full record
+    if (only.isEmpty)
+      try Files.write(Paths.get("/root/repo/BENCH_FULL.json"),
+        (full + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     // The printed line carries the headline numbers and must FIT the tail
     // window in full: total, the slowest queries (the perf-grading signal),
     // recall, errors. Everything else lives in BENCH_FULL.json.

@@ -273,6 +273,8 @@ object SparkEntry {
     "stream_session" -> ((s, d) => graft.streaming.StreamReplay.streamSession(s, d)),
     "stream_upsert" -> ((s, d) => graft.streaming.StreamReplay.streamUpsert(s, d)),
     "stream_trending" -> ((s, d) => graft.streaming.StreamReplay.streamTrending(s, d)),
+    "stream_spike" -> ((s, d) => graft.streaming.StreamReplay.streamSpike(s, d)),
+    "stream_join" -> ((s, d) => graft.streaming.StreamReplay.streamJoin(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (column names aligned with the
@@ -526,6 +528,8 @@ object SparkEntry {
     "stream_session" -> graft.streaming.StreamReplay.streamSessionSql(),
     "stream_upsert" -> graft.streaming.StreamReplay.streamUpsertSql,
     "stream_trending" -> graft.streaming.StreamReplay.streamTrendingSql,
+    "stream_spike" -> graft.streaming.StreamReplay.streamSpikeSql,
+    "stream_join" -> graft.streaming.StreamReplay.streamJoinSql,
     "embed_pool" -> Embedding.meanPoolSql,
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,

@@ -221,6 +221,70 @@ object StreamReplay {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
       |FROM acted""".stripMargin
 
+  /** Streaming spike detection against the BATCH-computed per-type median
+    * hourly baseline (the stream-static join pattern): the static side is
+    * the same medians table eventSpikes builds, the stream side is the
+    * windowed counts run to completion through the flush. */
+  def streamSpike(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + FlushGapMs), -1L, "__flush", 0.0)
+    // batch baseline: per-type median of hourly counts (eventSpikes' medians)
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("n"), col("hour"))
+    val baseline = hourly
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("event_type"), col("n").as("med_n"))
+    replay[Event](spark, quarters(ev) :+ Seq(flush),
+      df => Streams.spikesVsBaseline(df, baseline))
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n"), col("med_n"))
+  }
+
+  val streamSpikeSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS window_start_us,
+      |         COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, window_start_us) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM hourly),
+      |medians AS (
+      |  SELECT event_type, n AS med_n FROM ranked WHERE rn = (cnt + 1) // 2)
+      |SELECT h.window_start_us, h.event_type, h.n, m.med_n
+      |FROM hourly h JOIN medians m ON h.event_type = m.event_type
+      |WHERE h.n * 2 > m.med_n * 3""".stripMargin
+
+  /** Watermarked stream-stream interval join run over the deterministic
+    * split of the events feed (purchases = event_id % 3 == 0, clicks the
+    * rest): inner joins emit eagerly, and because the feed is time-ordered
+    * no click is evicted before every purchase that could claim it has
+    * arrived — the output is the complete interval join the oracle states. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    replay[Event](spark, quarters(ev), { df =>
+      val clicks = df.filter(col("event_id") % 3 =!= 0)
+      val purchases = df.filter(col("event_id") % 3 === 0)
+      Streams.clickAttributionJoin(clicks, purchases)
+    })
+  }
+
+  val streamJoinSql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      |FROM events p JOIN events c
+      |  ON p.event_id % 3 = 0 AND c.event_id % 3 <> 0
+      | AND c.user_id = p.user_id
+      | AND epoch_us(c.ts) <= epoch_us(p.ts)
+      | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000""".stripMargin
+
   /** Trending terms over a deterministic timestamped document feed
     * (doc_id minutes past a fixed origin → a few tumbling hours). */
   def streamTrending(spark: SparkSession, dir: String): DataFrame = {
