@@ -239,21 +239,50 @@ object TermStats {
        |JOIN norms nb ON nb.doc_id = doc_b
        |WHERE dot / (na.norm * nb.norm) >= $minCos""".stripMargin
 
-  /** Edit-distance near-dup pairs: (language, length-bucket) blocking, then
-    * Levenshtein on a fixed prefix — identical DP semantics in both
-    * engines. (Full-text Levenshtein is O(len²) per pair; prefix screening
-    * is the standard first pass, refined only on survivors. Length BUCKETS
-    * rather than exact length: near-dups differ by a few chars, so exact
-    * blocking loses them — and produced an empty, vacuous result set.) */
+  /** Edit-distance near-dup pairs. Candidate generation is the df-capped
+    * RARE-SHINGLE inverted index (Containment.scala's bounded pattern):
+    * two docs are compared ONLY if they share a shingle that ≤ maxDf docs
+    * of their language contain AND they sit in the same (lang, length-
+    * bucket) block — so a block full of unrelated same-length docs
+    * generates nothing, per-shingle fan-out is ≤ maxDf², and total cost
+    * tracks true shared-content density (output-sensitive), never block².
+    * The sf1 scale-stress exposed the previous unfiltered block self-join
+    * as the repo's last quadratic plan (100× cost at 10× data); no
+    * LOSSLESS prefilter exists at τ/prefix = 12/30 (q-gram / PassJoin
+    * count filtering is vacuous at 40% relative distance), so the gate is
+    * the same recall-justified screen every other dedup operator uses:
+    * docs within a small edit distance share rare shingles unless every
+    * edit lands on them. Verification is then Levenshtein on a fixed
+    * prefix — identical DP semantics in both engines (banded: the
+    * threshold variant early-exits at O(len·k) per pair, returning -1
+    * past the threshold). */
   def editDistancePairs(documents: DataFrame, prefixLen: Int = 30, maxDist: Int = 12,
-                        lenBucket: Int = 64): DataFrame = {
-    val d = documents.select(
-      col("lang"), (col("n_chars") / lenBucket).cast("long").as("len_b"), col("doc_id"),
-      substring(col("text"), 1, prefixLen).as("p"))
-    val a = d.select(col("lang"), col("len_b"), col("doc_id").as("doc_a"), col("p").as("pa"))
-    val b = d.select(col("lang"), col("len_b"), col("doc_id").as("doc_b"), col("p").as("pb"))
-    a.join(b, Seq("lang", "len_b"))
-      .filter(col("doc_a") < col("doc_b"))
+                        lenBucket: Int = 64, w: Int = 3, maxDf: Int = 50): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sh = documents.select(col("doc_id"), col("lang"),
+        (col("n_chars") / lenBucket).cast("long").as("len_b"), col("text"))
+      .as[(Long, String, Long, String)]
+      .mapPartitions { iter =>
+        iter.flatMap { case (docId, lang, lenB, text) =>
+          Dedup.shinglesOf(text, w).map(s => (docId, lang, lenB, Dedup.hashShingle(s)))
+        }
+      }
+      .toDF("doc_id", "lang", "len_b", "s").distinct()
+    val rareKeys = sh.groupBy(col("lang"), col("s"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select(col("lang"), col("s"))
+    val rare = sh.join(rareKeys, Seq("lang", "s"))
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+          col("a.len_b") === col("b.len_b") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val p = documents.select(col("doc_id"), substring(col("text"), 1, prefixLen).as("p"))
+    cand
+      .join(p.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
+      .join(p.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
       // lev(x,y) >= |len(x)-len(y)| — a theorem, so this prune can never
       // change the result; it just skips the DP for hopeless pairs
       .filter(abs(length(col("pa")) - length(col("pb"))) <= maxDist)
@@ -346,14 +375,36 @@ object TermStats {
       |SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bg
       |ORDER BY cnt DESC, bg LIMIT """.stripMargin + k
 
-  def editDistancePairsSql(prefixLen: Int = 30, maxDist: Int = 12, lenBucket: Int = 64): String =
-    s"""WITH d AS (SELECT lang, n_chars // $lenBucket AS len_b, doc_id,
-       |           substr(text, 1, $prefixLen) AS p FROM documents)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
-       |FROM d a JOIN d b ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id
-       |WHERE abs(length(a.p) - length(b.p)) <= $maxDist
-       |  AND levenshtein(a.p, b.p) <= $maxDist""".stripMargin
+  /** DuckDB replay over raw shingle strings (Spark joins 64-bit shingle
+    * hashes — counts agree unless two distinct shingles collide, odds
+    * ≈ n²/2⁶⁵; the Containment oracle precedent). */
+  def editDistancePairsSql(prefixLen: Int = 30, maxDist: Int = 12, lenBucket: Int = 64,
+                           w: Int = 3, maxDf: Int = 50): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, n_chars // $lenBucket AS len_b,
+       |    string_split_regex(trim(text), '\\s+') AS t,
+       |    substr(text, 1, $prefixLen) AS p
+       |  FROM documents),
+       |shx AS (
+       |  SELECT doc_id, lang, len_b,
+       |    unnest(${Dedup.shinglesSqlFromToks("t", w)}) AS s
+       |  FROM tk WHERE len(t) >= $w),
+       |sh AS (SELECT DISTINCT doc_id, lang, len_b, s FROM shx),
+       |rare AS (
+       |  SELECT sh.doc_id, sh.lang, sh.len_b, sh.s FROM sh
+       |  JOIN (SELECT lang, s FROM sh GROUP BY 1, 2 HAVING COUNT(*) <= $maxDf) r
+       |    ON sh.lang = r.lang AND sh.s = r.s),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.lang = b.lang AND a.s = b.s
+       |    AND a.len_b = b.len_b AND a.doc_id < b.doc_id),
+       |pfx AS (SELECT doc_id, substr(text, 1, $prefixLen) AS p FROM documents)
+       |SELECT c.doc_a, c.doc_b, CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS dist
+       |FROM cand c
+       |JOIN pfx pa ON pa.doc_id = c.doc_a
+       |JOIN pfx pb ON pb.doc_id = c.doc_b
+       |WHERE abs(length(pa.p) - length(pb.p)) <= $maxDist
+       |  AND levenshtein(pa.p, pb.p) <= $maxDist""".stripMargin
 
   /** Term drift between corpus snapshots — the topic-shift monitor every
     * continuously-crawled corpus runs: split the corpus into old/new
