@@ -24,7 +24,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     "graph_modularity", // label-prop rounds + integer contributions
     "quantile_hist",    // bucket histogram + integer cum selection
     "mmr_rerank",       // driver greedy over engine-computed doubles
-    "hilbert_key")      // pure kernel — trivially invariant, pins the claim
+    "hilbert_key",      // pure kernel — trivially invariant, pins the claim
+    // round-5 additions
+    "sparse_cosine",    // decimal window running bound + decimal dots
+    "dedup_edit_distance", // rare-shingle candidate gate + distinct
+    "rag_refresh",      // diff → merge → re-embed → cell argmax chain
+    "ann_pq",           // driver codebooks + kernel encode + decimal-free ADC
+    "ann_ivf_pq",       // residual encode: cell argmax feeds the codebooks
+    "stream_window",    // full streaming replay: decimal sums across batches
+    "stream_upsert")    // cross-batch state protocol must not see partitioning
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
