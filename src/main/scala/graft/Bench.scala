@@ -70,6 +70,8 @@ object Bench {
             exact, graft.operators.Cluster.annIvfTrained(emb, nProbes = 10, k = 3)),
           "ann_pq@3" -> Recall.recallAtK(
             exact, graft.operators.ProductQuant.pqSearch(emb, nProbes = 10, k = 3)),
+          "ann_pq_tr@3" -> Recall.recallAtK(
+            exact, graft.operators.ProductQuant.pqSearchTrained(emb, nProbes = 10, k = 3)),
           "ann_sq8@3" -> Recall.recallAtK(
             exact, graft.operators.ScalarQuant.sq8Search(emb, nProbes = 10, k = 3)),
           "ann_ivf_pq@3" -> Recall.recallAtK(

@@ -179,6 +179,7 @@ object SparkEntry {
     "doc_outlier" -> ((s, d) => Cluster.docOutliers(Tables.embeddings(s, d))),
     "semdedup" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
+    "ann_pq_tr" -> ((s, d) => ProductQuant.pqSearchTrained(Tables.embeddings(s, d))),
     "ann_sq8" -> ((s, d) => ScalarQuant.sq8Search(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => ProductQuant.ivfPqSearch(Tables.embeddings(s, d))),
     // --- graph ---
@@ -432,6 +433,7 @@ object SparkEntry {
     "doc_outlier" -> Cluster.docOutliersSql(),
     "semdedup" -> Cluster.semdedupSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
+    "ann_pq_tr" -> ProductQuant.pqSearchTrainedSql(),
     "ann_sq8" -> ScalarQuant.sq8SearchSql(),
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
     "bpe_train" -> Bpe.bpeTrainSql(),

@@ -108,6 +108,65 @@ object ProductQuant extends Serializable {
       .toDF("vec_id", "codes")
   }
 
+  /** Per-subspace Lloyd-TRAINED codebooks — the production FAISS recipe
+    * (ProductQuantizer::train; first-nCodes init is the oracle-friendly
+    * deterministic seed). Fully distributed: each iteration is one narrow
+    * argmin-L2 assignment pass over the corpus plus one map-combined
+    * (s, code, pos)-keyed shuffle of DECIMAL-exact sums; only the bounded
+    * m × nCodes × w model parameter is collected per round. Cells that
+    * lose every member keep their previous centroid (both engines). */
+  private def trainedCodebooks(embeddings: DataFrame, m: Int, nCodes: Int,
+                               iters: Int): Array[Array[Array[Double]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val w = Dim / m
+    var cbs = firstKCodebooks(
+      embeddings.filter(col("vec_id") < nCodes)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1).map(r => toD(r._2)),
+      m, nCodes)
+    val subs = embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    for (_ <- 0 until iters) {
+      val bc = cbs
+      val mL = m; val wL = w
+      val assigned = subs.flatMap { case (_, v) =>
+        val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Double)](mL * wL)
+        var s = 0
+        while (s < mL) {
+          val sub = new Array[Double](wL)
+          var i = 0
+          while (i < wL) { sub(i) = v(s * wL + i).toDouble; i += 1 }
+          var bestC = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < bc(s).length) {
+            val d = l2D(sub, bc(s)(c))
+            if (d < bestD) { bestD = d; bestC = c }
+            c += 1
+          }
+          var p = 0
+          while (p < wL) { out += ((s, bestC, p, sub(p))); p += 1 }
+          s += 1
+        }
+        out.iterator
+      }.toDF("s", "code", "pos", "v")
+      val upd = assigned.groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(col("v").cast("string").cast("decimal(38,18)")).cast("string").as("sd"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(m)(s => bc(s).map(_.clone()))
+      upd.foreach { r =>
+        // decimal → double THROUGH THE STRING (the ndcg/hits/pca recipe);
+        // then one double division — both identical to the oracle's
+        // CAST(CAST(sum AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          new java.math.BigDecimal(r.getString(3)).doubleValue() / r.getLong(4).toDouble
+      }
+      cbs = next
+    }
+    cbs
+  }
+
   /** ANN search over the PQ-compressed corpus with per-probe ADC lookup
     * tables: lut(p)(s)(c) = dot(probe p's subvector s, codebook entry c),
     * computed once and broadcast; every encoded row scores as m lookups. */
@@ -118,7 +177,19 @@ object ProductQuant extends Serializable {
     val base = embeddings.filter(col("vec_id") < nCodes)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1).map(r => toD(r._2))
-    val cbs = firstKCodebooks(base, m, nCodes)
+    adcSearch(embeddings, firstKCodebooks(base, m, nCodes), m, nProbes, k)
+  }
+
+  /** Trained-quantizer PQ search (ann_pq_tr): same ADC engine over the
+    * Lloyd-trained codebooks. */
+  def pqSearchTrained(embeddings: DataFrame, m: Int = 32, nCodes: Int = 64,
+                      iters: Int = 2, nProbes: Int = 10, k: Int = 3): DataFrame =
+    adcSearch(embeddings, trainedCodebooks(embeddings, m, nCodes, iters), m, nProbes, k)
+
+  private def adcSearch(embeddings: DataFrame, cbs: Array[Array[Array[Double]]],
+                        m: Int, nProbes: Int, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val w = Dim / m
     val probes: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nProbes)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -126,12 +197,14 @@ object ProductQuant extends Serializable {
     // bounded: nProbes × m × nCodes doubles (FAISS's per-query distance table)
     val lut: Array[(Long, Array[Array[Double]])] = probes.map { case (pid, pv) =>
       val pd = toD(pv)
-      (pid, Array.tabulate(m, nCodes)((s, c) => dotD(pd.slice(s * w, s * w + w), cbs(s)(c))))
+      (pid, Array.tabulate(m)(s => Array.tabulate(cbs(s).length)(c =>
+        dotD(pd.slice(s * w, s * w + w), cbs(s)(c)))))
     }
-    val scored = pqEncode(embeddings, m, nCodes)
-      .as[(Long, Array[Int])]
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
       .mapPartitions { iter =>
-        iter.flatMap { case (nid, codes) =>
+        iter.flatMap { case (nid, v) =>
+          val codes = encodeOne(toD(v), cbs, m, w)
           lut.iterator.collect { case (pid, t) if pid != nid =>
             var score = 0.0
             var s = 0
@@ -260,6 +333,73 @@ object ProductQuant extends Serializable {
              .reduce((a, b) => s"($a + $b)")} AS approx_score
        |  FROM encp n
        |  ${(0 until m).map(s => s"JOIN cb cb$s ON cb$s.s = $s AND cb$s.code = n.c$s").mkString("\n  ")}
+       |  CROSS JOIN probes p
+       |  WHERE n.vec_id <> p.probe_id)
+       |SELECT probe_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx_score DESC, neighbor_id) AS BIGINT) AS rn,
+       |  approx_score
+       |FROM scored QUALIFY rn <= $k""".stripMargin
+  }
+
+  /** Trained-PQ oracle: the per-subspace Lloyd loop replayed generically —
+    * ONE CTE pair per iteration covers ALL m subspaces at once (argmin-L2
+    * assignment via QUALIFY, decimal-exact per-(s, code, pos) means via
+    * the doc_cluster parallel-unnest trick, empty cells COALESCE to their
+    * previous centroid), then the same encode/ADC tail as pqSearchSql. */
+  def pqSearchTrainedSql(m: Int = 32, nCodes: Int = 64, iters: Int = 2,
+                         nProbes: Int = 10, k: Int = 3): String = {
+    val w = Dim / m
+    val encL2 = VectorOps.l2Sql("sv.sub_e", "c.emb_sub", w)
+    val steps = (0 until iters).map { i =>
+      s"""a_$i AS MATERIALIZED (
+         |  SELECT sv.vec_id, sv.s, c.code, sv.sub_e
+         |  FROM sv JOIN cb_$i c ON c.s = sv.s
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
+         |    ORDER BY $encL2 ASC, c.code) = 1),
+         |comp_$i AS (
+         |  SELECT s, code, pos,
+         |    CAST(CAST(SUM(CAST(CAST(val AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mv
+         |  FROM (
+         |    SELECT s, code,
+         |      unnest(range(0, $w)) AS pos,
+         |      unnest(list_transform(sub_e, x -> CAST(x AS DOUBLE))) AS val
+         |    FROM a_$i)
+         |  GROUP BY 1, 2, 3),
+         |cbm_$i AS (
+         |  SELECT s, code, list(mv ORDER BY pos) AS emb_sub FROM comp_$i GROUP BY 1, 2),
+         |cb_${i + 1} AS MATERIALIZED (
+         |  SELECT c.s, c.code, COALESCE(mm.emb_sub, c.emb_sub) AS emb_sub
+         |  FROM cb_$i c LEFT JOIN cbm_$i mm ON mm.s = c.s AND mm.code = c.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ss AS (SELECT unnest(range(0, $m)) AS s),
+       |sv AS MATERIALIZED (
+       |  SELECT e.vec_id, ss.s, e.embedding[ss.s*$w+1 : ss.s*$w+$w] AS sub_e
+       |  FROM embeddings e CROSS JOIN ss),
+       |cb_0 AS MATERIALIZED (
+       |  SELECT ss.s, e.vec_id AS code,
+       |    list_transform(e.embedding[ss.s*$w+1 : ss.s*$w+$w], x -> CAST(x AS DOUBLE)) AS emb_sub
+       |  FROM embeddings e CROSS JOIN ss
+       |  WHERE e.vec_id < $nCodes),
+       |$steps,
+       |enc AS MATERIALIZED (
+       |  SELECT sv.vec_id, sv.s, c.code
+       |  FROM sv JOIN cb_$iters c ON c.s = sv.s
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
+       |    ORDER BY $encL2 ASC, c.code) = 1),
+       |encp AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    ${(0 until m).map(s => s"MAX(CASE WHEN s = $s THEN code END) AS c$s").mkString(", ")}
+       |  FROM enc GROUP BY 1),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < $nProbes),
+       |scored AS (
+       |  SELECT p.probe_id, n.vec_id AS neighbor_id,
+       |    ${(0 until m).map(s =>
+             VectorOps.dotSql(s"(p.pv[$s*$w+1 : $s*$w+$w])", s"cb$s.emb_sub", w))
+             .reduce((a, b) => s"($a + $b)")} AS approx_score
+       |  FROM encp n
+       |  ${(0 until m).map(s => s"JOIN cb_$iters cb$s ON cb$s.s = $s AND cb$s.code = n.c$s").mkString("\n  ")}
        |  CROSS JOIN probes p
        |  WHERE n.vec_id <> p.probe_id)
        |SELECT probe_id, neighbor_id,

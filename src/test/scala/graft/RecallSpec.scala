@@ -62,7 +62,12 @@ class RecallSpec extends SparkSpec {
       exact, graft.operators.ProductQuant.pqSearch(emb, nProbes = 10, k = 3))
     val rIvfPq = graft.operators.Recall.recallAtK(
       exact, graft.operators.ProductQuant.ivfPqSearch(emb, nProbes = 10, k = 3))
-    info(f"recall@3: pq=$rPq%.2f ivf_pq=$rIvfPq%.2f")
+    val rPqTr = graft.operators.Recall.recallAtK(
+      exact, graft.operators.ProductQuant.pqSearchTrained(emb, nProbes = 10, k = 3))
+    info(f"recall@3: pq=$rPq%.2f ivf_pq=$rIvfPq%.2f pq_tr=$rPqTr%.2f")
+    // training exists to sharpen the codebooks: Lloyd-trained must not
+    // fall below the untrained first-k seed
+    assert(rPqTr >= rPq - 0.01, f"trained PQ recall below untrained: $rPqTr%.2f < $rPq%.2f")
     // cell routing restricts candidates; residual encoding (FAISS
     // IndexIVFPQ layout) keeps the within-cell quantization sharp
     assert(rIvfPq >= 0.5, f"ivf_pq recall degraded: $rIvfPq%.2f")
