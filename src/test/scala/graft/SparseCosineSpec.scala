@@ -47,6 +47,55 @@ class SparseCosineSpec extends SparkSpec {
     assert(math.abs(out.head._3 - 13521.0 / 16225.0) < 1e-12)
   }
 
+  test("LOSSLESSNESS PROPERTY: filtered output == independent brute force on random corpora") {
+    // The All-Pairs guarantee is a theorem, so test it like one: on
+    // seeded pseudo-random corpora, the operator's pairs must match an
+    // INDEPENDENT driver-side brute-force (full tf-idf vectors, all
+    // O(n²) pairs — no posting index, no prefix filter, no shared code
+    // path) pair for pair. Vocab is small so term overlap is heavy —
+    // the adversarial regime for an inverted-index filter.
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (1 to 20).map(i => s"w$i")
+      val corpus = (1L to 60L).map { id =>
+        val len = 3 + rnd.nextInt(10)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val minCos = 0.8
+      // independent reference: tf·N/df weights, cosine over all pairs
+      val n = corpus.length.toDouble
+      val tf: Map[Long, Map[String, Long]] = corpus.map { case (id, t) =>
+        id -> t.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
+      }.toMap
+      val df: Map[String, Long] = corpus.flatMap(_._2.split(" ").distinct)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      def vec(id: Long): Map[String, Double] =
+        tf(id).map { case (t, f) => t -> f * n / df(t) }
+      def cos(a: Long, b: Long): Double = {
+        val (va, vb) = (vec(a), vec(b))
+        val dot = va.keysIterator.filter(vb.contains).map(t => va(t) * vb(t)).sum
+        val na = math.sqrt(va.values.map(x => x * x).sum)
+        val nb = math.sqrt(vb.values.map(x => x * x).sum)
+        dot / (na * nb)
+      }
+      val expected = (for {
+        a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+        c = cos(a, b) if c >= minCos
+      } yield (a, b)).toSet
+
+      val got = TermStats.sparseCosine(docs(corpus), minCos = minCos)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      // pairs landing within 1 ulp of the threshold could legitimately
+      // differ between driver float math and the engine's decimal-exact
+      // path — exclude only those from the equality (none so far)
+      val borderline = (expected ++ got)
+        .filter { case (a, b) => math.abs(cos(a, b) - minCos) < 1e-9 }
+      assert((expected -- borderline) === (got -- borderline),
+        s"seed $seed: prefix filtering lost or invented pairs: " +
+          s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("identical docs score cos ~ 1.0 (norms and dots use the same postings)") {
     // cos within 1 ulp of 1.0 (not exactly 1.0: norm is sqrt(nsq) and
     // sqrt(x)·sqrt(x) = x is not an IEEE identity).
