@@ -183,8 +183,11 @@ object ProductQuant extends Serializable {
   /** Trained-quantizer PQ search (ann_pq_tr): same ADC engine over the
     * Lloyd-trained codebooks. */
   def pqSearchTrained(embeddings: DataFrame, m: Int = 32, nCodes: Int = 64,
-                      iters: Int = 2, nProbes: Int = 10, k: Int = 3): DataFrame =
+                      iters: Int = 2, nProbes: Int = 10, k: Int = 3): DataFrame = {
+    require(m > 0 && Dim % m == 0 && nCodes > 0 && iters >= 0,
+      s"bad params m=$m (must divide $Dim) nCodes=$nCodes iters=$iters")
     adcSearch(embeddings, trainedCodebooks(embeddings, m, nCodes, iters), m, nProbes, k)
+  }
 
   private def adcSearch(embeddings: DataFrame, cbs: Array[Array[Array[Double]]],
                         m: Int, nProbes: Int, k: Int): DataFrame = {

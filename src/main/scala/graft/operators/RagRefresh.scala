@@ -40,6 +40,7 @@ object RagRefresh {
     * the chunk's portable embedding against the first-nCells centroids. */
   def ragRefresh(documents: DataFrame, embeddings: DataFrame,
                  nCells: Int = 16): DataFrame = {
+    require(nCells > 0, s"bad nCells=$nCells")
     import embeddings.sparkSession.implicits._
     val oldc = documents.filter(col("doc_id") % 5 =!= 4)
       .select(col("doc_id"), col("text"))

@@ -119,6 +119,8 @@ object TermStats {
     * accumulation order can differ across engines; sqrt is IEEE-exact on
     * both engines, and the final divide is one correctly-rounded op. */
   def sparseCosine(documents: DataFrame, minCos: Double = 0.8): DataFrame = {
+    require(minCos > 0.0 && minCos <= 1.0,
+      s"minCos=$minCos out of (0,1]: at 0 the prefix bound never prunes and the join degenerates to all pairs")
     val (w, norms, cand) = sparseCosineParts(documents, minCos)
     val dots = cand
       .join(w.as("a"), col("doc_a") === col("a.doc_id"))
@@ -258,6 +260,8 @@ object TermStats {
     * past the threshold). */
   def editDistancePairs(documents: DataFrame, prefixLen: Int = 30, maxDist: Int = 12,
                         lenBucket: Int = 64, w: Int = 3, maxDf: Int = 50): DataFrame = {
+    require(prefixLen > 0 && maxDist >= 0 && lenBucket > 0 && w > 0 && maxDf > 0,
+      s"bad params prefixLen=$prefixLen maxDist=$maxDist lenBucket=$lenBucket w=$w maxDf=$maxDf")
     val spark = documents.sparkSession
     import spark.implicits._
     val sh = documents.select(col("doc_id"), col("lang"),
