@@ -189,7 +189,11 @@ object Embedding {
     * "batch embedding generation + DataFrame joins for retrieval"):
     * chunk documents → embed each chunk → cosine-join the corpus index →
     * top-k index hits per probe chunk. Every stage is a DataFrame
-    * transform; the only shuffle is the final per-probe top-k window. */
+    * transform; the only shuffle is the final per-probe top-k window.
+    * chunk_id = doc_id * 1000 + chunk_index assumes < 1000 chunks per doc
+    * (~450 KB of text at the 512/64 defaults); widen the multiplier or
+    * key on the (doc_id, chunk_index) struct past that. RagRefresh
+    * inherits the same convention. */
   def ragRetrieve(documents: DataFrame, index: DataFrame,
                   nProbeDocs: Int = 10, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

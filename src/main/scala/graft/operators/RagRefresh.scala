@@ -37,7 +37,16 @@ object RagRefresh {
   /** Post-refresh chunk index: (chunk_id, doc_id, action, cell, h).
     * action ∈ inserted | updated | kept; deleted chunks (removed docs,
     * doc shrinkage) leave the index. cell = argmax-cosine IVF cell of
-    * the chunk's portable embedding against the first-nCells centroids. */
+    * the chunk's portable embedding against the first-nCells centroids.
+    *
+    * chunk_id = doc_id * 1000 + chunk_index ASSUMES < 1000 chunks per doc
+    * (~450 KB of text at the 512/64 chunking defaults) — doc 1001's id
+    * space starts where doc 1's would overflow into. The merge join here
+    * also keys on doc_id, so THIS operator's output stays consistent
+    * regardless, but a downstream index keyed on chunk_id alone would
+    * collide. (Inherited from Embedding.scala's chunk-id convention; at
+    * production chunk counts widen the multiplier or key on the
+    * (doc_id, chunk_index) struct.) */
   def ragRefresh(documents: DataFrame, embeddings: DataFrame,
                  nCells: Int = 16): DataFrame = {
     require(nCells > 0, s"bad nCells=$nCells")
@@ -94,6 +103,8 @@ object RagRefresh {
       .select(col("chunk_id"), col("doc_id"), col("action"), col("cell"), col("h"))
   }
 
+  /** Oracle twin. Mirrors the Scala side's chunk_id = doc_id * 1000 +
+    * chunk_index convention (same < 1000-chunks-per-doc assumption). */
   def ragRefreshSql(nCells: Int = 16, dim: Int = 64): String = {
     val cos = VectorOps.cosineSql("p.pv", "c.embedding", dim)
     s"""WITH oldc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),

@@ -381,7 +381,16 @@ object TermStats {
 
   /** DuckDB replay over raw shingle strings (Spark joins 64-bit shingle
     * hashes — counts agree unless two distinct shingles collide, odds
-    * ≈ n²/2⁶⁵; the Containment oracle precedent). */
+    * ≈ n²/2⁶⁵; the Containment oracle precedent). The collision exposure
+    * runs BOTH directions: an equality-join collision can add a candidate
+    * pair only Spark sees, and a collision can also merge two distinct
+    * shingles' df counts past `maxDf` on the Spark side, dropping a
+    * candidate only the oracle keeps. Both have the same ≈ n²/2⁶⁵ odds;
+    * if either ever fires at scale, compute df on (lang, raw shingle)
+    * before hashing. Short docs (< w tokens): shinglesSqlFromToks's
+    * concat_ws skips out-of-range NULLs, degrading to the same single
+    * partial shingle shinglesOf emits, so no length filter is applied
+    * here — both engines shingle every doc. */
   def editDistancePairsSql(prefixLen: Int = 30, maxDist: Int = 12, lenBucket: Int = 64,
                            w: Int = 3, maxDf: Int = 50): String =
     s"""WITH tk AS (
@@ -392,7 +401,7 @@ object TermStats {
        |shx AS (
        |  SELECT doc_id, lang, len_b,
        |    unnest(${Dedup.shinglesSqlFromToks("t", w)}) AS s
-       |  FROM tk WHERE len(t) >= $w),
+       |  FROM tk),
        |sh AS (SELECT DISTINCT doc_id, lang, len_b, s FROM shx),
        |rare AS (
        |  SELECT sh.doc_id, sh.lang, sh.len_b, sh.s FROM sh
