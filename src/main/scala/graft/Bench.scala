@@ -7,9 +7,27 @@ import org.apache.spark.sql.SparkSession
 import graft.operators.{Dedup, Recall, Search}
 
 object Bench {
+  /** Machine-load stamp: 1-minute loadavg (from /proc — the JMX bean is the
+    * fallback) so a bench number can be read against the contention it ran
+    * under. Same commit measured 194 s vs 446 s across two machines in
+    * round 4; without a load stamp that difference is unattributable. */
+  private def loadAvg(): Double =
+    try new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+      StandardCharsets.UTF_8).split("\\s+")(0).toDouble
+    catch { case _: Throwable =>
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // per-query repetitions; the reported number is the MEDIAN. One-shot
+    // timings at sf0.1 swing 4-11x with machine contention (round-4
+    // evidence: identical code, 194 s vs 446 s totals) — the median of 3
+    // runs is stable within ~1.5x across consecutive runs, which is what
+    // makes round-over-round perf deltas readable as signal.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,19 +55,35 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 runs a subset (scale-stress runs at sf1 hit
     // only the slowest queries); recall is skipped for subset runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val loadBefore = loadAvg()
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // every rep of every query is recorded (BENCH_FULL.json "runs") so a
+    // suspicious median can be audited; a crashed query must be visible,
+    // not a misleadingly fast number: its median is -1 and the message
+    // lands in "errors" (remaining reps are skipped — rerunning a crasher
+    // only repeats the stack trace)
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a crashed query must be visible, not a misleadingly fast number:
-      // its time is recorded as -1 and the message lands in "errors"
-      try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        errors += name -> esc(String.valueOf(e.getMessage))
-        name -> -1.0
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var r = 0
+        while (r < reps && !errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            errors += name -> esc(String.valueOf(e.getMessage))
+          }
+          r += 1
+        }
+        name -> times.toSeq
       }
-    }
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0
+      else {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
+    val results = runs.map { case (name, ts) => name -> median(ts) }
     // recall@k of the approximate ANN indexes vs exact brute force — the
     // accuracy/cost tradeoff tracked per round next to the wall times
     val recalls =
@@ -77,6 +111,7 @@ object Bench {
           "ann_ivf_pq@3" -> Recall.recallAtK(
             exact, graft.operators.ProductQuant.ivfPqSearch(emb, nProbes = 10, k = 3)))
       } catch { case _: Throwable => Map.empty[String, Double] }
+    val loadAfter = loadAvg()
     val total = results.map(_._2).filter(_ >= 0).sum
     val rs = recalls.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
@@ -85,9 +120,14 @@ object Bench {
     // Complete per-query table: written to the repo, NOT printed — the
     // driver keeps only the last ~2000 bytes of stdout, which a 100+-entry
     // map overflows (BENCH_r02's line was head-truncated past recovery).
+    // "queries" carries the medians; "runs" carries every rep for auditing.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,"queries":$fullQs,"recall":$rs,"errors":$es,"sf":"$sfDir"}"""
+    val fullRuns = runs.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val stamp = s""""reps":$reps,"load_1m_before":${f2(loadBefore)},"load_1m_after":${f2(loadAfter)},"machine_cpus":${Runtime.getRuntime.availableProcessors}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,$stamp,"queries":$fullQs,"runs":$fullRuns,"recall":$rs,"errors":$es,"sf":"$sfDir"}"""
     // subset (scale-stress) runs must not clobber the round's full record
     if (only.isEmpty)
       try Files.write(Paths.get("/root/repo/BENCH_FULL.json"),
@@ -98,7 +138,7 @@ object Bench {
     // recall, errors. Everything else lives in BENCH_FULL.json.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_note":"15 slowest of ${results.size}; all in BENCH_FULL.json","recall":$rs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},$stamp,"queries":$slowest,"queries_note":"15 slowest medians-of-$reps of ${results.size}; all runs in BENCH_FULL.json","recall":$rs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
