@@ -51,6 +51,25 @@ object VectorOps {
   def cosinePrenorm(dotAB: Column, normA: Column, normB: Column): Column =
     dotAB / (normA * normB)
 
+  /** JVM twin of CosineSimFF's fold for broadcast-model kernels: the same
+    * single-pass sequential double accumulation (dot, ‖a‖², ‖b‖²), so a
+    * mapPartitions argmax over broadcast centroids is bit-identical to the
+    * column-expression form it replaces. */
+  def cosineFF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   // ---- DuckDB oracle SQL fragments (kept adjacent so Spark + oracle stay in
   //      lock-step; both are sequential double-precision folds) ----
   def dotSql(a: String, b: String, dim: Int = 64): String =

@@ -203,12 +203,20 @@ object ProductQuant extends Serializable {
       (pid, Array.tabulate(m)(s => Array.tabulate(cbs(s).length)(c =>
         dotD(pd.slice(s * w, s * w + w), cbs(s)(c)))))
     }
+    // codebooks + LUTs ride sparkContext.broadcast, NOT the task closure:
+    // at production probe/codebook counts (nProbes·m·nCodes doubles) closure
+    // capture re-ships them with EVERY task binary ("Broadcasting large
+    // task binary" warnings at MB sizes); broadcast ships once per executor
+    val bcCbs = spark.sparkContext.broadcast(cbs)
+    val bcLut = spark.sparkContext.broadcast(lut)
     val scored = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { iter =>
+        val cbsL = bcCbs.value
+        val lutL = bcLut.value
         iter.flatMap { case (nid, v) =>
-          val codes = encodeOne(toD(v), cbs, m, w)
-          lut.iterator.collect { case (pid, t) if pid != nid =>
+          val codes = encodeOne(toD(v), cbsL, m, w)
+          lutL.iterator.collect { case (pid, t) if pid != nid =>
             var score = 0.0
             var s = 0
             while (s < m) { score += t(s)(codes(s)); s += 1 }
@@ -242,14 +250,15 @@ object ProductQuant extends Serializable {
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1)
     val w = Dim / m
-    // narrow argmax-cosine cell assignment over inlined centroids (annIvf's
-    // contract)
-    def cellOf(v: Array[Float]): Int = {
+    // narrow argmax-cosine cell assignment over the centroid array (annIvf's
+    // contract); parameterized on cents so the executor-side closure can
+    // read them from a broadcast instead of capturing the driver array
+    def cellOf(cs: Array[(Long, Array[Float])], v: Array[Float]): Int = {
       var bestC = 0
       var bestD = Double.NegativeInfinity
       var ci = 0
-      while (ci < cents.length) {
-        val c = cents(ci)._2
+      while (ci < cs.length) {
+        val c = cs(ci)._2
         var dot = 0.0; var na = 0.0; var nb = 0.0
         var i = 0
         while (i < v.length) {
@@ -262,19 +271,19 @@ object ProductQuant extends Serializable {
       }
       bestC
     }
-    def residOf(v: Array[Float]): Array[Double] = {
-      val c = cents(cellOf(v))._2
+    def residOf(cs: Array[(Long, Array[Float])], v: Array[Float]): Array[Double] = {
+      val c = cs(cellOf(cs, v))._2
       Array.tabulate(Dim)(i => v(i).toDouble - c(i).toDouble)
     }
     // residual codebooks from the first nCodes vectors' residuals
     val cbs = firstKCodebooks(
       embeddings.filter(col("vec_id") < nCodes)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-        .collect().sortBy(_._1).map(r => residOf(r._2)),
+        .collect().sortBy(_._1).map(r => residOf(cents, r._2)),
       m, nCodes)
     val probes: Array[(Long, Int, Array[Float])] = embeddings.filter(col("vec_id") < nProbes)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1).map { case (pid, pv) => (pid, cellOf(pv), pv) }
+      .collect().sortBy(_._1).map { case (pid, pv) => (pid, cellOf(cents, pv), pv) }
     // per-probe: base term dot(p, centroid(pcell)) + ADC table over residual cbs
     val lut: Array[(Long, Int, Double, Array[Array[Double]])] = probes.map { case (pid, pcell, pv) =>
       val pd = toD(pv)
@@ -282,13 +291,22 @@ object ProductQuant extends Serializable {
       (pid, pcell,
         base, Array.tabulate(m, nCodes)((s, c) => dotD(pd.slice(s * w, s * w + w), cbs(s)(c))))
     }
+    // model params (centroids + residual codebooks + per-probe LUTs — the
+    // round-4 "large task binary" source at ~1.3 MB) ship once per executor
+    // via broadcast, not with every task closure
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcCbs = spark.sparkContext.broadcast(cbs)
+    val bcLut = spark.sparkContext.broadcast(lut)
     val scored = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { iter =>
+        val centsL = bcCents.value
+        val cbsL = bcCbs.value
+        val lutL = bcLut.value
         iter.flatMap { case (nid, v) =>
-          val cell = cellOf(v)
-          val codes = encodeOne(residOf(v), cbs, m, w)
-          lut.iterator.collect { case (pid, pcell, base, t) if pcell == cell && pid != nid =>
+          val cell = cellOf(centsL, v)
+          val codes = encodeOne(residOf(centsL, v), cbsL, m, w)
+          lutL.iterator.collect { case (pid, pcell, base, t) if pcell == cell && pid != nid =>
             var score = base
             var i = 0
             while (i < m) { score += t(i)(codes(i)); i += 1 }

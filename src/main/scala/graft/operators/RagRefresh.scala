@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -88,18 +88,40 @@ object RagRefresh {
       .select(col("chunk_id"), col("doc_id"), col("action"),
         coalesce(col("new_text"), col("old_text")).as("chunk_text"),
         coalesce(col("new_h"), col("old_h")).as("h"))
-    // ivf cell maintenance: bounded broadcast centroids, narrow argmax
+    // ivf cell maintenance: centroids ship via sparkContext.broadcast (once
+    // per executor — at production cell counts inlining them as plan
+    // literals re-serializes the whole array into every task binary), then
+    // a narrow argmax kernel. The fold + tie-break are bit-identical to the
+    // previous greatest(struct(cosine, -id)) form: CosineSimFF's sequential
+    // double accumulation, ties on cosine → smaller cell id, and
+    // Double.compare ordering (NaN greatest) matching Spark's struct sort.
     val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val bcCents = merged.sparkSession.sparkContext.broadcast(cents)
     val vecs = Embedding.embedPortableVec(merged, "chunk_id", "chunk_text")
       .select(col("id").as("chunk_id"), col("embedding"))
-    val cands: Seq[Column] = cents.sortBy(_._1).toSeq.map { case (id, v) =>
-      struct(VectorOps.cosine(col("embedding"), typedlit(v)).as("c"),
-        lit(-id).as("negid"))
-    }
+    val cells = vecs.select(col("chunk_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cs = bcCents.value
+        iter.map { case (chunkId, v) =>
+          var bestId = cs(0)._1
+          var bestCos = VectorOps.cosineFF(v, cs(0)._2)
+          var ci = 1
+          while (ci < cs.length) {
+            val c = VectorOps.cosineFF(v, cs(ci)._2)
+            if (java.lang.Double.compare(c, bestCos) > 0) {
+              bestCos = c; bestId = cs(ci)._1
+            }
+            ci += 1
+          }
+          (chunkId, bestId)
+        }
+      }
+      .toDF("chunk_id", "cell")
     merged.drop("chunk_text")
-      .join(vecs.select(col("chunk_id"),
-        (-greatest(cands: _*).getField("negid")).as("cell")), "chunk_id")
+      .join(cells, "chunk_id")
       .select(col("chunk_id"), col("doc_id"), col("action"), col("cell"), col("h"))
   }
 
