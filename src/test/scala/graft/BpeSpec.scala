@@ -48,4 +48,33 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.bpeTrain(spark, d.repartition(7), nMerges = 5).collect().toSeq
     assert(a.map(_.toString).sorted == b.map(_.toString).sorted)
   }
+
+  test("vocab compaction is size-aware: a large vocab keeps >1 partition") {
+    // 7 distinct words at 2 words/partition → ceil(7/2) = 4 training
+    // partitions; the same corpus at the default divisor compacts to 1
+    val d = docs("alpha beta gamma delta", "epsilon zeta eta alpha")
+    val (vBig, _) = Bpe.train(d, nMerges = 1, wordsPerPartition = 2L)
+    assert(vBig.rdd.getNumPartitions == 4)
+    vBig.unpersist()
+    val (vOne, _) = Bpe.train(d, nMerges = 1)
+    assert(vOne.rdd.getNumPartitions == 1)
+    vOne.unpersist()
+  }
+
+  test("consumers reuse the train-once merge artifact; applyMerges replays training exactly") {
+    val d = docs("the then there", "the this that", "other")
+    val (vTrained, merges) = Bpe.train(d, nMerges = 3)
+    val replayed = Bpe.applyMerges(Bpe.vocab(d), merges)
+      .select(col("word"), col("sym")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    vTrained.select(col("word"), col("sym")).collect().foreach { r =>
+      assert(replayed(r.getString(0)) == r.getString(1))
+    }
+    vTrained.unpersist()
+    // memo: same corpus plan + nMerges returns the identical artifact object
+    val m1 = Bpe.mergesFor(d, 3)
+    val m2 = Bpe.mergesFor(d, 3)
+    assert(m1 eq m2)
+    assert(m1 == merges)
+  }
 }
