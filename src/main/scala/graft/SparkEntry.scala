@@ -83,6 +83,9 @@ object SparkEntry {
     "range_join" -> ((s, d) => AsOf.priceRangeJoin(Tables.lineitem(s, d))),
     "hilbert_key" -> ((s, d) =>
       graft.sources.Writers.hilbertKeys(Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
+    "export_graph" -> ((s, d) =>
+      graft.sources.Writers.exportGraphSnapshot(Tables.orders(s, d), Tables.lineitem(s, d),
+        java.nio.file.Files.createTempDirectory("graft_export").toString)),
     // --- RAG / search surface ---
     "chunk_fixed" -> ((s, d) => Chunking.chunkFixed(Tables.documents(s, d))),
     "chunk_dedup" -> ((s, d) => Chunking.chunkDedup(Tables.documents(s, d))),
@@ -478,6 +481,7 @@ object SparkEntry {
     "graph_modularity" -> GraphOps.modularitySql(),
     "dedup_savings" -> Dedup.savingsSql(),
     "hilbert_key" -> graft.sources.Writers.hilbertSql("l_orderkey", "l_partkey", "lineitem"),
+    "export_graph" -> graft.sources.Writers.exportGraphSnapshotSql,
     "q10_returns" -> Relational.q10Sql(),
     "q14_promo" -> Relational.q14Sql,
     "q6_forecast" -> Relational.q6Sql,

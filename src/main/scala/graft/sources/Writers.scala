@@ -136,6 +136,56 @@ object Writers {
       .write.mode("overwrite").parquet(s"$dir/nodes")
   }
 
+  /** Oracle-checkable exportGraph round-trip (the CORRECTNESS row for the
+    * write path): derive the node/edge tables from orders+lineitem, persist
+    * them through `exportGraph`, read the snapshot BACK from parquet, and
+    * return every edge joined to both endpoint labels. The inner joins make
+    * the check row-level on BOTH tables — a node row lost (or an edge row
+    * corrupted) in the write/read cycle drops or changes output rows, so the
+    * DuckDB oracle (which computes the same snapshot directly from the base
+    * tables, never touching our parquet) hash-catches it.
+    *
+    * Scale shape: nodes = one distinct over the edge endpoints (single
+    * shuffle); the label joins are id-range CASE lookups the optimizer can
+    * co-partition with the edge shuffle. The snapshot write itself is the
+    * REBALANCE-compacted/partitioned path already used everywhere. */
+  def exportGraphSnapshot(orders: DataFrame, lineitem: DataFrame, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.GraphOps
+    val edges = GraphOps.edges(orders, lineitem)
+    val label = (n: org.apache.spark.sql.Column) =>
+      when(n < GraphOps.OrderBase, "customer")
+        .when(n < GraphOps.PartBase, "order")
+        .when(n < GraphOps.SuppBase, "part")
+        .otherwise("supplier")
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("label", label(col("node")))
+    exportGraph(nodes, edges, dir)
+    val spark = orders.sparkSession
+    val n2 = spark.read.parquet(s"$dir/nodes")
+    val e2 = spark.read.parquet(s"$dir/edges")
+    e2.join(n2.select(col("node").as("src"), col("label").as("src_label")), "src")
+      .join(n2.select(col("node").as("dst"), col("label").as("dst_label")), "dst")
+      .select(col("src"), col("dst"), col("rel"), col("src_label"), col("dst_label"))
+  }
+
+  /** Oracle twin: the same snapshot computed straight from the base tables. */
+  val exportGraphSnapshotSql: String = {
+    import graft.operators.GraphOps
+    s"""WITH e AS (${GraphOps.edgesSql}),
+       |n AS (
+       |  SELECT node,
+       |    CASE WHEN node < ${GraphOps.OrderBase} THEN 'customer'
+       |         WHEN node < ${GraphOps.PartBase} THEN 'order'
+       |         WHEN node < ${GraphOps.SuppBase} THEN 'part'
+       |         ELSE 'supplier' END AS label
+       |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e))
+       |SELECT e.src, e.dst, e.rel, ns.label AS src_label, nd.label AS dst_label
+       |FROM e JOIN n ns ON ns.node = e.src JOIN n nd ON nd.node = e.dst""".stripMargin
+  }
+
   /** Write the corpus in deterministic shuffled (training) order: range-
     * partition + sort by the reproducible shuffle key so shard files read
     * back in key order ARE the shuffled corpus. One range shuffle; no

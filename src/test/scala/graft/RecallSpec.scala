@@ -38,6 +38,10 @@ class RecallSpec extends SparkSpec {
     // corpus, which is why it's the preferred scale path.
     assert(rLsh >= 0.10, f"lsh recall degraded: $rLsh%.2f")
     assert(rIvf >= 0.80, f"ivf recall degraded: $rIvf%.2f")
+    // multi-table at the swept (5 planes, 24 tables) frontier: measured
+    // 0.87 here / 0.90 at sf0.1 against the 0.8 round-5 target; floor has
+    // margin for corpus regeneration noise
+    assert(rMt >= 0.70, f"multi-table recall degraded: $rMt%.2f")
   }
 
   test("trained-quantizer ivf recall@3 and cell balance") {
