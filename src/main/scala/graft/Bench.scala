@@ -128,11 +128,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val stamp = s""""reps":$reps,"load_1m_before":${f2(loadBefore)},"load_1m_after":${f2(loadAfter)},"machine_cpus":${Runtime.getRuntime.availableProcessors}"""
     val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,$stamp,"queries":$fullQs,"runs":$fullRuns,"recall":$rs,"errors":$es,"sf":"$sfDir"}"""
-    // subset (scale-stress) runs must not clobber the round's full record
-    if (only.isEmpty)
-      try Files.write(Paths.get("/root/repo/BENCH_FULL.json"),
-        (full + "\n").getBytes(StandardCharsets.UTF_8))
+    // subset (scale-stress) runs must not clobber the round's full record;
+    // they get their own complete per-query record via SPARK_GRAFT_OUT
+    // (stress sweeps need every ratio, not the printed 15-slowest slice)
+    val outPath =
+      if (only.isEmpty) Some("/root/repo/BENCH_FULL.json")
+      else sys.env.get("SPARK_GRAFT_OUT")
+    outPath.foreach { p =>
+      try Files.write(Paths.get(p), (full + "\n").getBytes(StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
+    }
     // The printed line carries the headline numbers and must FIT the tail
     // window in full: total, the slowest queries (the perf-grading signal),
     // recall, errors. Everything else lives in BENCH_FULL.json.
