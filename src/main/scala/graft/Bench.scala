@@ -106,10 +106,14 @@ object Bench {
             exact, graft.operators.ProductQuant.pqSearch(emb, nProbes = 10, k = 3)),
           "ann_pq_tr@3" -> Recall.recallAtK(
             exact, graft.operators.ProductQuant.pqSearchTrained(emb, nProbes = 10, k = 3)),
+          "ann_pq_rerank@3" -> Recall.recallAtK(
+            exact, graft.operators.ProductQuant.pqRerank(emb, nProbes = 10, k = 3)),
           "ann_sq8@3" -> Recall.recallAtK(
             exact, graft.operators.ScalarQuant.sq8Search(emb, nProbes = 10, k = 3)),
           "ann_ivf_pq@3" -> Recall.recallAtK(
-            exact, graft.operators.ProductQuant.ivfPqSearch(emb, nProbes = 10, k = 3)))
+            exact, graft.operators.ProductQuant.ivfPqSearch(emb, nProbes = 10, k = 3)),
+          "ann_ivf_pq_rr@3" -> Recall.recallAtK(
+            exact, graft.operators.ProductQuant.ivfPqRerank(emb, nProbes = 10, k = 3)))
       } catch { case _: Throwable => Map.empty[String, Double] }
     val loadAfter = loadAvg()
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -183,8 +183,10 @@ object SparkEntry {
     "semdedup" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
     "ann_pq_tr" -> ((s, d) => ProductQuant.pqSearchTrained(Tables.embeddings(s, d))),
+    "ann_pq_rerank" -> ((s, d) => ProductQuant.pqRerank(Tables.embeddings(s, d))),
     "ann_sq8" -> ((s, d) => ScalarQuant.sq8Search(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => ProductQuant.ivfPqSearch(Tables.embeddings(s, d))),
+    "ann_ivf_pq_rr" -> ((s, d) => ProductQuant.ivfPqRerank(Tables.embeddings(s, d))),
     // --- graph ---
     "graph_stats" -> ((s, d) => GraphOps.stats(Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_degree" -> ((s, d) => GraphOps.degrees(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -437,8 +439,10 @@ object SparkEntry {
     "semdedup" -> Cluster.semdedupSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
     "ann_pq_tr" -> ProductQuant.pqSearchTrainedSql(),
+    "ann_pq_rerank" -> ProductQuant.pqRerankSql(),
     "ann_sq8" -> ScalarQuant.sq8SearchSql(),
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
+    "ann_ivf_pq_rr" -> ProductQuant.ivfPqRerankSql(),
     "bpe_train" -> Bpe.bpeTrainSql(),
     "bpe_encode" -> Bpe.bpeEncodeSql(),
     "dedup_exact" -> Dedup.exactSql,

@@ -233,6 +233,40 @@ object ProductQuant extends Serializable {
         (col("pos") + 1).cast("long").as("rn"), col("col.score").as("approx_score"))
   }
 
+  /** PQ search + EXACT re-rank (the FAISS IndexRefineFlat composition,
+    * faiss/IndexRefine.h): ADC retrieves a top-`depth` candidate pool per
+    * probe (cheap — m table lookups per corpus row), then ONLY those
+    * probes×depth candidates are re-scored with exact cosine against the
+    * raw vectors and the final top-k is taken on the exact score. This is
+    * the standard production recall lever: quantization error only has to
+    * keep a true neighbor inside the pool, not rank it exactly.
+    *
+    * Scale shape: the candidate pool is O(probes·depth) — it broadcasts
+    * into a hash join against the corpus (narrow; only pool members fetch
+    * their raw vector), probe vectors broadcast, and TopKAgg bounds the
+    * final shuffle to O(probes·k). The corpus is still scanned once in
+    * codes-only form; raw embeddings are touched for pool members only.
+    * (reference: vector_indexing_service similarity search top-k contract;
+    * rerank depth ≙ its oversampling factor) */
+  def pqRerank(embeddings: DataFrame, m: Int = 32, nCodes: Int = 64,
+               nProbes: Int = 10, k: Int = 3, depth: Int = 30): DataFrame = {
+    require(depth >= k, s"rerank depth $depth must be >= k=$k")
+    val cand = pqSearch(embeddings, m, nCodes, nProbes, depth)
+      .select(col("probe_id"), col("neighbor_id"))
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("score", VectorOps.cosine(col("pv"), col("nv")))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("score"))
+  }
+
   /** IVF-PQ — the composition every billion-vector index actually ships
     * (FAISS IndexIVFPQ): the IVF coarse quantizer routes each probe to ONE
     * cell, and candidates are scored from PQ codes of their RESIDUAL
@@ -323,6 +357,31 @@ object ProductQuant extends Serializable {
         (col("pos") + 1).cast("long").as("rn"), col("col.score").as("approx_score"))
   }
 
+  /** IVF-PQ + exact re-rank — the refine stage composed over the coarse-
+    * quantized index (what FAISS calls IndexRefineFlat(IndexIVFPQ)). Recall
+    * ceiling is the IVF cell routing (a neighbor outside the probed cell is
+    * unrecoverable); the re-rank removes the PQ quantization error within
+    * the pool. Same bounded shape as [[pqRerank]]. */
+  def ivfPqRerank(embeddings: DataFrame, nCells: Int = 16, m: Int = 32,
+                  nCodes: Int = 128, nProbes: Int = 10, k: Int = 3,
+                  depth: Int = 30): DataFrame = {
+    require(depth >= k, s"rerank depth $depth must be >= k=$k")
+    val cand = ivfPqSearch(embeddings, nCells, m, nCodes, nProbes, depth)
+      .select(col("probe_id"), col("neighbor_id"))
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("score", VectorOps.cosine(col("pv"), col("nv")))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("score"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("score"))
+  }
+
   // ---- DuckDB oracle ----
 
   def pqSearchSql(m: Int = 32, nCodes: Int = 64, nProbes: Int = 10, k: Int = 3): String = {
@@ -360,6 +419,26 @@ object ProductQuant extends Serializable {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx_score DESC, neighbor_id) AS BIGINT) AS rn,
        |  approx_score
        |FROM scored QUALIFY rn <= $k""".stripMargin
+  }
+
+  /** Re-rank oracle: the whole ADC pipeline (pqSearchSql at k=depth) nests
+    * as the candidate subquery; the tail joins raw vectors back and
+    * re-ranks on exact cosine — same sequential-fold arithmetic and
+    * (score DESC, id ASC) tie order as TopKAgg. */
+  def pqRerankSql(m: Int = 32, nCodes: Int = 64, nProbes: Int = 10,
+                  k: Int = 3, depth: Int = 30): String = {
+    val cos = VectorOps.cosineSql("pe.embedding", "ne.embedding")
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT probe_id, neighbor_id FROM (
+       |${pqSearchSql(m, nCodes, nProbes, depth)}))
+       |SELECT c.probe_id, c.neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
+       |    ORDER BY $cos DESC, c.neighbor_id) AS BIGINT) AS rn,
+       |  $cos AS score
+       |FROM cand c
+       |JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |JOIN embeddings pe ON pe.vec_id = c.probe_id
+       |QUALIFY rn <= $k""".stripMargin
   }
 
   /** Trained-PQ oracle: the per-subspace Lloyd loop replayed generically —
@@ -427,6 +506,24 @@ object ProductQuant extends Serializable {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx_score DESC, neighbor_id) AS BIGINT) AS rn,
        |  approx_score
        |FROM scored QUALIFY rn <= $k""".stripMargin
+  }
+
+  /** IVF-PQ re-rank oracle: ivfPqSearchSql at k=depth nested as the
+    * candidate pool, exact-cosine tail identical to pqRerankSql. */
+  def ivfPqRerankSql(nCells: Int = 16, m: Int = 32, nCodes: Int = 128,
+                     nProbes: Int = 10, k: Int = 3, depth: Int = 30): String = {
+    val cos = VectorOps.cosineSql("pe.embedding", "ne.embedding")
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT probe_id, neighbor_id FROM (
+       |${ivfPqSearchSql(nCells, m, nCodes, nProbes, depth)}))
+       |SELECT c.probe_id, c.neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
+       |    ORDER BY $cos DESC, c.neighbor_id) AS BIGINT) AS rn,
+       |  $cos AS score
+       |FROM cand c
+       |JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |JOIN embeddings pe ON pe.vec_id = c.probe_id
+       |QUALIFY rn <= $k""".stripMargin
   }
 
   def ivfPqSearchSql(nCells: Int = 16, m: Int = 32, nCodes: Int = 128,

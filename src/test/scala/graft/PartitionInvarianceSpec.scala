@@ -31,6 +31,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "rag_refresh",      // diff → merge → re-embed → cell argmax chain
     "ann_pq",           // driver codebooks + kernel encode + decimal-free ADC
     "ann_ivf_pq",       // residual encode: cell argmax feeds the codebooks
+    // round-6 additions
+    "ann_pq_rerank",    // broadcast pool join + exact-cosine TopKAgg ties
     "stream_window",    // full streaming replay: decimal sums across batches
     "stream_upsert")    // cross-batch state protocol must not see partitioning
 

@@ -82,4 +82,27 @@ class RecallSpec extends SparkSpec {
     // argmax-dot assignment over w=8, a quantizer-objective mismatch).
     assert(rPq >= 0.5, f"pq recall degraded: $rPq%.2f")
   }
+
+  test("exact re-rank closes PQ quantization error (FAISS refine pattern)") {
+    val emb = Tables.embeddings(spark, dir)
+    val k = 3
+    val exact = Search.knnJoin(emb, nProbes = 10, k = k)
+    val rPq = graft.operators.Recall.recallAtK(
+      exact, graft.operators.ProductQuant.pqSearch(emb, nProbes = 10, k = k))
+    val rr = graft.operators.ProductQuant.pqRerank(emb, nProbes = 10, k = k)
+    val rRr = graft.operators.Recall.recallAtK(exact, rr)
+    val rIvfRr = graft.operators.Recall.recallAtK(
+      exact, graft.operators.ProductQuant.ivfPqRerank(emb, nProbes = 10, k = k))
+    info(f"recall@3: pq=$rPq%.2f pq_rerank=$rRr%.2f ivf_pq_rr=$rIvfRr%.2f")
+    // the refine contract: re-ranking an ADC pool on exact cosine can only
+    // need the pool to CONTAIN true neighbors, not rank them — recall must
+    // dominate plain ADC top-k (measured 0.67 → 1.00 at both SFs)
+    assert(rRr >= rPq, f"re-rank lost recall: $rRr%.2f < $rPq%.2f")
+    assert(rRr >= 0.9, f"pq re-rank recall degraded: $rRr%.2f")
+    // IVF-PQ re-rank is capped by cell routing, not quantization
+    assert(rIvfRr >= 0.8, f"ivf_pq re-rank recall degraded: $rIvfRr%.2f")
+    // shape: exactly k rows per probe, rn densely 1..k on the exact score
+    val rows = rr.groupBy("probe_id").count().select("count").as[Long].collect()
+    assert(rows.forall(_ == k), s"expected $k rows per probe, got ${rows.mkString(",")}")
+  }
 }
