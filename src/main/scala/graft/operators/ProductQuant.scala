@@ -246,13 +246,21 @@ object ProductQuant extends Serializable {
     * their raw vector), probe vectors broadcast, and TopKAgg bounds the
     * final shuffle to O(probes·k). The corpus is still scanned once in
     * codes-only form; raw embeddings are touched for pool members only.
-    * (reference: vector_indexing_service similarity search top-k contract;
-    * rerank depth ≙ its oversampling factor) */
+    * (⇐ neo4j_knowledge_service.py:167 similarity_top_k — the retriever's
+    * top-k contract; rerank depth ≙ the retriever's oversampling factor) */
   def pqRerank(embeddings: DataFrame, m: Int = 32, nCodes: Int = 64,
                nProbes: Int = 10, k: Int = 3, depth: Int = 30): DataFrame = {
     require(depth >= k, s"rerank depth $depth must be >= k=$k")
-    val cand = pqSearch(embeddings, m, nCodes, nProbes, depth)
-      .select(col("probe_id"), col("neighbor_id"))
+    rerankTail(embeddings,
+      pqSearch(embeddings, m, nCodes, nProbes, depth), nProbes, k)
+  }
+
+  /** Shared refine tail: broadcast the O(probes·depth) candidate pool into
+    * a hash join fetching raw vectors for pool members only, exact-cosine
+    * re-score, TopKAgg-bounded final top-k. */
+  private def rerankTail(embeddings: DataFrame, cand0: DataFrame,
+                         nProbes: Int, k: Int): DataFrame = {
+    val cand = cand0.select(col("probe_id"), col("neighbor_id"))
     val probes = embeddings.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     embeddings
@@ -366,20 +374,8 @@ object ProductQuant extends Serializable {
                   nCodes: Int = 128, nProbes: Int = 10, k: Int = 3,
                   depth: Int = 30): DataFrame = {
     require(depth >= k, s"rerank depth $depth must be >= k=$k")
-    val cand = ivfPqSearch(embeddings, nCells, m, nCodes, nProbes, depth)
-      .select(col("probe_id"), col("neighbor_id"))
-    val probes = embeddings.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    embeddings
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
-      .join(broadcast(cand), Seq("neighbor_id"))
-      .join(broadcast(probes), Seq("probe_id"))
-      .withColumn("score", VectorOps.cosine(col("pv"), col("nv")))
-      .groupBy(col("probe_id"))
-      .agg(graft.functions.TopKAgg.topK(col("score"), col("neighbor_id"), k).as("topk"))
-      .select(col("probe_id"), posexplode(col("topk")))
-      .select(col("probe_id"), col("col.id").as("neighbor_id"),
-        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("score"))
+    rerankTail(embeddings,
+      ivfPqSearch(embeddings, nCells, m, nCodes, nProbes, depth), nProbes, k)
   }
 
   // ---- DuckDB oracle ----
