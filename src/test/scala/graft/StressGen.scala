@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-stress corpus generator — the committed recipe behind
+  * STRESS_sf1/sf3 (the round-5 sweeps were generated ad hoc; this makes the
+  * replica semantics reproducible). Test-scope tool:
+  *
+  *   sbt "Test/runMain graft.StressGen <replicas> <outDir> [srcDir]"
+  *
+  * Replica i is a DISJOINT sub-database: every bigint key shifts by i*1e9 and
+  * every int dimension key by i*1e6, so relational joins/aggregates scale
+  * linearly (each replica joins only with itself — exactly how a larger TPC-H
+  * SF behaves). Document/embedding PAYLOADS are left identical across
+  * replicas, so every doc becomes an R-clique of true near-duplicates — the
+  * worst case for dedup/similarity candidate generation, which is the point
+  * of the stress. Event timestamps are unchanged: time-window densities grow
+  * R-fold, stressing window/sessionize states.
+  *
+  * Output layout is R files per table (round-robin repartition) because
+  * single-file single-row-group parquet serializes fan-out scans onto one
+  * core (the round-5 harness artifact documented in STRESS_sf1_r05.json);
+  * a real cluster table is always many files.
+  */
+object StressGen {
+  private val LONG_OFF = 1000000000L // > any base bigint key
+  private val INT_OFF  = 1000000     // > any base int dim key
+
+  /** Union of R key-shifted copies of `df`. */
+  private def replicate(df: DataFrame, reps: Int,
+                        longKeys: Seq[String], intKeys: Seq[String]): DataFrame =
+    (0 until reps).map { i =>
+      val shifted = longKeys.foldLeft(df)((d, k) =>
+        d.withColumn(k, col(k) + lit(i * LONG_OFF)))
+      intKeys.foldLeft(shifted)((d, k) =>
+        d.withColumn(k, col(k) + lit(i * INT_OFF)))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val reps   = args.headOption.map(_.toInt).getOrElse(10)
+    val outDir = args.lift(1).getOrElse(s"/tmp/sf$reps")
+    val srcDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      // keep the raw int64 nanos column as-is for events (see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // table -> (bigint keys to shift, int keys to shift)
+    val tables: Seq[(String, Seq[String], Seq[String])] = Seq(
+      ("region",     Nil,                                        Seq("r_regionkey")),
+      ("nation",     Nil,                                        Seq("n_nationkey", "n_regionkey")),
+      ("customer",   Seq("c_custkey"),                           Seq("c_nationkey")),
+      ("supplier",   Seq("s_suppkey"),                           Seq("s_nationkey")),
+      ("part",       Seq("p_partkey"),                           Nil),
+      ("orders",     Seq("o_orderkey", "o_custkey"),             Nil),
+      ("lineitem",   Seq("l_orderkey", "l_partkey", "l_suppkey"), Nil),
+      ("events",     Seq("event_id", "user_id"),                 Nil),
+      ("documents",  Seq("doc_id"),                              Nil),
+      ("embeddings", Seq("vec_id"),                              Nil))
+
+    tables.foreach { case (name, longKeys, intKeys) =>
+      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      replicate(src, reps, longKeys, intKeys)
+        .repartition(reps)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"$name: ${reps}x -> $outDir/$name.parquet")
+    }
+    spark.stop()
+  }
+}
