@@ -157,6 +157,7 @@ object SparkEntry {
     "term_freq" -> ((s, d) => TermStats.termFreq(Tables.documents(s, d))),
     "heavy_hitters" -> ((s, d) => TermStats.heavyHitters(Tables.documents(s, d))),
     "sparse_cosine" -> ((s, d) => TermStats.sparseCosine(Tables.documents(s, d))),
+    "sparse_topk" -> ((s, d) => TermStats.sparseTopK(Tables.documents(s, d))),
     "vocab_coverage" -> ((s, d) => TermStats.vocabCoverage(Tables.documents(s, d))),
     "tfidf" -> ((s, d) => TermStats.tfidf(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => ExactSubstr.substringDedup(Tables.documents(s, d))),
@@ -450,6 +451,7 @@ object SparkEntry {
     "term_freq" -> TermStats.termFreqSql(),
     "heavy_hitters" -> TermStats.heavyHittersSql(),
     "sparse_cosine" -> TermStats.sparseCosineSql(),
+    "sparse_topk" -> TermStats.sparseTopKSql(),
     "vocab_coverage" -> TermStats.vocabCoverageSql(),
     "tfidf" -> TermStats.tfidfSql(),
     "dedup_substring" -> ExactSubstr.substringDedupSql(),

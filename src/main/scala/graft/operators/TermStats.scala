@@ -241,6 +241,53 @@ object TermStats {
        |JOIN norms nb ON nb.doc_id = doc_b
        |WHERE dot / (na.norm * nb.norm) >= $minCos""".stripMargin
 
+  /** Per-doc top-k sparse-cosine neighbors — the BOUNDED-OUTPUT form of
+    * [[sparseCosine]]. All-pairs output is the right contract for a dedup
+    * resolution pass, but a 100 TB corpus with clique-dense near-dups
+    * produces O(Σ clique²) pairs — unbounded by corpus size (the 10×
+    * stress corpus legitimately emits 811 k pairs from 50 k docs). A
+    * retrieval/curation sink wants each doc's k best neighbors instead:
+    * output ≤ k·N rows no matter how pathological the duplicate structure.
+    *
+    * Plan shape: the exact All-Pairs candidate+dot pipeline is reused
+    * verbatim (same losslessness bound), then pairs symmetrize (each
+    * undirected pair ranks in BOTH endpoints' lists) and the native
+    * bounded [[graft.functions.TopKAgg]] aggregate takes over — map-side
+    * partial top-k means the post-dot shuffle is O(N·k), not O(pairs); a
+    * window row_number here would re-shuffle and fully sort every pair.
+    * Ordering ties are deterministic (cos DESC, neighbor_id ASC), and cos
+    * doubles are bit-identical across engines (the decimal-exact dot/norm
+    * recipe of sparseCosine), so rank numbers hash-match DuckDB's window
+    * formulation exactly. */
+  def sparseTopK(documents: DataFrame, minCos: Double = 0.8, k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k=$k out of [1,1000]: per-doc neighbor lists are a bounded sink contract")
+    val pairs = sparseCosine(documents, minCos)
+    val sym = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"), col("cos"))
+      .unionByName(pairs
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("neighbor_id"), col("cos")))
+    sym.groupBy(col("doc_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("topk"))
+      .select(col("doc_id"), posexplode(col("topk")))
+      .select(col("doc_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
+  }
+
+  def sparseTopKSql(minCos: Double = 0.8, k: Int = 5): String =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, cos FROM (
+       |${sparseCosineSql(minCos)})),
+       |sym AS (
+       |  SELECT doc_a AS doc_id, doc_b AS neighbor_id, cos FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_a AS neighbor_id, cos FROM pairs)
+       |SELECT doc_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn,
+       |  cos
+       |FROM sym
+       |QUALIFY rn <= $k""".stripMargin
+
   /** Edit-distance near-dup pairs. Candidate generation is the df-capped
     * RARE-SHINGLE inverted index (Containment.scala's bounded pattern):
     * two docs are compared ONLY if they share a shingle that ≤ maxDf docs

@@ -96,6 +96,36 @@ class SparseCosineSpec extends SparkSpec {
     }
   }
 
+  test("sparse_topk: per-doc lists are k-bounded, symmetric, and ranked (cos desc, id asc)") {
+    // A 4-clique of near-identical docs (pairwise cos > 0.8) + filler:
+    // with k = 2 each clique member keeps exactly 2 of its 3 true
+    // neighbors, rank 1 strictly the best, ties broken by neighbor id.
+    // 80 shared terms (df=4 ⇒ w=N/4) vs one unique tail (df=1 ⇒ w=N):
+    // cos ≈ (1 + 80·(N/4)²)/(1 + 80·(N/4)² + N²) = 0.833 at N=44.
+    val shared = (1 to 80).map(j => s"cliqueterm_$j").mkString(" ")
+    val filler = (100L to 139L).map(i => (i, s"the common filler_$i"))
+    val d = docs((1L to 4L).map(i => (i, s"the $shared tail_$i")) ++ filler)
+    val all = TermStats.sparseCosine(d, minCos = 0.8).count()
+    assert(all === 6L) // the full clique: C(4,2) undirected pairs
+    val out = TermStats.sparseTopK(d, minCos = 0.8, k = 2)
+      .select("doc_id", "neighbor_id", "rn", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length === 8) // 4 docs × k=2, down from 12 directed pairs
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet === Set(1L, 2L, 3L, 4L))
+    for ((doc, rows) <- byDoc) {
+      assert(rows.length === 2, s"doc $doc list not k-bounded")
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === Seq(1L, 2L), s"doc $doc ranks not dense")
+      // rank order is cos desc then neighbor_id asc
+      assert(sorted(0)._4 >= sorted(1)._4)
+      if (sorted(0)._4 == sorted(1)._4) assert(sorted(0)._2 < sorted(1)._2)
+      // in an all-ties clique the deterministic winner is the smallest id
+      assert(sorted(0)._2 === (1L to 4L).filter(_ != doc).min
+        || sorted(0)._4 > sorted(1)._4)
+    }
+  }
+
   test("identical docs score cos ~ 1.0 (norms and dots use the same postings)") {
     // cos within 1 ulp of 1.0 (not exactly 1.0: norm is sqrt(nsq) and
     // sqrt(x)·sqrt(x) = x is not an IEEE identity).
