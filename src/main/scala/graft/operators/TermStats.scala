@@ -262,10 +262,14 @@ object TermStats {
   def sparseTopK(documents: DataFrame, minCos: Double = 0.8, k: Int = 5): DataFrame = {
     require(k >= 1 && k <= 1000, s"k=$k out of [1,1000]: per-doc neighbor lists are a bounded sink contract")
     val pairs = sparseCosine(documents, minCos)
+    // Symmetrize via one explode, not a self-union: a union would put the
+    // candidate+dot pipeline in the plan twice and lean on ReuseExchange to
+    // dedup it; explode guarantees single execution by construction.
     val sym = pairs
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"), col("cos"))
-      .unionByName(pairs
-        .select(col("doc_b").as("doc_id"), col("doc_a").as("neighbor_id"), col("cos")))
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"), col("cos")),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as("neighbor_id"), col("cos")))).as("e"))
+      .select(col("e.doc_id"), col("e.neighbor_id"), col("e.cos"))
     sym.groupBy(col("doc_id"))
       .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("topk"))
       .select(col("doc_id"), posexplode(col("topk")))

@@ -39,23 +39,40 @@ class PlanAuditSpec extends SparkSpec {
     case _ => false
   }
 
+  /** Run `check` per query, isolating analysis failures: one broken loader
+    * must NOT abort the loop and silently skip auditing the other ~199
+    * plans (round 6: a schema drift in events.parquet killed BOTH gates
+    * before they audited anything). Unanalyzable queries fail the audit by
+    * name alongside any real offenders. */
+  private def auditAll(check: (String, org.apache.spark.sql.DataFrame) => Option[String]): Unit = {
+    val (broken, offenders) = SparkEntry.queries.toSeq.sortBy(_._1).foldLeft(
+      (Vector.empty[String], Vector.empty[String])) { case ((bad, off), (name, fn)) =>
+      scala.util.Try(check(name, fn(spark, dir))) match {
+        case scala.util.Success(Some(o)) => (bad, off :+ o)
+        case scala.util.Success(None)    => (bad, off)
+        case scala.util.Failure(e)       => (bad :+ s"$name: ${e.getMessage.linesIterator.next()}", off)
+      }
+    }
+    assert(broken.isEmpty && offenders.isEmpty,
+      (if (broken.nonEmpty) s"unanalyzable queries (audit could not run): $broken\n" else "") +
+      (if (offenders.nonEmpty) s"offending plans: $offenders" else ""))
+  }
+
   test("no registered query contains a cartesian product") {
-    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      val phys = fn(spark, dir).queryExecution.sparkPlan
+    auditAll { (name, df) =>
+      val phys = df.queryExecution.sparkPlan
       if (phys.toString.contains("CartesianProduct")) Some(name) else None
     }
-    assert(offenders.isEmpty, s"cartesian products in: ${offenders.toSeq.sorted}")
   }
 
   test("no unpartitioned window outside the structurally-bounded exemption") {
-    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      val ws = fn(spark, dir).queryExecution.optimizedPlan
+    auditAll { (name, df) =>
+      val ws = df.queryExecution.optimizedPlan
         .collect { case w: Window if w.partitionSpec.isEmpty => w }
       if (ws.isEmpty) None
       else if (!boundedGlobalWindow(name)) Some(s"$name (${ws.size})")
       else if (ws.forall(w => isBoundedOffsetsAgg(w.child))) None
       else Some(s"$name (exempted, but a global window's input is NOT the bounded pid offsets aggregate)")
     }
-    assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.toSeq.sorted}")
   }
 }

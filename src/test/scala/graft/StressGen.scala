@@ -64,8 +64,24 @@ object StressGen {
       ("documents",  Seq("doc_id"),                              Nil),
       ("embeddings", Seq("vec_id"),                              Nil))
 
+    require(reps > 0 && reps.toLong * LONG_OFF > 0 && reps.toLong * INT_OFF <= Int.MaxValue,
+      s"reps=$reps would overflow the key-shift offsets")
+
     tables.foreach { case (name, longKeys, intKeys) =>
       val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      // Disjointness guard: a base key >= its offset would collide replica i
+      // with replica i+1 and silently break the linear-scaling premise.
+      val keyMax: Map[String, Long] =
+        if (longKeys.isEmpty && intKeys.isEmpty) Map.empty
+        else {
+          val aggs = (longKeys ++ intKeys).map(k => max(col(k).cast("long")).as(k))
+          val row  = src.agg(aggs.head, aggs.tail: _*).first()
+          (longKeys ++ intKeys).map(k => k -> row.getAs[Long](k)).toMap
+        }
+      longKeys.foreach(k => require(keyMax(k) < LONG_OFF,
+        s"$name.$k max=${keyMax(k)} >= LONG_OFF=$LONG_OFF: replicas would overlap"))
+      intKeys.foreach(k => require(keyMax(k) < INT_OFF,
+        s"$name.$k max=${keyMax(k)} >= INT_OFF=$INT_OFF: replicas would overlap"))
       replicate(src, reps, longKeys, intKeys)
         .repartition(reps)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")

@@ -27,11 +27,14 @@ object StressOut {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try graft.sources.Tables.documents(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     val recs = names.toSeq.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val rows = fn(spark, sfDir).count()
+      // Count at the RDD level: executes the query's full physical plan
+      // (a Dataset.count() would let the optimizer prune columns/aggregates,
+      // timing a cheaper plan than the query actually runs).
+      val rows = fn(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"$name%-22s $sec%8.2f s  $rows%12d rows")
       s""""$name":{"sec":${BigDecimal(sec).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"rows":$rows}"""
