@@ -44,18 +44,38 @@ class PlanAuditSpec extends SparkSpec {
     * plans (round 6: a schema drift in events.parquet killed BOTH gates
     * before they audited anything). Unanalyzable queries fail the audit by
     * name alongside any real offenders. */
-  private def auditAll(check: (String, org.apache.spark.sql.DataFrame) => Option[String]): Unit = {
-    val (broken, offenders) = SparkEntry.queries.toSeq.sortBy(_._1).foldLeft(
-      (Vector.empty[String], Vector.empty[String])) { case ((bad, off), (name, fn)) =>
-      scala.util.Try(check(name, fn(spark, dir))) match {
-        case scala.util.Success(Some(o)) => (bad, off :+ o)
-        case scala.util.Success(None)    => (bad, off)
-        case scala.util.Failure(e)       => (bad :+ s"$name: ${e.getMessage.linesIterator.next()}", off)
-      }
+  private[graft] def auditOver(
+      queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])(
+      check: (String, org.apache.spark.sql.DataFrame) => Option[String]): (Seq[String], Seq[String]) =
+    queries.toSeq.sortBy(_._1).foldLeft((Vector.empty[String], Vector.empty[String])) {
+      case ((bad, off), (name, fn)) =>
+        scala.util.Try(check(name, fn(spark, dir))) match {
+          case scala.util.Success(Some(o)) => (bad, off :+ o)
+          case scala.util.Success(None)    => (bad, off)
+          case scala.util.Failure(e) =>
+            (bad :+ s"$name: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}", off)
+        }
     }
+
+  private def auditAll(check: (String, org.apache.spark.sql.DataFrame) => Option[String]): Unit = {
+    val (broken, offenders) = auditOver(SparkEntry.queries)(check)
     assert(broken.isEmpty && offenders.isEmpty,
       (if (broken.nonEmpty) s"unanalyzable queries (audit could not run): $broken\n" else "") +
       (if (offenders.nonEmpty) s"offending plans: $offenders" else ""))
+  }
+
+  test("audit isolation: one broken loader cannot silently disable the audit of the rest") {
+    import org.apache.spark.sql.functions.lit
+    val fake: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "ok_a"   -> ((s, _) => s.range(3).toDF("id")),
+      "broken" -> ((_, _) => throw new IllegalStateException("simulated schema drift")),
+      "ok_b"   -> ((s, _) => s.range(3).toDF("id").select(lit(1).as("x"))))
+    var audited = Vector.empty[String]
+    val (bad, off) = auditOver(fake) { (name, _) => audited :+= name; None }
+    assert(bad == Seq("broken: simulated schema drift"), s"expected the broken query named, got $bad")
+    assert(off.isEmpty)
+    assert(audited.sorted == Vector("ok_a", "ok_b"),
+      s"healthy queries must still be audited despite the broken one, got $audited")
   }
 
   test("no registered query contains a cartesian product") {
