@@ -41,16 +41,33 @@ object StreamReplay {
   private def replay[T: Encoder](spark: SparkSession, batches: Seq[Seq[T]],
                                  build: DataFrame => DataFrame): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
+    // Stateful-operator cost here is dominated by per-(micro-batch ×
+    // partition × store-instance) fixed overhead — a stream-stream join
+    // commits 4 state stores per partition per batch — while the replay
+    // script is bounded and tiny. Scope the state sharding down for the
+    // replay (results are partition-count-independent; the conf is
+    // restored synchronously since the query runs to completion here).
+    // Production sharding guidance is unchanged: see
+    // Streams.productionStateStoreConf.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val replayParts = math.min(prevParts.toInt, 4).toString
     val input = MemoryStream[T]
     val name = s"graft_replay_${nameCtr.incrementAndGet()}"
-    val q = build(input.toDF()).writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
+    // State partitioning is fixed at the query's first micro-batch planning,
+    // which happens inside processAllAvailable — keep the conf scoped until
+    // the replay completes, then restore (synchronous, so no cross-query
+    // contamination).
+    spark.conf.set("spark.sql.shuffle.partitions", replayParts)
     try {
-      batches.filter(_.nonEmpty).foreach { b =>
-        input.addData(b: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      val q = build(input.toDF()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.filter(_.nonEmpty).foreach { b =>
+          input.addData(b: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val out = spark.table(name).localCheckpoint()
     spark.catalog.dropTempView(name)
     out
