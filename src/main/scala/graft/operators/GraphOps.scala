@@ -424,98 +424,114 @@ object GraphOps {
        |(SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
        |GROUP BY node""".stripMargin
 
-  /** Single-source betweenness contributions (Brandes' algorithm, the one
+  /** Seed-sampled betweenness contributions (Brandes' algorithm, the one
     * classic centrality the degree/pagerank/hits family doesn't cover):
-    * forward BFS accumulates shortest-path counts σ level by level
-    * (exact-integer sums), then the backward pass folds dependencies
-    * δ(v) = Σ_w (σ_v/σ_w)(1+δ_w) from the deepest level up. At scale this
-    * runs from a SAMPLE of sources (the standard approximation — each
-    * source is an independent run, embarrassingly parallel); here one
-    * deterministic source keeps the oracle exact.
+    * for each seed in the deterministic sample (node % seedMod = 0 — the
+    * same sampling contract as [[closeness]]), a forward BFS accumulates
+    * shortest-path counts σ level by level (exact-integer sums), then the
+    * backward pass folds dependencies δ(v) = Σ_w (σ_v/σ_w)(1+δ_w) from
+    * the deepest level up. Every seed is an independent run — the frames
+    * carry (seed, node) pairs so ALL seeds advance through the same
+    * per-level join (multi-source, embarrassingly parallel, exactly how
+    * sampled betweenness runs at 100 TB; exact all-sources Brandes is
+    * O(V·E) and nobody runs it at scale).
     *
     * Determinism: σ is integer throughout; each δ rollup sums its terms as
     * DECIMAL(38,18) via the string cast (order-independent) and re-enters
     * double through the string cast — the replayable-iteration recipe
     * (pageRank/HITS precedent). Every level is one frontier⋈edges join +
     * grouped sum — log-depth loop, fully distributed. */
-  def betweenness(lineitem: DataFrame, maxDepth: Int = 3): DataFrame = {
+  def betweenness(lineitem: DataFrame, maxDepth: Int = 3, seedMod: Long = 50L): DataFrame = {
+    require(seedMod > 0L, s"seedMod must be positive: $seedMod")
     val cp = copurchase(lineitem).materialize
-    val s0 = cp.agg(min(col("src")).as("node"))
-      .select(col("node"), lit(1L).as("sigma")).materialize
+    val s0 = cp.select(col("src")).distinct()
+      .filter(pmod(col("src"), lit(seedMod)) === 0L)
+      .select(col("src").as("seed"), col("src").as("node"), lit(1L).as("sigma")).materialize
     val levels = scala.collection.mutable.ArrayBuffer(s0)
-    var seen = s0.select(col("node"))
+    var seen = s0.select(col("seed"), col("node"))
     for (_ <- 1 to maxDepth) {
       val next = levels.last.join(cp, col("node") === col("src"))
-        .join(seen.select(col("node").as("sn")), col("dst") === col("sn"), "left_anti")
-        .groupBy(col("dst"))
+        .join(seen.select(col("seed").as("s2"), col("node").as("sn")),
+          col("seed") === col("s2") && col("dst") === col("sn"), "left_anti")
+        .groupBy(col("seed"), col("dst"))
         .agg(sum(col("sigma")).as("sigma"))
-        .select(col("dst").as("node"), col("sigma")).materialize
+        .select(col("seed"), col("dst").as("node"), col("sigma")).materialize
       levels += next
-      seen = seen.unionAll(next.select(col("node"))).materialize
+      seen = seen.unionAll(next.select(col("seed"), col("node"))).materialize
     }
-    var delta = levels(maxDepth).select(col("node"), col("sigma"), lit(0.0).as("delta"))
-    var out = delta.select(col("node"), lit(maxDepth.toLong).as("dist"),
+    var delta = levels(maxDepth).select(col("seed"), col("node"), col("sigma"), lit(0.0).as("delta"))
+    var out = delta.select(col("seed"), col("node"), lit(maxDepth.toLong).as("dist"),
       col("sigma"), col("delta"))
     for (d <- maxDepth - 1 to 1 by -1) {
       val cur = levels(d)
       val contrib = cur.join(cp, col("node") === col("src"))
-        .join(delta.select(col("node").as("w"), col("sigma").as("sw"), col("delta").as("dw")),
-          col("dst") === col("w"))
-        .select(col("node"),
+        .join(delta.select(col("seed").as("ws"), col("node").as("w"),
+            col("sigma").as("sw"), col("delta").as("dw")),
+          col("seed") === col("ws") && col("dst") === col("w"))
+        .select(col("seed"), col("node"),
           ((col("sigma").cast("double") / col("sw").cast("double"))
             * (lit(1.0) + col("dw"))).as("term"))
-        .groupBy(col("node"))
+        .groupBy(col("seed"), col("node"))
         .agg(sum(col("term").cast("string").cast("decimal(38,18)")).as("dsum"))
-        .select(col("node"), col("dsum").cast("string").cast("double").as("dd"))
-      delta = cur.join(contrib, Seq("node"), "left")
-        .select(col("node"), col("sigma"), coalesce(col("dd"), lit(0.0)).as("delta"))
+        .select(col("seed"), col("node"), col("dsum").cast("string").cast("double").as("dd"))
+      delta = cur.join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"), coalesce(col("dd"), lit(0.0)).as("delta"))
         .materialize
-      out = out.unionAll(delta.select(col("node"), lit(d.toLong).as("dist"),
+      out = out.unionAll(delta.select(col("seed"), col("node"), lit(d.toLong).as("dist"),
         col("sigma"), col("delta")))
     }
     out
   }
 
-  def betweennessSql(maxDepth: Int = 3): String = {
+  def betweennessSql(maxDepth: Int = 3, seedMod: Long = 50L): String = {
     require(maxDepth == 3, "oracle replay is spelled for depth 3")
     val term = "CAST(CAST((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)) * (1.0 + w.delta) AS VARCHAR) AS DECIMAL(38,18))"
     s"""WITH cp AS ($copurchaseSql),
-       |s0 AS (SELECT MIN(src) AS node, CAST(1 AS BIGINT) AS sigma FROM cp),
+       |s0 AS (SELECT DISTINCT src AS seed, src AS node, CAST(1 AS BIGINT) AS sigma
+       |       FROM cp WHERE src % $seedMod = 0),
        |l1 AS (
-       |  SELECT cp.dst AS node, CAST(SUM(s0.sigma) AS BIGINT) AS sigma
+       |  SELECT s0.seed, cp.dst AS node, CAST(SUM(s0.sigma) AS BIGINT) AS sigma
        |  FROM s0 JOIN cp ON s0.node = cp.src
-       |  WHERE cp.dst NOT IN (SELECT node FROM s0) GROUP BY cp.dst),
+       |  WHERE NOT EXISTS (SELECT 1 FROM s0 x
+       |                    WHERE x.seed = s0.seed AND x.node = cp.dst)
+       |  GROUP BY s0.seed, cp.dst),
        |l2 AS (
-       |  SELECT cp.dst AS node, CAST(SUM(l1.sigma) AS BIGINT) AS sigma
+       |  SELECT l1.seed, cp.dst AS node, CAST(SUM(l1.sigma) AS BIGINT) AS sigma
        |  FROM l1 JOIN cp ON l1.node = cp.src
-       |  WHERE cp.dst NOT IN (SELECT node FROM s0 UNION ALL SELECT node FROM l1)
-       |  GROUP BY cp.dst),
+       |  WHERE NOT EXISTS (SELECT 1 FROM (SELECT seed, node FROM s0
+       |                                    UNION ALL SELECT seed, node FROM l1) x
+       |                    WHERE x.seed = l1.seed AND x.node = cp.dst)
+       |  GROUP BY l1.seed, cp.dst),
        |l3 AS (
-       |  SELECT cp.dst AS node, CAST(SUM(l2.sigma) AS BIGINT) AS sigma
+       |  SELECT l2.seed, cp.dst AS node, CAST(SUM(l2.sigma) AS BIGINT) AS sigma
        |  FROM l2 JOIN cp ON l2.node = cp.src
-       |  WHERE cp.dst NOT IN (SELECT node FROM s0 UNION ALL SELECT node FROM l1
-       |                       UNION ALL SELECT node FROM l2)
-       |  GROUP BY cp.dst),
-       |d3 AS (SELECT node, sigma, 0.0 AS delta FROM l3),
+       |  WHERE NOT EXISTS (SELECT 1 FROM (SELECT seed, node FROM s0
+       |                                    UNION ALL SELECT seed, node FROM l1
+       |                                    UNION ALL SELECT seed, node FROM l2) x
+       |                    WHERE x.seed = l2.seed AND x.node = cp.dst)
+       |  GROUP BY l2.seed, cp.dst),
+       |d3 AS (SELECT seed, node, sigma, 0.0 AS delta FROM l3),
        |c2 AS (
-       |  SELECT v.node, SUM($term) AS dsum
-       |  FROM l2 v JOIN cp ON cp.src = v.node JOIN d3 w ON w.node = cp.dst
-       |  GROUP BY v.node),
+       |  SELECT v.seed, v.node, SUM($term) AS dsum
+       |  FROM l2 v JOIN cp ON cp.src = v.node
+       |  JOIN d3 w ON w.seed = v.seed AND w.node = cp.dst
+       |  GROUP BY v.seed, v.node),
        |d2 AS (
-       |  SELECT l2.node, l2.sigma,
+       |  SELECT l2.seed, l2.node, l2.sigma,
        |    COALESCE(CAST(CAST(c2.dsum AS VARCHAR) AS DOUBLE), 0.0) AS delta
-       |  FROM l2 LEFT JOIN c2 ON c2.node = l2.node),
+       |  FROM l2 LEFT JOIN c2 ON c2.seed = l2.seed AND c2.node = l2.node),
        |c1 AS (
-       |  SELECT v.node, SUM($term) AS dsum
-       |  FROM l1 v JOIN cp ON cp.src = v.node JOIN d2 w ON w.node = cp.dst
-       |  GROUP BY v.node),
+       |  SELECT v.seed, v.node, SUM($term) AS dsum
+       |  FROM l1 v JOIN cp ON cp.src = v.node
+       |  JOIN d2 w ON w.seed = v.seed AND w.node = cp.dst
+       |  GROUP BY v.seed, v.node),
        |d1 AS (
-       |  SELECT l1.node, l1.sigma,
+       |  SELECT l1.seed, l1.node, l1.sigma,
        |    COALESCE(CAST(CAST(c1.dsum AS VARCHAR) AS DOUBLE), 0.0) AS delta
-       |  FROM l1 LEFT JOIN c1 ON c1.node = l1.node)
-       |SELECT node, CAST(3 AS BIGINT) AS dist, sigma, delta FROM d3
-       |UNION ALL SELECT node, CAST(2 AS BIGINT) AS dist, sigma, delta FROM d2
-       |UNION ALL SELECT node, CAST(1 AS BIGINT) AS dist, sigma, delta FROM d1""".stripMargin
+       |  FROM l1 LEFT JOIN c1 ON c1.seed = l1.seed AND c1.node = l1.node)
+       |SELECT seed, node, CAST(3 AS BIGINT) AS dist, sigma, delta FROM d3
+       |UNION ALL SELECT seed, node, CAST(2 AS BIGINT) AS dist, sigma, delta FROM d2
+       |UNION ALL SELECT seed, node, CAST(1 AS BIGINT) AS dist, sigma, delta FROM d1""".stripMargin
   }
 
   /** Connected components over the sampled co-purchase graph: iterative

@@ -156,15 +156,25 @@ class Round3CurationSpec extends SparkSpec {
     def li(rows: (Long, Long)*) =
       rows.map { case (ok, pk) => (ok, pk, 1L) }.toDF("l_orderkey", "l_partkey", "l_suppkey")
     // path 1-2-3-4 (each order links two parts): δ = 2, 1, 0 down the line
+    // seedMod=1 -> every node seeds an independent Brandes run; pin seed 1
+    // to recover the classic single-source values
     val path = li((100L, 1L), (100L, 2L), (200L, 2L), (200L, 3L), (300L, 3L), (300L, 4L))
-    val p = graft.operators.GraphOps.betweenness(path)
+    val p = graft.operators.GraphOps.betweenness(path, seedMod = 1L)
+      .filter($"seed" === 1L)
       .select("node", "dist", "sigma", "delta").as[(Long, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(p(2L) == ((1L, 1L, 2.0)) && p(3L) == ((2L, 1L, 1.0)) && p(4L) == ((3L, 1L, 0.0)))
+    // the symmetric run from seed 4 must mirror it down the other direction
+    val p4 = graft.operators.GraphOps.betweenness(path, seedMod = 1L)
+      .filter($"seed" === 4L)
+      .select("node", "dist", "sigma", "delta").as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(p4(3L) == ((1L, 1L, 2.0)) && p4(2L) == ((2L, 1L, 1.0)) && p4(1L) == ((3L, 1L, 0.0)))
     // diamond 1-{2,3}-4: two shortest paths to 4 (σ=2), δ(2)=δ(3)=0.5
     val diamond = li((100L, 1L), (100L, 2L), (200L, 1L), (200L, 3L),
       (300L, 2L), (300L, 4L), (400L, 3L), (400L, 4L))
-    val dm = graft.operators.GraphOps.betweenness(diamond)
+    val dm = graft.operators.GraphOps.betweenness(diamond, seedMod = 1L)
+      .filter($"seed" === 1L)
       .select("node", "sigma", "delta").as[(Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(dm(2L) == ((1L, 0.5)) && dm(3L) == ((1L, 0.5)) && dm(4L) == ((2L, 0.0)))
