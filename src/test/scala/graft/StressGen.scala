@@ -45,7 +45,8 @@ object StressGen {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      // keep the raw int64 nanos column as-is for events (see Tables.events)
+      // tolerate any historical events.ts encoding on read (see Tables.events,
+      // which adapts; this conf only matters for the legacy nanos corpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
