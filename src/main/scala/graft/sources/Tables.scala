@@ -20,7 +20,10 @@ object Tables {
     * TIMESTAMP_NTZ, plain TIMESTAMP). Downstream operators assume session-tz
     * TimestampType, so adapt on the loaded schema rather than hardcoding one
     * encoding — DuckDB's oracle reads the same file natively, so values agree
-    * in every case. */
+    * in every case. The NTZ→session-TZ cast does NOT block predicate
+    * pushdown: under the UTC session Catalyst rewrites ts filters through
+    * the cast onto the NTZ scan column (verified: PushedFilters carries the
+    * range predicate on the timestamp_ntz ReadSchema). */
   def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
