@@ -552,8 +552,13 @@ object GraphOps {
     * rounds). */
   def labelPropagation(edgeTable: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = edgeTable.select(col("src"), col("dst")).materialize
-    // undirected: propagate both ways
-    val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))).materialize
+    // undirected: propagate both ways. Pre-partition on the join key ONCE:
+    // every round joins labels against this same edge set on src, so
+    // materializing it hash-distributed by src lets all ~log(diameter)
+    // iterations reuse the one edge shuffle instead of re-exchanging the
+    // full edge set per round (the dominant per-round cost at scale).
+    val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).materialize
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).materialize
     var changed = 1L
