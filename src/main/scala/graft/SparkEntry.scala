@@ -176,6 +176,17 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Dedup.annLsh(Tables.embeddings(s, d))),
     "ann_lsh_mp" -> ((s, d) => Dedup.annLshMultiprobe(Tables.embeddings(s, d))),
     "ann_lsh_mt" -> ((s, d) => Dedup.annLshMultiTable(Tables.embeddings(s, d))),
+    // held-out probe set: the split_holdout test split (doc_id = vec_id)
+    // passed as an explicit probe frame — the retrieval contract with an
+    // arbitrary query batch instead of the first-nProbes corpus slice
+    "ann_holdout" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val testIds = Corpus.splitHoldout(Tables.documents(s, d))
+        .filter(col("split") === "test")
+        .select(col("doc_id").as("vec_id"))
+      Dedup.annLshMultiTable(emb, probes = Some(emb.join(testIds, "vec_id")))
+    }),
     "ann_ivf" -> ((s, d) => Dedup.annIvf(Tables.embeddings(s, d))),
     "ann_ivf_mp" -> ((s, d) => Dedup.annIvfMultiprobe(Tables.embeddings(s, d))),
     "ann_ivf_tr" -> ((s, d) => Cluster.annIvfTrained(Tables.embeddings(s, d))),
@@ -468,6 +479,8 @@ object SparkEntry {
     "ann_lsh" -> Dedup.annLshSql(),
     "ann_lsh_mp" -> Dedup.annLshMultiprobeSql(),
     "ann_lsh_mt" -> Dedup.annLshMultiTableSql(),
+    "ann_holdout" -> Dedup.annLshMultiTableSql(probeWhere = Some(
+      s"p.vec_id IN (SELECT doc_id FROM (${Corpus.splitHoldoutSql()}) WHERE split = 'test')")),
     "ann_ivf" -> Dedup.annIvfSql(),
     "ann_ivf_mp" -> Dedup.annIvfMultiprobeSql(),
     "ann_ivf_tr" -> Cluster.annIvfTrainedSql(),

@@ -124,8 +124,10 @@ object Cluster {
     * doc_cluster) and then the cell-local search, so even this trained index
     * is hash-exact. */
   def annIvfTrained(embeddings: DataFrame, nCells: Int = 16, nProbes: Int = 10,
-                    k: Int = 3, iters: Int = 1): DataFrame =
-    Dedup.ivfSearch(embeddings, trainCentroids(embeddings, nCells, iters), nProbes, k)
+                    k: Int = 3, iters: Int = 1,
+                    probes: Option[org.apache.spark.sql.DataFrame] = None): DataFrame =
+    Dedup.ivfSearch(embeddings, trainCentroids(embeddings, nCells, iters), nProbes, k,
+      probes)
 
   def annIvfTrainedSql(nCells: Int = 16, nProbes: Int = 10, k: Int = 3,
                        iters: Int = 1): String = {

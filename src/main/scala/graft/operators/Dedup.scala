@@ -389,13 +389,15 @@ object Dedup {
     * 256 buckets over 500 vectors = near-singleton buckets, recall 0.17;
     * 4 planes ≈ 0.5 at 1/16 search cost). Multi-probe (flipping the
     * lowest-margin bits) is the production recall lever. */
-  def annLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3): DataFrame = {
+  def annLsh(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
+             probes: Option[DataFrame] = None): DataFrame = {
     val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding")))
-    val probes = bucketed.filter(col("vec_id") < nProbes)
+    val probeDf = Probes.resolve(embeddings, probes, nProbes)
+      .withColumn("bucket", lshBucket(col("embedding")))
       .select(col("bucket"), col("vec_id").as("probe_id"), col("embedding").as("pv"))
     bucketed
       .select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding"))
-      .join(broadcast(probes), Seq("bucket"))
+      .join(broadcast(probeDf), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
       .groupBy(col("probe_id"))
@@ -410,7 +412,8 @@ object Dedup {
     * vector to its nearest cell; probes search only their own cell. The
     * inverted-file layout every billion-vector index uses: cell assignment
     * is a broadcast argmax (narrow), search cost drops by ~nCells×. */
-  def annIvf(embeddings: DataFrame, nCells: Int = 16, nProbes: Int = 10, k: Int = 3): DataFrame = {
+  def annIvf(embeddings: DataFrame, nCells: Int = 16, nProbes: Int = 10, k: Int = 3,
+             probes: Option[DataFrame] = None): DataFrame = {
     // The coarse quantizer is a MODEL PARAMETER — nCells centroid vectors
     // (here: first-n stand-in; Cluster.annIvfTrained passes Lloyd-trained
     // ones). Collecting those nCells rows and inlining them as literals is
@@ -421,25 +424,28 @@ object Dedup {
     import embeddings.sparkSession.implicits._
     val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
-    ivfSearch(embeddings, cents, nProbes, k)
+    ivfSearch(embeddings, cents, nProbes, k, probes)
   }
 
   /** Inverted-file search against ANY centroid set: narrow argmax cell
     * assignment (deterministic ties by cell id), probes broadcast, cell-local
     * exact cosine + bounded per-probe top-k. */
   private[operators] def ivfSearch(embeddings: DataFrame, cents: Array[(Long, Array[Float])],
-                                   nProbes: Int, k: Int): DataFrame = {
+                                   nProbes: Int, k: Int,
+                                   probes: Option[DataFrame] = None): DataFrame = {
     val cands = cents.sortBy(_._1).map { case (id, v) =>
       struct(VectorOps.cosine(col("embedding"), typedlit(v)).as("c"),
         lit(-id).as("negid"))
     }
+    val cellOf = -greatest(cands.toSeq: _*).getField("negid")
     val assigned = embeddings.select(col("vec_id"), col("embedding"),
-      (-greatest(cands.toSeq: _*).getField("negid")).as("cell"))
-    val probes = assigned.filter(col("vec_id") < nProbes)
-      .select(col("cell"), col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      cellOf.as("cell"))
+    val probeDf = Probes.resolve(embeddings, probes, nProbes)
+      .select(cellOf.as("cell"), col("vec_id").as("probe_id"),
+        col("embedding").as("pv"))
     assigned
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
-      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(probeDf), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
       .groupBy(col("probe_id"))
@@ -506,7 +512,8 @@ object Dedup {
     * Probe side stays broadcast; corpus cells are touched only through
     * cell-equality joins. */
   def annIvfMultiprobe(embeddings: DataFrame, nCells: Int = 16, nProbes: Int = 10,
-                       k: Int = 3, pCells: Int = 2): DataFrame = {
+                       k: Int = 3, pCells: Int = 2,
+                       probes: Option[DataFrame] = None): DataFrame = {
     import embeddings.sparkSession.implicits._
     val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
@@ -520,12 +527,12 @@ object Dedup {
     // probe side: top-pCells cells via sort_array over the candidate
     // structs (descending cos, then smaller id), sliced and exploded
     val ranked = sort_array(array(cands.toSeq: _*), asc = false)
-    val probes = embeddings.filter(col("vec_id") < nProbes)
+    val probeDf = Probes.resolve(embeddings, probes, nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         explode(transform(slice(ranked, 1, pCells), s => -s.getField("negid"))).as("cell"))
     assigned
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
-      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(probeDf), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
       .groupBy(col("probe_id"))
@@ -581,16 +588,17 @@ object Dedup {
     * corpus is still touched only through bucket-equality joins, so the
     * 100 TB shape is unchanged. */
   def annLshMultiprobe(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
-                       nPlanes: Int = 4): DataFrame = {
+                       nPlanes: Int = 4, probes: Option[DataFrame] = None): DataFrame = {
     val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), nPlanes))
     val variants = array(col("bucket") +:
       (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
-    val probes = bucketed.filter(col("vec_id") < nProbes)
+    val probeDf = Probes.resolve(embeddings, probes, nProbes)
+      .withColumn("bucket", lshBucket(col("embedding"), nPlanes))
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         explode(variants).as("bucket"))
     bucketed
       .select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding"))
-      .join(broadcast(probes), Seq("bucket"))
+      .join(broadcast(probeDf), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
       .groupBy(col("probe_id"))
@@ -641,13 +649,6 @@ object Dedup {
     s"((xor((i + 64*$planeOff) * 2654435761 % 4294967296, " +
       s"(i + 64*$planeOff) * 2654435761 % 4294967296 // 65536) % 1021) - 510)"
 
-  private def lshBucketMt(emb: Column, nPlanes: Int, seed: Int): Column =
-    (0 until nPlanes).map { j =>
-      val plane = (0 until 64).map(i => hpMt(i.toLong + 64L * (seed + j)))
-      val dotJ = VectorOps.dot(emb, typedLit(plane))
-      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   private def lshBucketMtSql(embCol: String, nPlanes: Int, seed: Int): String =
     (0 until nPlanes).map { j =>
       val dotJ = s"list_sum(list_transform(range(0, 64), i -> CAST($embCol[i+1] AS DOUBLE) * CAST(${hpMtSql(seed + j)} AS DOUBLE)))"
@@ -673,16 +674,52 @@ object Dedup {
     * the 1−(1−p)^L recall compounding; the recall/candidate-cost frontier
     * beat every 4-plane and multiprobe configuration measured. */
   def annLshMultiTable(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
-                       nPlanes: Int = 5, nTables: Int = 24): DataFrame = {
-    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
-      array((0 until nTables).map(t =>
-        lshBucketMt(col("embedding"), nPlanes, t * nPlanes)): _*).as("buckets"))
-    val tb = bucketed.select(col("vec_id"), col("embedding"), posexplode(col("buckets")))
-      .select(col("vec_id"), col("embedding"), col("pos").as("tbl"), col("col").as("bucket"))
-    val probes = tb.filter(col("vec_id") < nProbes)
+                       nPlanes: Int = 5, nTables: Int = 24,
+                       probes: Option[DataFrame] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // The plane family (nTables × nPlanes × 64 doubles) is materialized
+    // once on the driver and shipped per-executor via
+    // sparkContext.broadcast. As inline typedLit expression trees (the
+    // previous spelling: 120 DotProductFF nodes each carrying a 64-double
+    // literal) the serialized plan rode along with EVERY task binary —
+    // the ~1.8 MiB "Broadcasting large task binary" warnings — which at
+    // 1000 executors × thousands of tasks is real scheduler/network
+    // overhead. The kernel mirrors DotProductFF's strict left-to-right
+    // double fold over min-length, so bucket bits (and the DuckDB oracle
+    // hash) are unchanged.
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(nTables, nPlanes, 64)((t, j, i) =>
+        hpMt(i.toLong + 64L * (t * nPlanes + j)))
+    val bcPlanes = spark.sparkContext.broadcast(planes)
+    def bucketize(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val pl = bcPlanes.value
+        iter.flatMap { case (id, v) =>
+          Iterator.tabulate(pl.length) { t =>
+            var b = 0L
+            var j = 0
+            while (j < pl(t).length) {
+              val p = pl(t)(j)
+              val n = math.min(v.length, p.length)
+              var dot = 0.0
+              var i = 0
+              while (i < n) { dot += v(i).toDouble * p(i); i += 1 }
+              if (dot > 0) b |= (1L << j)
+              j += 1
+            }
+            (id, v, t, b)
+          }
+        }
+      }
+      .toDF("vec_id", "embedding", "tbl", "bucket")
+    val tb = bucketize(embeddings)
+    val probeDf = bucketize(Probes.resolve(embeddings, probes, nProbes))
       .select(col("tbl"), col("bucket"), col("vec_id").as("probe_id"), col("embedding").as("pv"))
     tb.select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"), col("embedding"))
-      .join(broadcast(probes), Seq("tbl", "bucket"))
+      .join(broadcast(probeDf), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
       // same pair from several tables scores identically — max() is dedup
@@ -695,18 +732,23 @@ object Dedup {
         (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
   }
 
+  /** `probeWhere`: replacement for the default first-nProbes probe
+    * predicate — the oracle twin of passing an explicit probe frame to
+    * [[annLshMultiTable]] (e.g. the split_holdout test split). */
   def annLshMultiTableSql(nProbes: Int = 10, k: Int = 3,
-                          nPlanes: Int = 5, nTables: Int = 24): String = {
+                          nPlanes: Int = 5, nTables: Int = 24,
+                          probeWhere: Option[String] = None): String = {
     val cos = VectorOps.cosineSql("e.embedding", "p.embedding")
     val bcols = (0 until nTables)
       .map(t => s"${lshBucketMtSql("embedding", nPlanes, t * nPlanes)} AS b$t")
       .mkString(", ")
     val anyShared = (0 until nTables).map(t => s"e.b$t = p.b$t").mkString(" OR ")
+    val probePred = probeWhere.getOrElse(s"p.vec_id < $nProbes")
     s"""WITH b AS MATERIALIZED (SELECT vec_id, embedding, $bcols FROM embeddings)
        |SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
        |CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rn,
        |$cos AS cos
-       |FROM b e JOIN b p ON ($anyShared) AND p.vec_id < $nProbes AND e.vec_id <> p.vec_id
+       |FROM b e JOIN b p ON ($anyShared) AND ($probePred) AND e.vec_id <> p.vec_id
        |QUALIFY rn <= $k""".stripMargin
   }
 }

@@ -171,32 +171,37 @@ object ProductQuant extends Serializable {
     * tables: lut(p)(s)(c) = dot(probe p's subvector s, codebook entry c),
     * computed once and broadcast; every encoded row scores as m lookups. */
   def pqSearch(embeddings: DataFrame, m: Int = 32, nCodes: Int = 64,
-               nProbes: Int = 10, k: Int = 3): DataFrame = {
+               nProbes: Int = 10, k: Int = 3,
+               probes: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val base = embeddings.filter(col("vec_id") < nCodes)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1).map(r => toD(r._2))
-    adcSearch(embeddings, firstKCodebooks(base, m, nCodes), m, nProbes, k)
+    adcSearch(embeddings, firstKCodebooks(base, m, nCodes), m, nProbes, k, probes)
   }
 
   /** Trained-quantizer PQ search (ann_pq_tr): same ADC engine over the
     * Lloyd-trained codebooks. */
   def pqSearchTrained(embeddings: DataFrame, m: Int = 32, nCodes: Int = 64,
-                      iters: Int = 2, nProbes: Int = 10, k: Int = 3): DataFrame = {
+                      iters: Int = 2, nProbes: Int = 10, k: Int = 3,
+                      probes: Option[DataFrame] = None): DataFrame = {
     require(m > 0 && Dim % m == 0 && nCodes > 0 && iters >= 0,
       s"bad params m=$m (must divide $Dim) nCodes=$nCodes iters=$iters")
-    adcSearch(embeddings, trainedCodebooks(embeddings, m, nCodes, iters), m, nProbes, k)
+    adcSearch(embeddings, trainedCodebooks(embeddings, m, nCodes, iters), m, nProbes, k,
+      probes)
   }
 
   private def adcSearch(embeddings: DataFrame, cbs: Array[Array[Array[Double]]],
-                        m: Int, nProbes: Int, k: Int): DataFrame = {
+                        m: Int, nProbes: Int, k: Int,
+                        probeDf: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val w = Dim / m
-    val probes: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nProbes)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
+    // bounded: the probe set is small by contract (Probes scaladoc)
+    val probes: Array[(Long, Array[Float])] =
+      Probes.resolve(embeddings, probeDf, nProbes)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
     // bounded: nProbes × m × nCodes doubles (FAISS's per-query distance table)
     val lut: Array[(Long, Array[Array[Double]])] = probes.map { case (pid, pv) =>
       val pd = toD(pv)
@@ -249,19 +254,21 @@ object ProductQuant extends Serializable {
     * (⇐ neo4j_knowledge_service.py:167 similarity_top_k — the retriever's
     * top-k contract; rerank depth ≙ the retriever's oversampling factor) */
   def pqRerank(embeddings: DataFrame, m: Int = 32, nCodes: Int = 64,
-               nProbes: Int = 10, k: Int = 3, depth: Int = 30): DataFrame = {
+               nProbes: Int = 10, k: Int = 3, depth: Int = 30,
+               probes: Option[DataFrame] = None): DataFrame = {
     require(depth >= k, s"rerank depth $depth must be >= k=$k")
     rerankTail(embeddings,
-      pqSearch(embeddings, m, nCodes, nProbes, depth), nProbes, k)
+      pqSearch(embeddings, m, nCodes, nProbes, depth, probes), nProbes, k, probes)
   }
 
   /** Shared refine tail: broadcast the O(probes·depth) candidate pool into
     * a hash join fetching raw vectors for pool members only, exact-cosine
     * re-score, TopKAgg-bounded final top-k. */
   private def rerankTail(embeddings: DataFrame, cand0: DataFrame,
-                         nProbes: Int, k: Int): DataFrame = {
+                         nProbes: Int, k: Int,
+                         probeDf: Option[DataFrame] = None): DataFrame = {
     val cand = cand0.select(col("probe_id"), col("neighbor_id"))
-    val probes = embeddings.filter(col("vec_id") < nProbes)
+    val probes = Probes.resolve(embeddings, probeDf, nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     embeddings
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
@@ -285,7 +292,8 @@ object ProductQuant extends Serializable {
     * parameters (centroids + residual codebooks) are bounded driver-side
     * artifacts, exactly as in annIvf/pqSearch. */
   def ivfPqSearch(embeddings: DataFrame, nCells: Int = 16, m: Int = 32,
-                  nCodes: Int = 128, nProbes: Int = 10, k: Int = 3): DataFrame = {
+                  nCodes: Int = 128, nProbes: Int = 10, k: Int = 3,
+                  probeDf: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
@@ -323,9 +331,10 @@ object ProductQuant extends Serializable {
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .collect().sortBy(_._1).map(r => residOf(cents, r._2)),
       m, nCodes)
-    val probes: Array[(Long, Int, Array[Float])] = embeddings.filter(col("vec_id") < nProbes)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1).map { case (pid, pv) => (pid, cellOf(cents, pv), pv) }
+    val probes: Array[(Long, Int, Array[Float])] =
+      Probes.resolve(embeddings, probeDf, nProbes)
+        .as[(Long, Array[Float])]
+        .collect().sortBy(_._1).map { case (pid, pv) => (pid, cellOf(cents, pv), pv) }
     // per-probe: base term dot(p, centroid(pcell)) + ADC table over residual cbs
     val lut: Array[(Long, Int, Double, Array[Array[Double]])] = probes.map { case (pid, pcell, pv) =>
       val pd = toD(pv)
@@ -372,10 +381,11 @@ object ProductQuant extends Serializable {
     * the pool. Same bounded shape as [[pqRerank]]. */
   def ivfPqRerank(embeddings: DataFrame, nCells: Int = 16, m: Int = 32,
                   nCodes: Int = 128, nProbes: Int = 10, k: Int = 3,
-                  depth: Int = 30): DataFrame = {
+                  depth: Int = 30, probes: Option[DataFrame] = None): DataFrame = {
     require(depth >= k, s"rerank depth $depth must be >= k=$k")
     rerankTail(embeddings,
-      ivfPqSearch(embeddings, nCells, m, nCodes, nProbes, depth), nProbes, k)
+      ivfPqSearch(embeddings, nCells, m, nCodes, nProbes, depth, probes), nProbes, k,
+      probes)
   }
 
   // ---- DuckDB oracle ----

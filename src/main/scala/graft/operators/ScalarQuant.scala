@@ -65,13 +65,15 @@ object ScalarQuant {
 
   /** ANN over the SQ8-compressed corpus: encode + dequantize + probe MAC in
     * one fused pass, bounded top-k per probe. */
-  def sq8Search(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3): DataFrame = {
+  def sq8Search(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
+                probeDf: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val rng = ranges(embeddings)
-    val probes: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nProbes)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
+    // bounded: the probe set is small by contract (Probes scaladoc)
+    val probes: Array[(Long, Array[Float])] =
+      Probes.resolve(embeddings, probeDf, nProbes)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
     val scored = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { iter =>

@@ -106,16 +106,20 @@ object Search {
     * (small); at scale with a large probe side, swap to the LSH-bucketed
     * plan (Dedup.annLsh) — same output contract.
     *
+    * `probes`: any (vec_id, embedding) frame — e.g. the split_holdout
+    * test split — defaulting to the first-nProbes slice ([[Probes]]).
+    *
     * Per-probe top-k uses the native bounded [[graft.functions.TopKAgg]]
     * aggregate: map-side partial aggregation emits ≤k rows per probe per
     * task, so the shuffle is O(probes·k) — a window row_number would
     * shuffle every scored pair. */
-  def knnJoin(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val probes = embeddings.filter(col("vec_id") < nProbes)
+  def knnJoin(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+              probes: Option[DataFrame] = None): DataFrame = {
+    val probeDf = Probes.resolve(embeddings, probes, nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     embeddings
       .select(col("vec_id").as("neighbor_id"), col("embedding"))
-      .crossJoin(broadcast(probes))
+      .crossJoin(broadcast(probeDf))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
       .groupBy(col("probe_id"))
@@ -142,12 +146,13 @@ object Search {
     * knnJoin (probe side broadcast, one codegen scoring pass) with the
     * per-(probe, doc) MAX folded into the same shuffle as a partial
     * aggregate, then the bounded TopKAgg keeps shuffle O(probes·k). */
-  def maxsimRetrieve(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3): DataFrame = {
-    val probes = embeddings.filter(col("vec_id") < nProbes)
+  def maxsimRetrieve(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
+                     probes: Option[DataFrame] = None): DataFrame = {
+    val probeDf = Probes.resolve(embeddings, probes, nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     embeddings
       .select(col("vec_id").as("vid"), col("label").cast("long").as("doc"), col("embedding"))
-      .crossJoin(broadcast(probes))
+      .crossJoin(broadcast(probeDf))
       .filter(col("vid") =!= col("probe_id"))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
       .groupBy(col("probe_id"), col("doc"))
@@ -372,13 +377,15 @@ object Search {
     * positives). Same scale shape as `knnJoin`: probe side broadcast,
     * scoring in one codegen pass, the label filter prunes BEFORE the
     * bounded TopKAgg so the shuffle stays O(probes·k). */
-  def hardNegatives(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val probes = embeddings.filter(col("vec_id") < nProbes)
+  def hardNegatives(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+                    probes: Option[DataFrame] = None): DataFrame = {
+    // probe contract here additionally carries `label` (the positive class)
+    val probeDf = probes.getOrElse(embeddings.filter(col("vec_id") < nProbes))
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         col("label").as("p_label"))
     embeddings
       .select(col("vec_id").as("neg_id"), col("embedding"), col("label"))
-      .crossJoin(broadcast(probes))
+      .crossJoin(broadcast(probeDf))
       .filter(col("label") =!= col("p_label"))
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
       .groupBy(col("probe_id"))
