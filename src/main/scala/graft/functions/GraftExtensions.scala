@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimFF].getName, "cosine_sim"),
       GraftFunctions.cosineSimBuilder))
     ext.injectOptimizerRule(_ => CosineFusionRule)
+    ext.injectOptimizerRule(_ => CosinePrenormRule)
   }
 }
 

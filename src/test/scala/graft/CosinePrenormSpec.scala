@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CosinePrenormRule, CosineSimFF, DotProductFF, VectorOps}
+import graft.sources.Tables
+
+/** The cosine pre-norm pushdown rule: a cosine scored above a join must be
+  * split into per-side norm projections below the join plus a single
+  * dot-product per pair, with bit-identical results; plans out of scope
+  * (cosine within one side, non-inner joins) must be untouched; the conf
+  * flag must disable the rewrite.
+  */
+class CosinePrenormSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withRule[A](f: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ CosinePrenormRule
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == CosinePrenormRule)
+  }
+
+  private def pairScore = {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(probes))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        VectorOps.cosine(col("embedding"), col("pv")).as("cos"))
+  }
+
+  test("cosine over a join splits into prenorm projections, bit-identical") {
+    val baseline = pairScore.collect()
+    val (rewritten, plan) = withRule {
+      val df = pairScore
+      (df.collect(), df.queryExecution.optimizedPlan)
+    }
+    val survivors = plan.expressions.map(_.collect { case c: CosineSimFF => c }.size).sum
+    assert(survivors == 0, s"expected the join-crossing CosineSimFF rewritten, found $survivors")
+    val dots = plan.collect { case p => p.expressions.flatMap(_.collect { case d: DotProductFF => d }) }
+      .flatten
+    // one pair dot + two per-side norm dots
+    assert(dots.size == 3, s"expected 3 DotProductFF nodes (pair + 2 norms), found ${dots.size}")
+    assert(plan.toString.contains("_graft_prenorm"), "norm projections missing from plan")
+    // bit-identical (exact Double equality via Row equals on collected sets)
+    assert(baseline.toSet == rewritten.toSet, "prenorm rewrite changed results")
+  }
+
+  test("cosine confined to one side is left untouched") {
+    val emb = Tables.embeddings(spark, dir)
+    val scored = emb.select(col("vec_id"),
+      VectorOps.cosine(col("embedding"), reverse(col("embedding"))).as("selfcos"))
+    val ids = emb.select(col("vec_id"))
+    val joined = scored.join(ids, "vec_id").select(col("vec_id"), col("selfcos"))
+    val plan = withRule(joined.queryExecution.optimizedPlan)
+    val fused = plan.collect { case n =>
+      n.expressions.map(_.collect { case c: CosineSimFF => c }.size).sum
+    }.sum
+    assert(fused >= 1, "in-scope-side cosine should survive unrewritten")
+    assert(!plan.toString.contains("_graft_prenorm"), "no norm pushdown expected")
+  }
+
+  test("conf flag disables the rewrite") {
+    spark.conf.set("spark.graft.cosinePrenorm.enabled", "false")
+    try {
+      val plan = withRule(pairScore.queryExecution.optimizedPlan)
+      val fused = plan.expressions.map(_.collect { case c: CosineSimFF => c }.size).sum
+      assert(fused == 1, s"flag off: expected the original CosineSimFF, found $fused")
+    } finally spark.conf.unset("spark.graft.cosinePrenorm.enabled")
+  }
+
+  test("composes with CosineFusionRule: textbook spelling ends prenormed") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.functions.CosineFusionRule
+    try {
+      withRule {
+        val emb = Tables.embeddings(spark, dir)
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        val composed = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+          .crossJoin(broadcast(probes))
+          .select(col("probe_id"), col("neighbor_id"),
+            (VectorOps.dot(col("embedding"), col("pv")) /
+              (sqrt(VectorOps.dot(col("embedding"), col("embedding"))) *
+                sqrt(VectorOps.dot(col("pv"), col("pv"))))).as("cos"))
+        val plan = composed.queryExecution.optimizedPlan
+        assert(plan.toString.contains("_graft_prenorm"),
+          "fusion + prenorm should leave pushed-down norms")
+        val direct = pairScore.filter(col("probe_id") =!= col("neighbor_id"))
+        val a = composed.filter(col("probe_id") =!= col("neighbor_id")).collect().toSet
+        assert(a == direct.collect().toSet, "composed pipeline diverged from direct kernel")
+      }
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == graft.functions.CosineFusionRule)
+  }
+}
