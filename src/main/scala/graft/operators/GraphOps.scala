@@ -313,7 +313,12 @@ object GraphOps {
     * shuffle per level, frontier bounded by seeds × depth-D neighborhood.
     * With d ∈ {1,2,3} the harmonic sum stays in the integers as
     * 6·h = 6·n1 + 3·n2 + 2·n3 (LCM trick) — no float division anywhere,
-    * so the DuckDB 3-level replay hash-matches exactly. */
+    * so the DuckDB 3-level replay hash-matches exactly.
+    *
+    * Seed sampling assumes NON-NEGATIVE node ids: the Scala side uses
+    * `pmod` (always ≥ 0) while the DuckDB oracle uses `%` (sign of the
+    * dividend); the two agree only for ids ≥ 0, which holds because
+    * co-purchase nodes are positive partkeys. */
   def closeness(lineitem: DataFrame, seedMod: Long = 20L): DataFrame = {
     require(seedMod > 0L, s"seedMod must be positive: $seedMod")
     val cp = copurchase(lineitem).materialize
@@ -339,7 +344,8 @@ object GraphOps {
       .withColumn("harmonic6", col("n1") * 6L + col("n2") * 3L + col("n3") * 2L)
   }
 
-  def closenessSql(seedMod: Long = 20L): String =
+  def closenessSql(seedMod: Long = 20L): String = {
+    require(seedMod > 0L, s"seedMod must be positive: $seedMod")
     s"""WITH cp AS ($copurchaseSql),
        |l0 AS (SELECT DISTINCT src AS s, src AS node FROM cp WHERE src % $seedMod = 0),
        |l1 AS (
@@ -363,6 +369,7 @@ object GraphOps {
        |  CAST(SUM(CASE WHEN dist = 1 THEN 6 WHEN dist = 2 THEN 3 ELSE 2 END) AS BIGINT)
        |    AS harmonic6
        |FROM lv GROUP BY 1""".stripMargin
+  }
 
   /** Link prediction by common-neighbor count (the classic
     * Liben-Nowell/Kleinberg baseline; GDS linkPrediction analog): for node
@@ -440,7 +447,11 @@ object GraphOps {
     * DECIMAL(38,18) via the string cast (order-independent) and re-enters
     * double through the string cast — the replayable-iteration recipe
     * (pageRank/HITS precedent). Every level is one frontier⋈edges join +
-    * grouped sum — log-depth loop, fully distributed. */
+    * grouped sum — log-depth loop, fully distributed.
+    *
+    * Seed sampling shares [[closeness]]'s non-negative-id assumption:
+    * Scala `pmod` vs oracle `%` agree only for ids ≥ 0 (positive
+    * partkeys here). */
   def betweenness(lineitem: DataFrame, maxDepth: Int = 3, seedMod: Long = 50L): DataFrame = {
     require(seedMod > 0L, s"seedMod must be positive: $seedMod")
     val cp = copurchase(lineitem).materialize
@@ -485,6 +496,7 @@ object GraphOps {
 
   def betweennessSql(maxDepth: Int = 3, seedMod: Long = 50L): String = {
     require(maxDepth == 3, "oracle replay is spelled for depth 3")
+    require(seedMod > 0L, s"seedMod must be positive: $seedMod")
     val term = "CAST(CAST((CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)) * (1.0 + w.delta) AS VARCHAR) AS DECIMAL(38,18))"
     s"""WITH cp AS ($copurchaseSql),
        |s0 AS (SELECT DISTINCT src AS seed, src AS node, CAST(1 AS BIGINT) AS sigma

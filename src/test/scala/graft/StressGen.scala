@@ -65,7 +65,8 @@ object StressGen {
       ("documents",  Seq("doc_id"),                              Nil),
       ("embeddings", Seq("vec_id"),                              Nil))
 
-    require(reps > 0 && reps.toLong * LONG_OFF > 0 && reps.toLong * INT_OFF <= Int.MaxValue,
+    require(reps > 0 && reps.toLong <= Long.MaxValue / LONG_OFF
+        && reps.toLong * INT_OFF <= Int.MaxValue,
       s"reps=$reps would overflow the key-shift offsets")
 
     tables.foreach { case (name, longKeys, intKeys) =>
