@@ -133,7 +133,16 @@ object StreamReplay {
           java.nio.file.Files.createDirectories(dir)
           batches.filter(_.nonEmpty).zipWithIndex.foreach { case (b, i) =>
             val stage = dir.resolve(f"stage$i%03d")
-            spark.createDataset(b)(enc).repartition(1).write
+            // explicit slicing bounds the driver rows each staging map task
+            // carries: at the default parallelism a 10x-stress quarter is a
+            // >2 MiB slice (the same large-task warning this staging path
+            // exists to avoid); ~1000 rows/slice keeps every task small
+            val slices = math.max(spark.sparkContext.defaultParallelism,
+              (b.length + 999) / 1000)
+            implicit val ct: scala.reflect.ClassTag[T] =
+              scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[T]]
+            spark.createDataset(spark.sparkContext.parallelize(b, slices))(enc)
+              .repartition(1).write
               .mode("overwrite").parquet(stage.toString)
             val part = {
               import scala.jdk.CollectionConverters._
@@ -152,19 +161,30 @@ object StreamReplay {
         val input = spark.readStream.schema(enc.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir.toString)
-        val q = build(input).writeStream.format("memory").queryName(name)
+        // parquet sink, not the memory sink: memory-sink rows live on the
+        // driver and ride the snapshot job's task closures (a stream join's
+        // 10x-stress output is a >12 MiB task) — a file sink keeps the
+        // output distributed end to end, and the read-back scan ships
+        // nothing but file splits. Explicit schema on the read-back keeps
+        // the zero-output edge well-defined.
+        val outDir = ckptRoot.resolve(name + "_out")
+        val built = build(input)
+        val outSchema = built.schema
+        val q = built.writeStream.format("parquet")
+          .option("path", outDir.toString)
           .option("checkpointLocation", ckpt.toString)
           .outputMode(OutputMode.Append()).start()
         try q.processAllAvailable()
         finally q.stop()
+        val out = spark.read.schema(outSchema).parquet(outDir.toString)
+          .localCheckpoint() // eager: materialized before outDir is deleted
+        deleteRecursively(outDir)
+        out
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.conf.set(noDataKey, prevNoData)
         deleteRecursively(ckpt)
       }
-      val out = spark.table(name).localCheckpoint()
-      spark.catalog.dropTempView(name)
-      out
     }
   }
 

@@ -57,11 +57,21 @@ class PlanAuditSpec extends SparkSpec {
         }
     }
 
+  /** Audit under the SAME optimizer extensions the bench/verify sessions
+    * run with (cosine fusion + pre-norm pushdown), so the gate covers the
+    * plans that actually execute; scoped add/remove keeps the shared spec
+    * session clean for other suites. */
   private def auditAll(check: (String, org.apache.spark.sql.DataFrame) => Option[String]): Unit = {
-    val (broken, offenders) = auditOver(SparkEntry.queries)(check)
-    assert(broken.isEmpty && offenders.isEmpty,
-      (if (broken.nonEmpty) s"unanalyzable queries (audit could not run): $broken\n" else "") +
-      (if (offenders.nonEmpty) s"offending plans: $offenders" else ""))
+    val rules = Seq(graft.functions.CosineFusionRule, graft.functions.CosinePrenormRule)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations ++ rules
+    try {
+      val (broken, offenders) = auditOver(SparkEntry.queries)(check)
+      assert(broken.isEmpty && offenders.isEmpty,
+        (if (broken.nonEmpty) s"unanalyzable queries (audit could not run): $broken\n" else "") +
+        (if (offenders.nonEmpty) s"offending plans: $offenders" else ""))
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(rules.contains)
   }
 
   test("audit isolation: one broken loader cannot silently disable the audit of the rest") {
