@@ -73,6 +73,7 @@ object SparkEntry {
     "events_zscore" -> ((s, d) => Relational.eventZscores(Tables.events(s, d))),
     "langid_eval" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d))),
     "asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
+    "asof_join_exec" -> ((s, d) => AsOf.purchaseAttributionExec(Tables.events(s, d))),
     "zorder_key" -> ((s, d) =>
       Tables.lineitem(s, d).select(
         org.apache.spark.sql.functions.col("l_orderkey"),
@@ -391,6 +392,7 @@ object SparkEntry {
     "events_spike" -> Relational.eventSpikesSql,
     "events_zscore" -> Relational.eventZscoresSql(),
     "asof_join" -> AsOf.purchaseAttributionSql,
+    "asof_join_exec" -> AsOf.purchaseAttributionExecSql,
     "zorder_key" ->
       s"""SELECT l_orderkey, l_partkey,
          |${graft.sources.Writers.zorder2Sql("l_orderkey", "l_partkey")} AS zval

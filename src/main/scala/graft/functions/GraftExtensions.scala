@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.cosineSimBuilder))
     ext.injectOptimizerRule(_ => CosineFusionRule)
     ext.injectOptimizerRule(_ => CosinePrenormRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

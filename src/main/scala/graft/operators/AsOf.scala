@@ -49,6 +49,46 @@ object AsOf {
       |strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** Purchase→click attribution through the native [[graft.plans.AsofJoin]]
+    * exec — same temporal semantics as [[purchaseAttribution]], but carrying
+    * right PAYLOAD columns (the click's id and value), which the window
+    * formulation cannot: a window only transports expressions reducible
+    * through `max`. Clicks are first collapsed to one row per (user, ts)
+    * (greatest event_id wins, with that event's value via `max_by`) so the
+    * as-of match is unique and the result is deterministic under any
+    * partitioning. One shuffle per side, single-pass merge — the plan a
+    * temporal engine builds natively. */
+  def purchaseAttributionExec(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("click_id"), col("click_value"))
+    graft.plans.AsofJoin.asof(
+        purchases, clicks, on = Seq("user_id"), leftTsCol = "ts", rightTsCol = "c_ts")
+      .select(
+        col("event_id"), purchases("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+        col("click_id"), col("click_value"))
+  }
+
+  /** Oracle: DuckDB's native ASOF JOIN against the same deduplicated click
+    * table — an independent engine's implementation of the identical
+    * semantics, payload included. */
+  val purchaseAttributionExecSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS c_ts, MAX(event_id) AS click_id,
+      |             MAX_BY(value, event_id) AS click_value
+      |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT p.event_id, p.user_id,
+      |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+      |strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+      |c.click_id, c.click_value
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.c_ts""".stripMargin
+
   /** Price bands for the range join: (label, lo inclusive, hi exclusive). */
   val PriceBands: Seq[(String, Double, Double)] = Seq(
     ("budget", 0.0, 1000.0),

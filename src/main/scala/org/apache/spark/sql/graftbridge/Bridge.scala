@@ -12,6 +12,22 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from a hand-built logical plan (custom operators). The
+    * `Dataset.ofRows` constructor is `private[sql]` in Spark 4 — same
+    * bridge rationale as the Column constructors above. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame — the child plans a
+    * custom logical operator composes over. */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
   def registerTempFunction(spark: org.apache.spark.sql.SparkSession, name: String,
                            builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry

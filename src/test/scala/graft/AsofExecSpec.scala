@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsofJoin
+
+/** The custom as-of physical operator: plan shape (AsofJoinExec present, no
+  * broadcast nested loop), semantics against a brute-force reference on a
+  * crafted dataset (ties, missing matches, nulls), partition-count
+  * invariance, and agreement with the window-based formulation on real
+  * events data. */
+class AsofExecSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // left: (id, key, ts); right: (key, ts, payload)
+  private lazy val leftDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "a", ts("2024-01-01 10:05:00")),
+      (3L, "a", ts("2024-01-01 09:00:00")), // before any right row: dropped
+      (4L, "b", ts("2024-01-01 12:00:00")),
+      (5L, "b", ts("2024-01-01 12:00:00")), // duplicate (key, ts) on the left
+      (6L, "c", ts("2024-01-01 12:00:00")), // key with no right rows: dropped
+      (7L, null, ts("2024-01-01 12:00:00")), // null key: dropped
+      (8L, "a", null) // null ts: dropped
+    ).toDF("id", "key", "ts")
+  }
+
+  private lazy val rightDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("a", ts("2024-01-01 10:00:00"), "a@10:00"), // exact tie: at-or-before matches
+      ("a", ts("2024-01-01 10:03:00"), "a@10:03"),
+      ("b", ts("2024-01-01 11:00:00"), "b@11:00"),
+      ("b", ts("2024-01-01 11:30:00"), "b@11:30"),
+      ("d", ts("2024-01-01 08:00:00"), "d@08:00"), // key with no left rows
+      ("b", null, "b@null"), // null ts: never matches
+      (null, ts("2024-01-01 08:00:00"), "null-key") // null key: never matches
+    ).toDF("key", "rts", "payload")
+  }
+
+  private val expected = Set(
+    (1L, "a@10:00"), // tie at 10:00 — inclusive
+    (2L, "a@10:03"),
+    (4L, "b@11:30"),
+    (5L, "b@11:30"))
+
+  test("asof exec: physical plan uses AsofJoinExec, not a nested loop") {
+    val out = AsofJoin.asof(leftDf, rightDf, Seq("key"), "ts", "rts")
+    // the node lives under AdaptiveSparkPlanExec, whose children are hidden
+    // from collect until execution — assert on the rendered plan instead
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"expected AsofJoinExec in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"inequality fell back to a nested loop:\n$plan")
+  }
+
+  test("asof exec: semantics — ties inclusive, nulls and unmatched dropped") {
+    val out = AsofJoin.asof(leftDf, rightDf, Seq("key"), "ts", "rts")
+      .select(col("id"), col("payload"))
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expected)
+  }
+
+  test("asof exec: result is partition-count invariant") {
+    val skewedLeft = leftDf.repartition(7)
+    val skewedRight = rightDf.repartition(3)
+    val out = AsofJoin.asof(skewedLeft, skewedRight, Seq("key"), "ts", "rts")
+      .select(col("id"), col("payload"))
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expected)
+  }
+
+  test("asof exec: both sides derived from the same base table (self-join lineage)") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "p", "k", ts("2024-01-01 10:00:00")),
+      (2L, "c", "k", ts("2024-01-01 09:59:00")),
+      (3L, "c", "k", ts("2024-01-01 09:00:00"))
+    ).toDF("id", "kind", "key", "ts")
+    val l = base.filter($"kind" === "p").select($"id", $"key", $"ts")
+    val r = base.filter($"kind" === "c")
+      .select($"id".as("rid"), $"key", $"ts".as("rts"))
+    val got = AsofJoin.asof(l, r, Seq("key"), "ts", "rts")
+      .select($"id", $"rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("asof exec registration agrees with the window formulation on real events") {
+    val events = sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val viaExec = operators.AsOf.purchaseAttributionExec(events)
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("c_ts"))
+    val viaWindow = operators.AsOf.purchaseAttribution(events)
+    assert(viaExec.count() > 0, "vacuous: no attributed purchases at sf0.001")
+    assert(viaExec.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaExec).isEmpty,
+      "exec and window as-of formulations disagree")
+  }
+}
