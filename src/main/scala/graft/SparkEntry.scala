@@ -82,6 +82,7 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("l_orderkey"),
           org.apache.spark.sql.functions.col("l_partkey")).as("zval"))),
     "range_join" -> ((s, d) => AsOf.priceRangeJoin(Tables.lineitem(s, d))),
+    "range_join_grid" -> ((s, d) => AsOf.priceRangeJoinGrid(Tables.lineitem(s, d))),
     "hilbert_key" -> ((s, d) =>
       graft.sources.Writers.hilbertKeys(Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
     "export_graph" -> ((s, d) =>
@@ -398,6 +399,7 @@ object SparkEntry {
          |${graft.sources.Writers.zorder2Sql("l_orderkey", "l_partkey")} AS zval
          |FROM lineitem""".stripMargin,
     "range_join" -> AsOf.priceRangeJoinSql,
+    "range_join_grid" -> AsOf.priceRangeJoinGridSql,
     "chunk_fixed" -> Chunking.chunkFixedSql(),
     "chunk_markdown" -> graft.sources.Loaders.splitMarkdownSql,
     "chunk_words" -> Chunking.chunkWordsSql(),

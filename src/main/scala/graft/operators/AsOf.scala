@@ -125,4 +125,42 @@ object AsOf {
        |FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
        |GROUP BY band""".stripMargin
   }
+
+  /** Large-large range join on a common bucket grid — the scale path
+    * [[priceRangeJoin]]'s doc comment promises. Each interval [lo, hi)
+    * explodes to the grid cells it overlaps (`sequence` of floor(lo/w)..
+    * floor(hi-ulp/w)); each fact value maps to floor(v/w); the match is an
+    * EQUI-join on the cell with the interval predicate as a residual
+    * filter — lossless (a value is in an interval iff its cell is one of
+    * the interval's cells), and the plan is a shuffled equi-join that
+    * scales to two corpus-sized sides where the inequality form can only
+    * be a broadcast nested loop. Grid width trades interval fan-out
+    * (cells per interval ≈ span/w) against residual selectivity; both are
+    * bounded and explicit, the knob a range-partitioned engine exposes.
+    * Same aggregate output as priceRangeJoin, so the broadcast and grid
+    * formulations check each other. */
+  def priceRangeJoinGrid(lineitem: DataFrame, width: Double = 1000.0): DataFrame = {
+    require(width > 0.0, s"grid width must be positive: $width")
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val bands = PriceBands.toDF("band", "lo", "hi")
+      // hi is exclusive, so a grid-aligned interval claims one empty
+      // trailing cell — harmless (the residual filter owns exactness;
+      // only UNDERclaiming a cell could lose matches)
+      .withColumn("cell", explode(sequence(
+        floor(col("lo") / width).cast("long"),
+        floor(col("hi") / width).cast("long"))))
+    lineitem
+      .select(col("l_extendedprice"),
+        floor(col("l_extendedprice") / width).cast("long").as("cell"))
+      .join(bands, "cell")
+      .filter(col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        Relational.dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** Oracle: the plain inequality join — DuckDB picks its own range plan;
+    * the grid decomposition must be invisible in the result. */
+  val priceRangeJoinGridSql: String = priceRangeJoinSql
 }
