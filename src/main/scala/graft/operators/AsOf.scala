@@ -62,6 +62,11 @@ object AsOf {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val clicks = events.filter(col("event_type") === "click")
+      // one exchange, not two: hash on user_id alone satisfies BOTH the
+      // (user, ts) aggregate's clustering (a subset partitioning co-locates
+      // every group) and the as-of join's ClusteredDistribution(user_id),
+      // so the aggregate output flows into the merge with only a sort
+      .repartition(col("user_id"))
       .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .agg(max(col("event_id")).as("click_id"),
         max_by(col("value"), col("event_id")).as("click_value"))
