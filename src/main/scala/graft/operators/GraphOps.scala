@@ -910,23 +910,29 @@ object GraphOps {
     }
     var hub = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("hub")).materialize
-    var auth: DataFrame = null
+    var authRaw: DataFrame = null
     for (_ <- 1 to iters) {
       // the rank vectors are bounded by the node sets — broadcast them so
       // the edge table is never re-shuffled for the join; the only
       // exchange per half-round is the map-side-combined groupBy
       val hubD = hub.select(col("node"), dec(col("hub")).as("d"))
-      val ar = e.join(broadcast(hubD), col("src") === col("node"))
+      authRaw = e.join(broadcast(hubD), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("d")).cast("string").cast("double").as("raw"))
-      // auth stays lazy: hub is its only in-loop consumer and hub's own
-      // materialization truncates the lineage — an eager checkpoint here
-      // would double the per-round job count for nothing
-      auth = lInfNorm(ar, "dst", "auth")
-      val authD = auth.select(col("node"), dec(col("auth")).as("d"))
+      // authorities flow into the hub update UN-normalized: normalization
+      // is a scalar divide and the update is linear, so the hub trajectory
+      // is the classic one (scalars wash out under the hub-side L∞ norm) —
+      // deferring it drops a persist + max-agg + normalize per round.
+      // Magnitudes stay bounded: hub IS renormalized every round, so raw
+      // auth ≤ in-degree and raw hub ≤ one round's degree product — far
+      // inside DECIMAL(38,18)'s 20 integral digits at any realistic SF.
+      val authD = authRaw.select(col("dst").as("node"), dec(col("raw")).as("d"))
       val hr = e.join(broadcast(authD), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("d")).cast("string").cast("double").as("raw"))
       hub = lInfNorm(hr, "src", "hub").materialize
     }
+    // the final (only) auth normalization; lInfNorm persists the raw table,
+    // so the one extra edge join+agg here is the whole recompute cost
+    val auth = lInfNorm(authRaw, "dst", "auth")
     auth.select(lit("part").as("node_type"), col("node").as("node_id"),
         col("auth").as("score"))
       .unionAll(hub.select(lit("supplier").as("node_type"), col("node").as("node_id"),
@@ -1089,16 +1095,17 @@ object GraphOps {
 
   /** DuckDB oracle replaying the full HITS iteration (decimal-exact sums +
     * max-normalization make every iterate bit-identical). */
+  /** Mirrors [[hits]] exactly: authorities ride UN-normalized into the hub
+    * update (scalars wash out under the hub-side L∞ norm); the single auth
+    * normalization happens on the final raw table. */
   def hitsSql(iters: Int = 5): String = {
     val steps = (1 to iters).map { i =>
       s"""ar_$i AS MATERIALIZED (
          |  SELECT e.dst, CAST(CAST(SUM(CAST(CAST(h.hub AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS raw
          |  FROM e JOIN h_${i - 1} h ON e.src = h.node GROUP BY e.dst),
-         |a_$i AS MATERIALIZED (
-         |  SELECT dst AS node, raw / (SELECT MAX(raw) FROM ar_$i) AS auth FROM ar_$i),
          |hr_$i AS MATERIALIZED (
-         |  SELECT e.src, CAST(CAST(SUM(CAST(CAST(a.auth AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS raw
-         |  FROM e JOIN a_$i a ON e.dst = a.node GROUP BY e.src),
+         |  SELECT e.src, CAST(CAST(SUM(CAST(CAST(a.raw AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS raw
+         |  FROM e JOIN ar_$i a ON e.dst = a.dst GROUP BY e.src),
          |h_$i AS MATERIALIZED (
          |  SELECT src AS node, raw / (SELECT MAX(raw) FROM hr_$i) AS hub FROM hr_$i)""".stripMargin
     }.mkString(",\n")
@@ -1106,7 +1113,8 @@ object GraphOps {
        |  SELECT DISTINCT l_suppkey + $SuppBase AS src, l_partkey + $PartBase AS dst FROM lineitem),
        |h_0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS hub FROM e),
        |$steps
-       |SELECT 'part' AS node_type, node AS node_id, auth AS score FROM a_$iters
+       |SELECT 'part' AS node_type, dst AS node_id,
+       |       raw / (SELECT MAX(raw) FROM ar_$iters) AS score FROM ar_$iters
        |UNION ALL
        |SELECT 'supplier' AS node_type, node AS node_id, hub AS score FROM h_$iters""".stripMargin
   }
