@@ -295,6 +295,7 @@ object SparkEntry {
     "stream_trending" -> ((s, d) => graft.streaming.StreamReplay.streamTrending(s, d)),
     "stream_spike" -> ((s, d) => graft.streaming.StreamReplay.streamSpike(s, d)),
     "stream_join" -> ((s, d) => graft.streaming.StreamReplay.streamJoin(s, d)),
+    "stream_asof" -> ((s, d) => graft.streaming.StreamReplay.streamAsof(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (column names aligned with the
@@ -559,6 +560,7 @@ object SparkEntry {
     "stream_trending" -> graft.streaming.StreamReplay.streamTrendingSql,
     "stream_spike" -> graft.streaming.StreamReplay.streamSpikeSql,
     "stream_join" -> graft.streaming.StreamReplay.streamJoinSql,
+    "stream_asof" -> graft.streaming.StreamReplay.streamAsofSql,
     "embed_pool" -> Embedding.meanPoolSql,
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,

@@ -194,6 +194,22 @@ object StreamReplay {
     (0 until 4).map(i => rows.slice(i * n / 4, (i + 1) * n / 4))
   }
 
+  /** Quarters whose boundaries never split a timestamp: each cut advances
+    * to the next ts edge, so an operator whose within-batch ordering
+    * resolves timestamp ties (streamingAsof's clicks-first rule) sees every
+    * tie group whole. Empty tail slices are dropped. */
+  private def quartersTsAligned(rows: Seq[Event]): Seq[Seq[Event]] = {
+    val n = rows.length
+    val cuts = (1 to 3).map { i =>
+      var c = i * n / 4
+      while (c > 0 && c < n && rows(c).ts.getTime == rows(c - 1).ts.getTime) c += 1
+      c
+    }
+    val bounds = (0 +: cuts :+ n).distinct.sorted
+    bounds.sliding(2).map { case Seq(a, b) => rows.slice(a, b) }.toSeq
+      .filter(_.nonEmpty)
+  }
+
   /** The event script: the events table on the (ms, event_id) total order
     * the stateful operators sort on. */
   private def eventScript(spark: SparkSession, dir: String): Seq[Event] = {
@@ -422,6 +438,30 @@ object StreamReplay {
       | AND c.user_id = p.user_id
       | AND epoch_us(c.ts) <= epoch_us(p.ts)
       | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000""".stripMargin
+
+  /** Streaming as-of attribution: the incremental twin of the batch
+    * asof_join_exec operator, replayed over the time-ordered event feed with
+    * ts-aligned batch boundaries (a tie group never spans batches, so the
+    * clicks-first within-batch order fully resolves at-or-before ties).
+    * State is one O(1) cell per user; emission is data-driven, so the
+    * 4-batch replay needs no flush — and the oracle is the SAME ASOF JOIN
+    * the batch operator verifies against: the stream converges to the
+    * batch answer, which is the unification claim stated as a hash. */
+  def streamAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    replay[Event](spark, s"stream_asof:$dir", quartersTsAligned(ev),
+      df => Streams.streamingAsof(df.as[Event]).toDF())
+  }
+
+  val streamAsofSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
+      |             MAX_BY(value, event_id) AS click_value
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms, c.click_id, c.click_value
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
   /** Trending terms over a deterministic timestamped document feed
     * (doc_id minutes past a fixed origin → a few tumbling hours). */

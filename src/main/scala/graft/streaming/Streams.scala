@@ -222,4 +222,50 @@ object Streams {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
+
+  case class AsofOut(purchase_id: Long, user_id: Long, p_ms: Long, c_ms: Long,
+                     click_id: Long, click_value: Double)
+
+  /** Streaming as-of join — the incremental form of [[graft.plans
+    * .AsofJoinExec]]'s batch semantics: each purchase is attributed to the
+    * same user's latest click at-or-before it, carrying the click's payload.
+    * One O(1) state cell per user (the best click so far: ms, id, value) —
+    * no click buffer, because a time-ordered feed never needs to look back
+    * past the latest click. Within a batch, rows process in (ts, clicks-
+    * first, event_id) order, so an equal-timestamp click is visible to its
+    * purchase (at-or-before is inclusive) and the surviving click at a tied
+    * ts is the max-event_id one — exactly the batch oracle's per-(user, ts)
+    * dedup. Deterministic across any batch slicing that doesn't split a
+    * timestamp (the replay aligns batch boundaries on ts edges); emission
+    * is data-driven (NoTimeout), so no watermark or flush is needed. */
+  def streamingAsof(events: Dataset[Event]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+
+    // state: (click ms, click event_id, click value)
+    def fn(userId: Long, batch: Iterator[Event],
+           state: GroupState[(Long, Long, Double)]): Iterator[AsofOut] = {
+      val sorted = batch.toSeq.sortBy(e =>
+        (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+      var best = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer[AsofOut]()
+      sorted.foreach { e =>
+        if (e.event_type == "click") {
+          // feed is time-ordered: every arriving click supersedes the state
+          // (later ts, or same ts with a larger event_id)
+          best = Some((e.ts.getTime, e.event_id, e.value))
+        } else if (e.event_type == "purchase") {
+          best.foreach { case (cms, cid, cv) =>
+            out += AsofOut(e.event_id, userId, e.ts.getTime, cms, cid, cv)
+          }
+        }
+      }
+      best.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
 }

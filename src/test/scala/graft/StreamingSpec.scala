@@ -174,6 +174,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1)._3 == "too_short")
   }
 
+  test("streaming as-of attributes purchases across batches with O(1) state") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, uid: Long, typ: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), uid, typ, v)
+    val input = MemoryStream[Event]
+    val q = Streams.streamingAsof(input.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: a click, a tied-timestamp purchase (at-or-before inclusive,
+    // clicks-first ordering), and a purchase with no prior click
+    input.addData(
+      ev(10, "2024-01-01 09:00:00", 1, "click", 5.0),
+      ev(11, "2024-01-01 09:00:00", 1, "purchase", 0.0),
+      ev(12, "2024-01-01 08:00:00", 2, "purchase", 0.0))
+    q.processAllAvailable()
+    // batch 2: idle batch for user 1 (state must persist through it)
+    input.addData(ev(20, "2024-01-01 10:00:00", 3, "click", 7.0))
+    q.processAllAvailable()
+    // batch 3: purchase two batches after its click; a newer click
+    // supersedes state before a later purchase in the same batch
+    input.addData(
+      ev(30, "2024-01-01 11:00:00", 1, "purchase", 0.0),
+      ev(31, "2024-01-01 11:30:00", 1, "click", 9.0),
+      ev(32, "2024-01-01 12:00:00", 1, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("asof")
+      .select("purchase_id", "click_id", "click_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows == Set(
+      (11L, 10L, 5.0), // tie: equal-ts click visible to its purchase
+      (30L, 10L, 5.0), // state crossed two batch boundaries
+      (32L, 31L, 9.0)  // superseded by the newer click
+    )) // purchase 12 (no prior click) must not emit
+  }
+
   test("streaming upsert resolves inserts/updates/deletes and flags stale replays") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Upsert]
