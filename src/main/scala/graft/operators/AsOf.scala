@@ -80,6 +80,38 @@ object AsOf {
         col("click_id"), col("click_value"))
   }
 
+  /** LEFT variant: every purchase emits, unattributed ones with null click
+    * columns — the coverage-accounting shape (what fraction of purchases
+    * have a prior click) the inner form cannot answer. Same single-merge
+    * plan; only the unmatched-row policy differs. */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("click_id"))
+    graft.plans.AsofJoin.asof(
+        purchases, clicks, on = Seq("user_id"), leftTsCol = "ts", rightTsCol = "c_ts",
+        leftOuter = true)
+      .select(
+        col("event_id"), purchases("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+        col("click_id"))
+  }
+
+  val purchaseAttributionOuterSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS c_ts, MAX(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT p.event_id, p.user_id,
+      |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+      |strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+      |c.click_id
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.c_ts""".stripMargin
+
   /** Oracle: DuckDB's native ASOF JOIN against the same deduplicated click
     * table — an independent engine's implementation of the identical
     * semantics, payload included. */

@@ -14,11 +14,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   * `SparkPlan`), complementing the expression rung (DotProductFF) and the
   * optimizer-rule rung (CosineFusionRule / CosinePrenormRule).
   *
-  * Semantics (inner as-of, the DuckDB `ASOF JOIN ... ON l.k = r.k AND
+  * Semantics (the DuckDB `ASOF [LEFT] JOIN ... ON l.k = r.k AND
   * l.ts >= r.ts` contract, ⇐ the temporal-join surface the reference's
   * event queries compose by hand): for each left row, the single right row
-  * with the same key and the greatest ts ≤ the left ts; left rows with no
-  * such right row are dropped. NULL keys and NULL timestamps never match.
+  * with the same key and the greatest ts ≤ the left ts. NULL keys and NULL
+  * timestamps never match. Inner (default) drops unmatched left rows;
+  * `leftOuter` emits them with null right columns.
   *
   * Why an exec node and not the window composition ([[graft.operators.AsOf
   * .purchaseAttribution]] keeps that formulation): the window trick carries
@@ -37,9 +38,13 @@ case class AsofJoin(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
+    leftOuter: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // left-outer: unmatched left rows emit null right columns
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
     copy(left = newLeft, right = newRight)
@@ -54,7 +59,8 @@ object AsofJoin {
     * NAMES are not deduplicated — alias overlapping right columns before
     * joining, exactly as with Spark's own `join`. */
   def asof(left: DataFrame, right: DataFrame, on: Seq[String],
-           leftTsCol: String, rightTsCol: String): DataFrame = {
+           leftTsCol: String, rightTsCol: String,
+           leftOuter: Boolean = false): DataFrame = {
     require(on.nonEmpty, "as-of join requires at least one equality key")
     val spark = left.sparkSession
     ensureStrategy(spark)
@@ -66,7 +72,7 @@ object AsofJoin {
     val node = AsofJoin(
       lKeys, rKeys,
       Bridge.expression(left(leftTsCol)), Bridge.expression(r(rightTsCol)),
-      Bridge.analyzed(left), Bridge.analyzed(r))
+      leftOuter, Bridge.analyzed(left), Bridge.analyzed(r))
     Bridge.ofRows(spark, node)
   }
 
@@ -83,8 +89,8 @@ object AsofJoin {
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(lk, rk, lts, rts, l, r) =>
-      AsofJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(lk, rk, lts, rts, outer, l, r) =>
+      AsofJoinExec(lk, rk, lts, rts, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -94,10 +100,13 @@ case class AsofJoinExec(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
+    leftOuter: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
 
   // the sort-merge-join contract: both children clustered on the equality
   // keys (EnsureRequirements co-partitions them, AQE coalesces both sides
@@ -137,6 +146,8 @@ case class AsofJoinExec(
     val rRdd = right.execute()
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
       s"as-of children not co-partitioned: ${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions}")
+    val outer = leftOuter
+    val nRightCols = rOut.size
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       new AsofMergeIterator(
         lIter, rIter,
@@ -144,7 +155,8 @@ case class AsofJoinExec(
         UnsafeProjection.create(Seq(lTs), lOut), UnsafeProjection.create(Seq(rTs), rOut),
         RowOrdering.createNaturalAscendingOrdering(keyTypes),
         RowOrdering.createNaturalAscendingOrdering(Seq(tsType)),
-        UnsafeProjection.create(allOut, allOut))
+        UnsafeProjection.create(allOut, allOut),
+        outer, nRightCols)
     }
   }
 }
@@ -159,9 +171,12 @@ private final class AsofMergeIterator(
     lKeyProj: UnsafeProjection, rKeyProj: UnsafeProjection,
     lTsProj: UnsafeProjection, rTsProj: UnsafeProjection,
     keyOrd: BaseOrdering, tsOrd: BaseOrdering,
-    resultProj: UnsafeProjection) extends Iterator[InternalRow] {
+    resultProj: UnsafeProjection,
+    leftOuter: Boolean, nRightCols: Int) extends Iterator[InternalRow] {
 
   private[this] val joined = new JoinedRow
+  private[this] val nullRight =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nRightCols)
   // right cursor (projection buffers are live only until the next advance)
   private[this] var rRow: InternalRow = _
   private[this] var rKey: UnsafeRow = _
@@ -203,6 +218,7 @@ private final class AsofMergeIterator(
     while (lIter.hasNext) {
       val l = lIter.next()
       val lKey = lKeyProj(l)
+      var matched = false
       if (!lKey.anyNull) {
         val lTsRow = lTsProj(l)
         if (!lTsRow.isNullAt(0)) {
@@ -221,9 +237,16 @@ private final class AsofMergeIterator(
           }
           if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0) {
             pending = resultProj(joined(l, lastMatch))
-            return true
+            matched = true
           }
         }
+      }
+      if (matched) return true
+      if (leftOuter) {
+        // LEFT semantics: an unmatched left row — including null key/ts,
+        // where the as-of predicate simply fails — emits null right columns
+        pending = resultProj(joined(l, nullRight))
+        return true
       }
     }
     false

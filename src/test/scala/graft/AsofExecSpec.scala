@@ -91,6 +91,34 @@ class AsofExecSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("asof exec left-outer: unmatched and null-key/ts left rows emit null right") {
+    val out = AsofJoin.asof(leftDf, rightDf, Seq("key"), "ts", "rts", leftOuter = true)
+      .select(col("id"), col("payload"))
+    val got = out.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val outerExpected: Set[(Long, Option[String])] =
+      expected.map { case (id, p) => (id, Option(p)) } ++
+        Set(3L, 6L, 7L, 8L).map(id => (id, None: Option[String]))
+    assert(got === outerExpected)
+  }
+
+  test("asof exec with a composite key") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, "a", 1, ts("2024-01-01 10:00:00")),
+      (2L, "a", 2, ts("2024-01-01 10:00:00")), // same name, different shard
+      (3L, "b", 1, ts("2024-01-01 10:00:00"))
+    ).toDF("id", "k1", "k2", "ts")
+    val r = Seq(
+      ("a", 1, ts("2024-01-01 09:00:00"), "a1"),
+      ("a", 2, ts("2024-01-01 09:30:00"), "a2"),
+      ("b", 2, ts("2024-01-01 09:00:00"), "b2") // wrong shard for left (b,1)
+    ).toDF("k1", "k2", "rts", "payload")
+    val got = AsofJoin.asof(l, r, Seq("k1", "k2"), "ts", "rts")
+      .select($"id", $"payload").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(got === Set((1L, "a1"), (2L, "a2")))
+  }
+
   test("asof exec registration agrees with the window formulation on real events") {
     val events = sources.Tables.events(spark, "/root/testdata/sf0.001")
     val viaExec = operators.AsOf.purchaseAttributionExec(events)
