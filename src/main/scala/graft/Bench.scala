@@ -40,8 +40,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // graft optimizer extensions: textbook-cosine fusion + cosine pre-norm
     // pushdown below joins (bit-exact; CosinePrenormSpec)
-    spark.experimental.extraOptimizations = spark.experimental.extraOptimizations ++
-      Seq(graft.functions.CosineFusionRule, graft.functions.CosinePrenormRule)
+    graft.functions.GraftFunctions.registerOptimizerRules(spark)
     // pack_builder's offsets window (≤ numShufflePartitions rows, whitelisted
     // structurally in PlanAuditSpec) triggers WindowExec's "No Partition
     // Defined" warning on every run — benign but it floods the bench log, so

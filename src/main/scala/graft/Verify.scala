@@ -20,8 +20,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // same optimizer extensions as Bench: the hash gate verifies the exact
     // plans the bench measures (fusion + prenorm are bit-exact by spec)
-    spark.experimental.extraOptimizations = spark.experimental.extraOptimizations ++
-      Seq(graft.functions.CosineFusionRule, graft.functions.CosinePrenormRule)
+    graft.functions.GraftFunctions.registerOptimizerRules(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

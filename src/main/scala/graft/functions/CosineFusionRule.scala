@@ -15,6 +15,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * is bit-exact because CosineSimFF accumulates the three sums in the same
   * left-to-right double-precision order as the composed form.
   *
+  * The degenerate case agrees as well: for a zero-norm (or empty) vector
+  * the composed form's Divide returns NULL on the zero divisor, and
+  * CosineSimFF yields NULL there too (as does DuckDB's division) — so the
+  * rewrite changes nothing even off the embedding-table contract.
+  *
   * Registered via [[GraftExtensions]] (`injectOptimizerRule`) for new
   * sessions, or `spark.experimental.extraOptimizations` on a live one.
   */

@@ -22,7 +22,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * left-to-right double loop; the rewritten form computes the same three
   * sums in the same element order and combines them with the identical
   * `dot / (sqrt(na) * sqrt(nb))` expression, so results are bit-identical
-  * — PROVIDED the two arrays have equal length. For ragged pairs
+  * — PROVIDED the two arrays have equal length. Zero-norm vectors agree
+  * too: Divide's zero-divisor NULL is the kernel's own degenerate-case
+  * semantics (CosineSimFF yields NULL, matching DuckDB's division). For ragged pairs
   * CosineSimFF truncates its norms to the shorter length while the
   * pushed-down norms cover each full array; vector columns are
   * fixed-dimension by the embedding-table contract (TableContractSpec),
@@ -101,6 +103,9 @@ object CosinePrenormRule extends Rule[LogicalPlan] {
       case c: CosineSimFF =>
         split(c, join) match {
           case Some((l, r)) =>
+            // zero-norm vectors: Divide's zero-divisor NULL is exactly the
+            // kernel's own semantics (CosineSimFF yields NULL there too),
+            // so the rewrite is bit-identical in the degenerate case as well
             Divide(
               DotProductFF(c.left, c.right),
               Multiply(normFor(leftNorms, l), normFor(rightNorms, r),

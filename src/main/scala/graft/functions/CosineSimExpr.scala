@@ -10,12 +10,18 @@ import org.apache.spark.sql.types._
   * three array traversals collapsed into one tight codegen loop. Arithmetic
   * is identical to `dot(a,b)/(sqrt(dot(a,a))·sqrt(dot(b,b)))` (sequential
   * left-to-right double sums), so results stay bit-identical to the
-  * composed form and the DuckDB oracle.
+  * composed form and the DuckDB oracle — INCLUDING the degenerate case:
+  * a zero-norm (or empty) vector yields NULL, exactly as Catalyst's
+  * Divide and DuckDB's double division treat a zero divisor (raw IEEE
+  * 0/0 would give NaN, which neither engine's SQL division produces).
   */
 case class CosineSimFF(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // may return NULL for a zero-norm vector even over non-null inputs
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -48,7 +54,8 @@ case class CosineSimFF(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -62,6 +69,7 @@ case class CosineSimFF(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
@@ -70,7 +78,12 @@ case class CosineSimFF(left: Expression, right: Expression)
          |  double $y = (double) $b.$rGet($i);
          |  $d += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $d / $denom;
+         |}
        """.stripMargin
     })
   }

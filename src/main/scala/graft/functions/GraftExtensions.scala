@@ -24,13 +24,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimFF].getName, "cosine_sim"),
       GraftFunctions.cosineSimBuilder))
-    ext.injectOptimizerRule(_ => CosineFusionRule)
-    ext.injectOptimizerRule(_ => CosinePrenormRule)
+    GraftFunctions.optimizerRules.foreach(r => ext.injectOptimizerRule(_ => r))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 
 object GraftFunctions {
+  /** The optimizer rules [[GraftExtensions]] injects — the ONE list that
+    * bench/verify/plan-audit/plan-snapshot sessions register post-
+    * construction, so the plans those surfaces measure, hash, audit, and
+    * snapshot can never drift from each other by a missed call site. */
+  val optimizerRules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    Seq(CosineFusionRule, CosinePrenormRule)
+
+  /** Register [[optimizerRules]] on a RUNNING session (extensions only
+    * apply at construction); idempotent. */
+  def registerOptimizerRules(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      cur ++ optimizerRules.filterNot(cur.contains)
+  }
+
   val dotProductBuilder
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] => DotProductFF = { children =>
     require(children.length == 2, "dot_product expects exactly 2 arguments")

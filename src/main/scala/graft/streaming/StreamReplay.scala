@@ -48,7 +48,12 @@ object StreamReplay {
       if (java.nio.file.Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val d = java.nio.file.Files.createTempDirectory(base, "graft-replay-ckpt-")
-    d.toFile.deleteOnExit()
+    // a shutdown hook, NOT File.deleteOnExit: the root still holds the
+    // staged-source cache at exit, and deleteOnExit cannot remove a
+    // non-empty directory — on tmpfs that would leak RAM-backed files
+    // across JVM runs until reboot
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(d) catch { case _: Throwable => () }))
     d
   }
 

@@ -51,6 +51,28 @@ class CosinePrenormSpec extends SparkSpec {
     assert(baseline.toSet == rewritten.toSet, "prenorm rewrite changed results")
   }
 
+  test("zero-norm vectors yield NULL identically with the rule on and off") {
+    import spark.implicits._
+    val l = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("lid", "lv")
+    val r = Seq((10L, Array(0.0f, 1.0f)), (11L, Array(0.0f, 0.0f)),
+        (12L, Array[Float]()))
+      .toDF("rid", "rv")
+    def scored = l.crossJoin(r)
+      .select($"lid", $"rid", VectorOps.cosine($"lv", $"rv").as("cos"))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(x => (x.getLong(0), x.getLong(1)) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    val off = asMap(scored.collect())
+    val on = withRule(asMap(scored.collect()))
+    assert(off === on, "rule-on and rule-off disagree on degenerate vectors")
+    // every pair touching a zero-norm or empty vector is NULL (the Divide /
+    // kernel / DuckDB zero-divisor convention), the one real pair is not
+    assert(off((2L, 10L)).contains(0.0))
+    assert(off.removed((2L, 10L)).values.forall(_.isEmpty),
+      s"zero-norm pairs must be NULL: $off")
+  }
+
   test("cosine confined to one side is left untouched") {
     val emb = Tables.embeddings(spark, dir)
     val scored = emb.select(col("vec_id"),

@@ -62,7 +62,7 @@ class PlanAuditSpec extends SparkSpec {
     * plans that actually execute; scoped add/remove keeps the shared spec
     * session clean for other suites. */
   private def auditAll(check: (String, org.apache.spark.sql.DataFrame) => Option[String]): Unit = {
-    val rules = Seq(graft.functions.CosineFusionRule, graft.functions.CosinePrenormRule)
+    val rules = graft.functions.GraftFunctions.optimizerRules
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations ++ rules
     try {

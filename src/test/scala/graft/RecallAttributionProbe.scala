@@ -19,8 +19,7 @@ object RecallAttributionProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 1 && args(1) == "rules")
-      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations ++
-        Seq(graft.functions.CosineFusionRule, graft.functions.CosinePrenormRule)
+      graft.functions.GraftFunctions.registerOptimizerRules(spark)
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     def exact = Search.knnJoin(emb, nProbes = 10, k = 3)
     val entries: Seq[(String, () => Double)] = Seq(
