@@ -19,7 +19,11 @@ import org.apache.spark.sql.graftbridge.Bridge
   * event queries compose by hand): for each left row, the single right row
   * with the same key and the greatest ts ≤ the left ts. NULL keys and NULL
   * timestamps never match. Inner (default) drops unmatched left rows;
-  * `leftOuter` emits them with null right columns.
+  * `leftOuter` emits them with null right columns. Among right rows TIED
+  * on (key, ts) the retained row is unspecified — the SQL ASOF contract
+  * (DuckDB likewise picks an arbitrary tie); pre-aggregate the right side
+  * to one row per (key, ts) for a deterministic result (as the registered
+  * attribution queries do).
   *
   * Why an exec node and not the window composition ([[graft.operators.AsOf
   * .purchaseAttribution]] keeps that formulation): the window trick carries
