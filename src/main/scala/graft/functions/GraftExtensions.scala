@@ -39,12 +39,16 @@ object GraftFunctions {
     Seq(CosineFusionRule, CosinePrenormRule)
 
   /** Register [[optimizerRules]] on a RUNNING session (extensions only
-    * apply at construction); idempotent. */
-  def registerOptimizerRules(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations =
-      cur ++ optimizerRules.filterNot(cur.contains)
-  }
+    * apply at construction); idempotent, and synchronized like
+    * [[graft.plans.AsofJoin.ensureStrategy]] — extraOptimizations is a
+    * plain var, so an unsynchronized read-modify-write from two threads
+    * sharing a getOrCreate session could drop a rule. */
+  def registerOptimizerRules(spark: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      val cur = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations =
+        cur ++ optimizerRules.filterNot(cur.contains)
+    }
 
   val dotProductBuilder
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] => DotProductFF = { children =>

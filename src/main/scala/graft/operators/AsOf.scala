@@ -58,9 +58,26 @@ object AsOf {
     * as-of match is unique and the result is deterministic under any
     * partitioning. One shuffle per side, single-pass merge — the plan a
     * temporal engine builds natively. */
-  def purchaseAttributionExec(events: DataFrame): DataFrame = {
+  def purchaseAttributionExec(events: DataFrame): DataFrame =
+    attributionViaExec(events, leftOuter = false, includeValue = true)
+
+  /** LEFT variant: every purchase emits, unattributed ones with null click
+    * columns — the coverage-accounting shape (what fraction of purchases
+    * have a prior click) the inner form cannot answer. Same single-merge
+    * plan; only the unmatched-row policy differs. */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame =
+    attributionViaExec(events, leftOuter = true, includeValue = false)
+
+  /** The one purchase/click attribution pipeline both registered exec
+    * queries share — inner/outer and the value payload are the only knobs,
+    * so the two variants cannot drift. */
+  private def attributionViaExec(events: DataFrame, leftOuter: Boolean,
+                                 includeValue: Boolean): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
+    val aggs = max(col("event_id")).as("click_id") +:
+      (if (includeValue) Seq(max_by(col("value"), col("event_id")).as("click_value"))
+       else Nil)
     val clicks = events.filter(col("event_type") === "click")
       // one exchange, not two: hash on user_id alone satisfies BOTH the
       // (user, ts) aggregate's clustering (a subset partitioning co-locates
@@ -68,63 +85,42 @@ object AsOf {
       // so the aggregate output flows into the merge with only a sort
       .repartition(col("user_id"))
       .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .agg(max(col("event_id")).as("click_id"),
-        max_by(col("value"), col("event_id")).as("click_value"))
-      .select(col("c_user").as("user_id"), col("c_ts"), col("click_id"), col("click_value"))
-    graft.plans.AsofJoin.asof(
-        purchases, clicks, on = Seq("user_id"), leftTsCol = "ts", rightTsCol = "c_ts")
-      .select(
-        col("event_id"), purchases("user_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
-        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
-        col("click_id"), col("click_value"))
-  }
-
-  /** LEFT variant: every purchase emits, unattributed ones with null click
-    * columns — the coverage-accounting shape (what fraction of purchases
-    * have a prior click) the inner form cannot answer. Same single-merge
-    * plan; only the unmatched-row policy differs. */
-  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val clicks = events.filter(col("event_type") === "click")
-      .repartition(col("user_id"))
-      .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .agg(max(col("event_id")).as("click_id"))
-      .select(col("c_user").as("user_id"), col("c_ts"), col("click_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("c_user", "user_id")
+    val outCols = Seq(
+      col("event_id"), purchases("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+      date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+      col("click_id")) ++ (if (includeValue) Seq(col("click_value")) else Nil)
     graft.plans.AsofJoin.asof(
         purchases, clicks, on = Seq("user_id"), leftTsCol = "ts", rightTsCol = "c_ts",
-        leftOuter = true)
-      .select(
-        col("event_id"), purchases("user_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
-        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
-        col("click_id"))
+        leftOuter = leftOuter)
+      .select(outCols: _*)
   }
 
-  val purchaseAttributionOuterSql: String =
-    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, ts AS c_ts, MAX(event_id) AS click_id
-      |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
-      |SELECT p.event_id, p.user_id,
-      |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
-      |strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
-      |c.click_id
-      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.c_ts""".stripMargin
+  /** Oracles: DuckDB's native ASOF [LEFT] JOIN against the same
+    * deduplicated click table — an independent engine's implementation of
+    * the identical semantics, payload included. One builder, same knobs as
+    * [[attributionViaExec]], so Scala and SQL cannot drift either. */
+  private def attributionSql(leftOuter: Boolean, includeValue: Boolean): String = {
+    val valueAgg = if (includeValue) ",\n             MAX_BY(value, event_id) AS click_value" else ""
+    val valueCol = if (includeValue) ", c.click_value" else ""
+    val joinKind = if (leftOuter) "ASOF LEFT JOIN" else "ASOF JOIN"
+    s"""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, ts AS c_ts, MAX(event_id) AS click_id$valueAgg
+       |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+       |SELECT p.event_id, p.user_id,
+       |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+       |strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+       |c.click_id$valueCol
+       |FROM p $joinKind c ON p.user_id = c.user_id AND p.ts >= c.c_ts""".stripMargin
+  }
 
-  /** Oracle: DuckDB's native ASOF JOIN against the same deduplicated click
-    * table — an independent engine's implementation of the identical
-    * semantics, payload included. */
   val purchaseAttributionExecSql: String =
-    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, ts AS c_ts, MAX(event_id) AS click_id,
-      |             MAX_BY(value, event_id) AS click_value
-      |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
-      |SELECT p.event_id, p.user_id,
-      |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
-      |strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
-      |c.click_id, c.click_value
-      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.c_ts""".stripMargin
+    attributionSql(leftOuter = false, includeValue = true)
+
+  val purchaseAttributionOuterSql: String =
+    attributionSql(leftOuter = true, includeValue = false)
 
   /** Price bands for the range join: (label, lo inclusive, hi exclusive). */
   val PriceBands: Seq[(String, Double, Double)] = Seq(
