@@ -297,6 +297,7 @@ object SparkEntry {
     "stream_spike" -> ((s, d) => graft.streaming.StreamReplay.streamSpike(s, d)),
     "stream_join" -> ((s, d) => graft.streaming.StreamReplay.streamJoin(s, d)),
     "stream_asof" -> ((s, d) => graft.streaming.StreamReplay.streamAsof(s, d)),
+    "stream_asof_outer" -> ((s, d) => graft.streaming.StreamReplay.streamAsofOuter(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (column names aligned with the
@@ -563,6 +564,7 @@ object SparkEntry {
     "stream_spike" -> graft.streaming.StreamReplay.streamSpikeSql,
     "stream_join" -> graft.streaming.StreamReplay.streamJoinSql,
     "stream_asof" -> graft.streaming.StreamReplay.streamAsofSql,
+    "stream_asof_outer" -> graft.streaming.StreamReplay.streamAsofOuterSql,
     "embed_pool" -> Embedding.meanPoolSql,
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,

@@ -468,6 +468,24 @@ object StreamReplay {
       |epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms, c.click_id, c.click_value
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** LEFT twin of [[streamAsof]]: never-clicked purchases emit null
+    * attributions (final at processing time on a time-ordered feed — see
+    * Streams.streamingAsofOuter); oracle = the batch ASOF LEFT JOIN. */
+  def streamAsofOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    replay[Event](spark, s"stream_asof_outer:$dir", quartersTsAligned(ev),
+      df => Streams.streamingAsofOuter(df.as[Event]).toDF())
+  }
+
+  val streamAsofOuterSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms, c.click_id
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
   /** Trending terms over a deterministic timestamped document feed
     * (doc_id minutes past a fixed origin → a few tumbling hours). */
   def streamTrending(spark: SparkSession, dir: String): DataFrame = {

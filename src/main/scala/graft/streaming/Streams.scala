@@ -225,6 +225,8 @@ object Streams {
 
   case class AsofOut(purchase_id: Long, user_id: Long, p_ms: Long, c_ms: Long,
                      click_id: Long, click_value: Double)
+  case class AsofOuterOut(purchase_id: Long, user_id: Long, p_ms: Long,
+                          c_ms: Option[Long], click_id: Option[Long])
 
   /** Streaming as-of join — the incremental form of [[graft.plans
     * .AsofJoinExec]]'s batch semantics: each purchase is attributed to the
@@ -257,6 +259,44 @@ object Streams {
           best.foreach { case (cms, cid, cv) =>
             out += AsofOut(e.event_id, userId, e.ts.getTime, cms, cid, cv)
           }
+        }
+      }
+      best.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** LEFT variant of [[streamingAsof]]: a never-clicked purchase emits a
+    * null attribution IMMEDIATELY — on a time-ordered feed that decision is
+    * final at processing time (any later click carries a later ts, which
+    * can never be at-or-before this purchase), so no timeout or watermark
+    * is needed; an out-of-order production feed would instead hold the
+    * purchase in state under an event-time timeout and emit on watermark
+    * expiry. Same O(1) state cell; the oracle is the batch ASOF LEFT JOIN. */
+  def streamingAsofOuter(events: Dataset[Event]): Dataset[AsofOuterOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event],
+           state: GroupState[(Long, Long, Double)]): Iterator[AsofOuterOut] = {
+      val sorted = batch.toSeq.sortBy(e =>
+        (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+      var best = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer[AsofOuterOut]()
+      sorted.foreach { e =>
+        if (e.event_type == "click") {
+          best = Some((e.ts.getTime, e.event_id, e.value))
+        } else if (e.event_type == "purchase") {
+          out += (best match {
+            case Some((cms, cid, _)) =>
+              AsofOuterOut(e.event_id, userId, e.ts.getTime, Some(cms), Some(cid))
+            case None =>
+              AsofOuterOut(e.event_id, userId, e.ts.getTime, None, None)
+          })
         }
       }
       best.foreach(state.update)

@@ -210,6 +210,26 @@ class StreamingSpec extends SparkSpec {
     )) // purchase 12 (no prior click) must not emit
   }
 
+  test("streaming outer as-of emits null attribution immediately for never-clicked purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, uid: Long, typ: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), uid, typ, v)
+    val input = MemoryStream[Event]
+    val q = Streams.streamingAsofOuter(input.toDS())
+      .writeStream.format("memory").queryName("asof_outer")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      ev(1, "2024-01-01 09:00:00", 1, "purchase", 0.0), // no prior click: null NOW
+      ev(2, "2024-01-01 09:30:00", 1, "click", 5.0))
+    q.processAllAvailable()
+    input.addData(ev(3, "2024-01-01 10:00:00", 1, "purchase", 0.0)) // cross-batch match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("asof_outer")
+      .select("purchase_id", "click_id").as[(Long, Option[Long])].collect().toSet
+    assert(rows == Set((1L, None), (3L, Some(2L))))
+  }
+
   test("streaming upsert resolves inserts/updates/deletes and flags stale replays") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Upsert]
