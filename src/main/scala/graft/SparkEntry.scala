@@ -215,6 +215,7 @@ object SparkEntry {
       GraphOps.degreeDistribution(Tables.orders(s, d), Tables.lineitem(s, d))),
     "event_dedup" -> ((s, d) => Relational.eventDedup(Tables.events(s, d))),
     "quantile_hist" -> ((s, d) => Relational.quantileHist(Tables.events(s, d))),
+    "moments_sketch" -> ((s, d) => Moments.momentsSketch(Tables.lineitem(s, d))),
     "path_mining" -> ((s, d) => Relational.pathMining(Tables.events(s, d))),
     "q_ntile" -> ((s, d) => Relational.custQuartiles(Tables.customer(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.orderGroupingSets(Tables.orders(s, d))),
@@ -523,6 +524,7 @@ object SparkEntry {
     "term_drift" -> TermStats.termDriftSql(),
     "winnow_matches" -> Winnow.winnowMatchesSql(),
     "quantile_hist" -> Relational.quantileHistSql(),
+    "moments_sketch" -> Moments.momentsSketchSql,
     "path_mining" -> Relational.pathMiningSql(),
     "q_ntile" -> Relational.custQuartilesSql,
     "graph_pagerank" -> GraphOps.pageRankSql(),
