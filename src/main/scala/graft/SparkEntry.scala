@@ -299,6 +299,7 @@ object SparkEntry {
     "stream_join" -> ((s, d) => graft.streaming.StreamReplay.streamJoin(s, d)),
     "stream_asof" -> ((s, d) => graft.streaming.StreamReplay.streamAsof(s, d)),
     "stream_asof_outer" -> ((s, d) => graft.streaming.StreamReplay.streamAsofOuter(s, d)),
+    "stream_asof_ooo" -> ((s, d) => graft.streaming.StreamReplay.streamAsofOoo(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (column names aligned with the
@@ -567,6 +568,7 @@ object SparkEntry {
     "stream_join" -> graft.streaming.StreamReplay.streamJoinSql,
     "stream_asof" -> graft.streaming.StreamReplay.streamAsofSql,
     "stream_asof_outer" -> graft.streaming.StreamReplay.streamAsofOuterSql,
+    "stream_asof_ooo" -> graft.streaming.StreamReplay.streamAsofOooSql,
     "embed_pool" -> Embedding.meanPoolSql,
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,

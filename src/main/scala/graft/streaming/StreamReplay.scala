@@ -468,6 +468,38 @@ object StreamReplay {
       |epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms, c.click_id, c.click_value
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** Out-of-order as-of replay: delivery order is ts + a deterministic
+    * ±30 min jitter (keyed on event_id), so clicks routinely arrive AFTER
+    * the purchases they must attribute — the arrival pattern
+    * [[Streams.streamingAsofOoo]]'s watermark/event-time-timeout machinery
+    * exists for, which the time-ordered streamAsof script never exercises.
+    * The 2 h watermark delay dominates the 30 min disorder with margin, so
+    * no row is watermark-late (the operator's retention contract); batches
+    * slice the JITTERED order, and a far-future doubled flush advances the
+    * watermark so every pending purchase emits (the second flush batch runs
+    * WITH the advanced watermark — where the event-time timeouts of all
+    * quiet users fire). Emitted content is watermark-independent, so the
+    * oracle is the SAME batch ASOF SQL as streamAsof. */
+  def streamAsofOoo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    val jittered = ev.sortBy { e =>
+      // floorMod: stress-tier event_ids overflow the multiply, and a plain
+      // % would widen the jitter range past the watermark's margin
+      val j = math.floorMod(e.event_id * 2654435761L, 61L) - 30L // ±30 min
+      (e.ts.getTime + j * 60000L, e.event_id)
+    }
+    // double gap: the watermark lands at flushTs − 2 h and ripeness is
+    // STRICT (wm > p.ts) — a single gap would leave the last-instant
+    // purchase pending forever
+    val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + 2 * FlushGapMs), -1L, "__flush", 0.0)
+    replay[Event](spark, s"stream_asof_ooo:$dir",
+      quarters(jittered) :+ Seq(flush) :+ Seq(flush),
+      df => Streams.streamingAsofOoo(df.as[Event]).toDF())
+  }
+
+  val streamAsofOooSql: String = streamAsofSql
+
   /** LEFT twin of [[streamAsof]]: never-clicked purchases emit null
     * attributions (final at processing time on a time-ordered feed — see
     * Streams.streamingAsofOuter); oracle = the batch ASOF LEFT JOIN. */

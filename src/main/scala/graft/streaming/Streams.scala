@@ -227,6 +227,12 @@ object Streams {
                      click_id: Long, click_value: Double)
   case class AsofOuterOut(purchase_id: Long, user_id: Long, p_ms: Long,
                           c_ms: Option[Long], click_id: Option[Long])
+  /** streamingAsofOoo state: the single latest click strictly below the
+    * emission frontier, plus the in-disorder-window click and purchase
+    * buffers — bounded by the watermark delay, never by history. */
+  case class AsofOooState(oldClick: Option[(Long, Long, Double)],
+                          clicks: List[(Long, Long, Double)],
+                          pending: List[(Long, Long)])
 
   /** Streaming as-of join — the incremental form of [[graft.plans
     * .AsofJoinExec]]'s batch semantics: each purchase is attributed to the
@@ -269,6 +275,81 @@ object Streams {
       .filter(e => e.event_type == "click" || e.event_type == "purchase")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** As-of attribution over an OUT-OF-ORDER feed — the production form of
+    * [[streamingAsof]], which requires time-ordered arrival. Here a click
+    * may arrive AFTER the purchase it should attribute (bounded by the
+    * watermark delay), so a purchase cannot be resolved on sight: it waits
+    * in state until the watermark passes its timestamp — at that point no
+    * click at-or-before it can still arrive — and emits then, either in a
+    * later data batch for its user or via EVENT-TIME TIMEOUT when the user
+    * goes quiet (`GroupStateTimeout.EventTimeTimeout` +
+    * `state.setTimeoutTimestamp`: the watermark, not data, drives the
+    * flush). State per user is watermark-bounded, never history-bounded:
+    * the purchases and clicks inside the disorder window, plus ONE
+    * latest-older click (the only pre-window row a future purchase can
+    * need — every future purchase has ts ≥ the frontier, and its match is
+    * either a buffered click or exactly that latest older one). Emitted
+    * CONTENT is watermark-independent — which batch emits varies with
+    * slicing, but each purchase's match is fixed by the event set, so the
+    * run-to-completion output equals the batch ASOF join and the oracle is
+    * the SAME SQL. Requires `withWatermark` on ts upstream (the replay and
+    * spec attach it); input rows later than the watermark would break the
+    * retention argument and must be excluded by the watermark contract. */
+  def streamingAsofOoo(events: Dataset[Event],
+                       watermarkDelay: String = "2 hours"): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event],
+           state: GroupState[AsofOooState]): Iterator[AsofOut] = {
+      val st0 = state.getOption.getOrElse(AsofOooState(None, Nil, Nil))
+      var oldClick = st0.oldClick
+      var clicks = st0.clicks
+      var pending = st0.pending
+      batch.foreach { e =>
+        if (e.event_type == "click")
+          clicks ::= ((e.ts.getTime, e.event_id, e.value))
+        else if (e.event_type == "purchase")
+          pending ::= ((e.ts.getTime, e.event_id))
+      }
+      val wm = state.getCurrentWatermarkMs()
+      // resolve every purchase the watermark has passed: its click set is
+      // complete. Deterministic regardless of arrival interleaving.
+      val (ripe, stillPending) = pending.partition(_._1 < wm)
+      val out = ripe.sortBy(p => (p._1, p._2)).flatMap { case (pms, pid) =>
+        val candidates = clicks.filter(_._1 <= pms) ++ oldClick.filter(_._1 <= pms)
+        if (candidates.isEmpty) Nil // inner semantics: never-clicked drops
+        else {
+          val (cms, cid, cv) = candidates.maxBy(c => (c._1, c._2))
+          Seq(AsofOut(pid, userId, pms, cms, cid, cv))
+        }
+      }
+      // prune clicks below the frontier, keeping the single latest one
+      val frontier = (wm +: stillPending.map(_._1)).min
+      val (live, old) = clicks.partition(_._1 >= frontier)
+      val latestOld = (old ++ oldClick.toList) match {
+        case Nil => None
+        case xs => Some(xs.maxBy(c => (c._1, c._2)))
+      }
+      pending = stillPending
+      clicks = live
+      oldClick = latestOld
+      if (pending.nonEmpty || clicks.nonEmpty || oldClick.nonEmpty) {
+        state.update(AsofOooState(oldClick, clicks, pending))
+        if (pending.nonEmpty)
+          // fire when the watermark passes the oldest unresolved purchase
+          // (must be strictly beyond the current watermark)
+          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+      } else state.remove()
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
   /** LEFT variant of [[streamingAsof]]: a never-clicked purchase emits a

@@ -230,6 +230,43 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, None), (3L, Some(2L))))
   }
 
+  test("out-of-order as-of: a late-arriving click still wins; timeout flushes quiet users") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, uid: Long, typ: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), uid, typ, v)
+    val input = MemoryStream[Event]
+    val q = Streams.streamingAsofOoo(input.toDS(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("asof_ooo")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: the purchase arrives BEFORE the click that must attribute it
+    input.addData(
+      ev(10, "2024-01-01 09:30:00", 1, "purchase", 0.0),
+      ev(11, "2024-01-01 08:00:00", 2, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: the out-of-order click (earlier ts than purchase 10) lands
+    // late; user 2's purchase arrives and user 2 then goes quiet
+    input.addData(
+      ev(12, "2024-01-01 09:00:00", 1, "click", 7.0),
+      ev(13, "2024-01-01 08:30:00", 2, "purchase", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("asof_ooo").isEmpty,
+      "nothing may emit before the watermark passes the purchases")
+    // batch 3: far-future event for user 1 only — advances the watermark;
+    // user 2 has NO data, so its flush can only come from EventTimeTimeout
+    input.addData(ev(14, "2024-01-02 12:00:00", 1, "click", 9.0))
+    q.processAllAvailable()
+    // one more batch so the new watermark's timeouts fire
+    input.addData(ev(15, "2024-01-02 13:00:00", 1, "click", 9.5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("asof_ooo")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set(
+      (10L, 12L), // attributed to the click that arrived AFTER it
+      (13L, 11L)  // flushed by event-time timeout, not by user-2 data
+    ), s"got $rows")
+  }
+
   test("streaming upsert resolves inserts/updates/deletes and flags stale replays") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Upsert]
