@@ -887,6 +887,10 @@ object GraphOps {
     * Each iteration = two join+agg rounds materialized, same shuffle shape
     * as pageRank: linear in |edges|, no skew (bipartite keys). */
   def hits(lineitem: DataFrame, iters: Int = 5): DataFrame = {
+    // the final auth normalization dereferences the last round's raw
+    // authority table — zero iterations has no such table (and no defined
+    // HITS result), so fail fast instead of NPE-ing at plan build
+    require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val e = lineitem.select(
       (col("l_suppkey") + SuppBase).as("src"),
       (col("l_partkey") + PartBase).as("dst")).distinct().materialize
@@ -900,10 +904,10 @@ object GraphOps {
     // |nodes| per round.
     def dec(c: org.apache.spark.sql.Column) =
       c.cast("string").cast("decimal(38,18)")
-    def lInfNorm(raw0: DataFrame, key: String, out: String): DataFrame = {
-      // raw is consumed twice (max agg + the normalize scan) — cache it or
-      // the whole join+agg half-round executes twice
-      val raw = raw0.persist()
+    // raw is consumed twice (max agg + the normalize scan) — the CALLER
+    // persists it first (and unpersists it once the normalized output is
+    // materialized) or the whole join+agg half-round executes twice
+    def lInfNorm(raw: DataFrame, key: String, out: String): DataFrame = {
       val m = raw.agg(max(col("raw")).as("m"))
       raw.crossJoin(broadcast(m))
         .select(col(key).as("node"), (col("raw") / col("m")).as(out))
@@ -911,6 +915,7 @@ object GraphOps {
     var hub = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("hub")).materialize
     var authRaw: DataFrame = null
+    var prevHr: DataFrame = null
     for (_ <- 1 to iters) {
       // the rank vectors are bounded by the node sets — broadcast them so
       // the edge table is never re-shuffled for the join; the only
@@ -928,11 +933,20 @@ object GraphOps {
       val authD = authRaw.select(col("dst").as("node"), dec(col("raw")).as("d"))
       val hr = e.join(broadcast(authD), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("d")).cast("string").cast("double").as("raw"))
+        .persist()
       hub = lInfNorm(hr, "src", "hub").materialize
+      // hub is materialized (localCheckpoint is eager) — the round's raw
+      // table is superseded and its cache blocks can go; without this every
+      // round's raw frame stayed pinned in executor memory for the life of
+      // the session
+      if (prevHr != null) prevHr.unpersist(blocking = false)
+      prevHr = hr
     }
-    // the final (only) auth normalization; lInfNorm persists the raw table,
-    // so the one extra edge join+agg here is the whole recompute cost
-    val auth = lInfNorm(authRaw, "dst", "auth")
+    if (prevHr != null) prevHr.unpersist(blocking = false)
+    // the final (only) auth normalization; the caller-side persist keeps
+    // the one extra edge join+agg here as the whole recompute cost (this
+    // last cache backs the RETURNED lazy plan, so it outlives the loop)
+    val auth = lInfNorm(authRaw.persist(), "dst", "auth")
     auth.select(lit("part").as("node_type"), col("node").as("node_id"),
         col("auth").as("score"))
       .unionAll(hub.select(lit("supplier").as("node_type"), col("node").as("node_id"),

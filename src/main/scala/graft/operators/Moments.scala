@@ -53,10 +53,15 @@ object Moments {
         d(sum(dec(col("x4")))).as("s4"),
         min(col("price")).as("min_price"),
         max(col("price")).as("max_price"))
-    // fixed-order double arithmetic below — mirrored verbatim in the oracle
+    // fixed-order double arithmetic below — mirrored verbatim in the oracle.
+    // m2 is clamped at 0: E[x²]−m1² can cancel slightly NEGATIVE in doubles
+    // for a near-constant group, and sqrt of that is NaN — which would
+    // poison std/skewness/kurtosis/cf_p95 (both engines would mirror the
+    // NaN, so the hash gate can't catch it; the clamp makes the output
+    // meaningful instead of merely reproducible)
     val nD = col("n").cast("double")
     val m1 = col("s1") / nD
-    val m2 = col("s2") / nD - col("m1") * col("m1")
+    val m2 = greatest(col("s2") / nD - col("m1") * col("m1"), lit(0.0))
     val m3 = col("s3") / nD - lit(3.0) * col("m1") * (col("s2") / nD) +
       lit(2.0) * col("m1") * col("m1") * col("m1")
     val m4 = col("s4") / nD - lit(4.0) * col("m1") * (col("s3") / nD) +
@@ -73,8 +78,13 @@ object Moments {
       .withColumn("m3", m3)
       .withColumn("m4", m4)
       .withColumn("std_s", sqrt(col("m2")))
-      .withColumn("skewness", col("m3") / (col("std_s") * col("std_s") * col("std_s")))
-      .withColumn("kurtosis_ex", col("m4") / (col("m2") * col("m2")) - lit(3.0))
+      // shape moments are undefined for a constant group (zero variance):
+      // guard the divisors — NULL beats an ANSI divide-by-zero error, and
+      // the degenerate cf_p95 is exactly the constant itself (the mean)
+      .withColumn("skewness", when(col("std_s") > 0,
+        col("m3") / (col("std_s") * col("std_s") * col("std_s"))))
+      .withColumn("kurtosis_ex", when(col("std_s") > 0,
+        col("m4") / (col("m2") * col("m2")) - lit(3.0)))
       .withColumn("cf_w", w)
       .select(
         col("l_returnflag"), col("l_linestatus"), col("n"),
@@ -83,7 +93,9 @@ object Moments {
         (col("m1") * lit(100000.0)).as("mean_price"),
         (col("std_s") * lit(100000.0)).as("std_price"),
         col("skewness"), col("kurtosis_ex"),
-        (col("m1") * lit(100000.0) + col("std_s") * lit(100000.0) * col("cf_w"))
+        when(col("std_s") > 0,
+          col("m1") * lit(100000.0) + col("std_s") * lit(100000.0) * col("cf_w"))
+          .otherwise(col("m1") * lit(100000.0))
           .as("cf_p95"),
         col("min_price"), col("max_price"))
   }
@@ -112,7 +124,7 @@ object Moments {
        |  SELECT *, s1 / CAST(n AS DOUBLE) AS m1 FROM a),
        |c AS (
        |  SELECT *,
-       |    s2 / CAST(n AS DOUBLE) - m1 * m1 AS m2,
+       |    greatest(s2 / CAST(n AS DOUBLE) - m1 * m1, 0.0) AS m2,
        |    s3 / CAST(n AS DOUBLE) - 3.0 * m1 * (s2 / CAST(n AS DOUBLE))
        |      + 2.0 * m1 * m1 * m1 AS m3,
        |    s4 / CAST(n AS DOUBLE) - 4.0 * m1 * (s3 / CAST(n AS DOUBLE))
@@ -123,8 +135,8 @@ object Moments {
        |  SELECT *, sqrt(m2) AS std_s FROM c),
        |k AS (
        |  SELECT *,
-       |    m3 / ((std_s * std_s) * std_s) AS skewness,
-       |    m4 / (m2 * m2) - 3.0 AS kurtosis_ex
+       |    CASE WHEN std_s > 0 THEN m3 / ((std_s * std_s) * std_s) END AS skewness,
+       |    CASE WHEN std_s > 0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_ex
        |  FROM s),
        |w AS (
        |  SELECT *,
@@ -137,7 +149,9 @@ object Moments {
        |  m1 * 100000.0 AS mean_price,
        |  std_s * 100000.0 AS std_price,
        |  skewness, kurtosis_ex,
-       |  m1 * 100000.0 + (std_s * 100000.0) * cf_w AS cf_p95,
+       |  CASE WHEN std_s > 0
+       |       THEN m1 * 100000.0 + (std_s * 100000.0) * cf_w
+       |       ELSE m1 * 100000.0 END AS cf_p95,
        |  min_price, max_price
        |FROM w""".stripMargin
   }

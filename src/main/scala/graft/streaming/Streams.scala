@@ -296,10 +296,27 @@ object Streams {
     * run-to-completion output equals the batch ASOF join and the oracle is
     * the SAME SQL. Requires `withWatermark` on ts upstream (the replay and
     * spec attach it); input rows later than the watermark would break the
-    * retention argument and must be excluded by the watermark contract. */
+    * retention argument and must be excluded by the watermark contract.
+    *
+    * `clickLookbackMs` bounds the attribution window (a purchase only
+    * attributes to a click within the lookback: `p_ms - c_ms <=
+    * clickLookbackMs`). This is what lets click state be GARBAGE-COLLECTED
+    * for churned users: once the watermark passes `last click + lookback`,
+    * no future in-watermark purchase can match any retained click, so an
+    * event-time timeout drops the whole state cell — without the bound, the
+    * latest click per user would have to live forever (state linear in
+    * all-time users, and the click buffer of a quiet user was never
+    * re-pruned at all). The emitted content stays watermark-independent
+    * because the bound is enforced in the MATCH, not just the GC. With the
+    * default lookback (365 days) the plain ASOF-join oracle is equivalent
+    * whenever the data span is shorter than the lookback (the test corpus
+    * spans 30 days); a binding lookback's oracle adds
+    * `p.ts - c.ts <= interval` to the ASOF condition. */
   def streamingAsofOoo(events: Dataset[Event],
-                       watermarkDelay: String = "2 hours"): Dataset[AsofOut] = {
+                       watermarkDelay: String = "2 hours",
+                       clickLookbackMs: Long = 365L * 24 * 3600 * 1000): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
+    require(clickLookbackMs > 0, s"clickLookbackMs must be positive: $clickLookbackMs")
 
     def fn(userId: Long, batch: Iterator[Event],
            state: GroupState[AsofOooState]): Iterator[AsofOut] = {
@@ -318,17 +335,22 @@ object Streams {
       // complete. Deterministic regardless of arrival interleaving.
       val (ripe, stillPending) = pending.partition(_._1 < wm)
       val out = ripe.sortBy(p => (p._1, p._2)).flatMap { case (pms, pid) =>
-        val candidates = clicks.filter(_._1 <= pms) ++ oldClick.filter(_._1 <= pms)
+        val candidates = (clicks ++ oldClick.toList)
+          .filter(c => c._1 <= pms && pms - c._1 <= clickLookbackMs)
         if (candidates.isEmpty) Nil // inner semantics: never-clicked drops
         else {
           val (cms, cid, cv) = candidates.maxBy(c => (c._1, c._2))
           Seq(AsofOut(pid, userId, pms, cms, cid, cv))
         }
       }
-      // prune clicks below the frontier, keeping the single latest one
+      // prune clicks below the frontier, keeping the single latest one —
+      // and only while it can still fall inside some future purchase's
+      // lookback (future purchases have pms >= frontier, so a click with
+      // cms < frontier - lookback is unmatchable and droppable)
       val frontier = (wm +: stillPending.map(_._1)).min
       val (live, old) = clicks.partition(_._1 >= frontier)
-      val latestOld = (old ++ oldClick.toList) match {
+      val latestOld = (old ++ oldClick.toList)
+        .filter(_._1 >= frontier - clickLookbackMs) match {
         case Nil => None
         case xs => Some(xs.maxBy(c => (c._1, c._2)))
       }
@@ -341,6 +363,13 @@ object Streams {
           // fire when the watermark passes the oldest unresolved purchase
           // (must be strictly beyond the current watermark)
           state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+        else {
+          // click-only state (churned-user shape): fire when the watermark
+          // passes the last click's matchable horizon — the pruning above
+          // then drops every click and the cell is removed
+          val lastClick = (clicks.map(_._1) ++ oldClick.map(_._1)).max
+          state.setTimeoutTimestamp(math.max(lastClick + clickLookbackMs, wm + 1))
+        }
       } else state.remove()
       out.iterator
     }

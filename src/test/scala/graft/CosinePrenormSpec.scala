@@ -99,6 +99,11 @@ class CosinePrenormSpec extends SparkSpec {
   test("composes with CosineFusionRule: textbook spelling ends prenormed") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.functions.CosineFusionRule
+    // the fusion rule matches LEGACY/TRY divides only (an ANSI divide's
+    // zero-divisor ERROR can't be reproduced by the kernel's NULL), so the
+    // textbook spelling composes under ansi=false
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     try {
       withRule {
         val emb = Tables.embeddings(spark, dir)
@@ -117,7 +122,10 @@ class CosinePrenormSpec extends SparkSpec {
         val a = composed.filter(col("probe_id") =!= col("neighbor_id")).collect().toSet
         assert(a == direct.collect().toSet, "composed pipeline diverged from direct kernel")
       }
-    } finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == graft.functions.CosineFusionRule)
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.functions.CosineFusionRule)
+    }
   }
 }

@@ -267,6 +267,51 @@ class StreamingSpec extends SparkSpec {
     ), s"got $rows")
   }
 
+  test("out-of-order as-of: lookback bounds attribution and GCs churned click-only state") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, uid: Long, typ: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), uid, typ, v)
+    val input = MemoryStream[Event]
+    val q = Streams.streamingAsofOoo(input.toDS(), watermarkDelay = "2 hours",
+        clickLookbackMs = 3600000L) // 1 h attribution window
+      .writeStream.format("memory").queryName("asof_ooo_ttl")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: click 08:00; purchases at 08:30 (inside the 1 h lookback)
+    // and 10:00 (outside). user 2: one click, then silence forever.
+    input.addData(
+      ev(1, "2024-01-01 08:00:00", 1, "click", 5.0),
+      ev(2, "2024-01-01 08:00:00", 2, "click", 6.0),
+      ev(3, "2024-01-01 08:30:00", 1, "purchase", 0.0))
+    q.processAllAvailable()
+    // far-future user-1 traffic advances the watermark past user 2's
+    // matchable horizon (click 08:00 + 1 h lookback = 09:00)
+    input.addData(
+      ev(4, "2024-01-01 10:00:00", 1, "purchase", 0.0),
+      ev(5, "2024-01-01 18:00:00", 1, "click", 9.0))
+    q.processAllAvailable()
+    // one more batch so the advanced watermark's timeouts fire (user 2 has
+    // no data: its drop can only come from the click-only EventTimeTimeout)
+    input.addData(ev(6, "2024-01-01 19:00:00", 1, "click", 9.5))
+    q.processAllAvailable()
+    val rows = spark.table("asof_ooo_ttl")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set((3L, 1L)), // 4 is beyond the lookback: inner drop
+      s"lookback must bound attribution, got $rows")
+    // churned user 2's click-only cell must be gone; user 1 keeps its live
+    // clicks → exactly one state row remains
+    var stateRows = -1L
+    var waited = 0
+    while (waited < 50 && {
+      val p = q.lastProgress
+      stateRows = if (p == null) -1L
+        else p.stateOperators.map(_.numRowsTotal).sum
+      stateRows != 1L
+    }) { Thread.sleep(100); waited += 1 }
+    q.stop()
+    assert(stateRows == 1L,
+      s"expected user 2's click-only state GC'd (1 row left), got $stateRows")
+  }
+
   test("streaming upsert resolves inserts/updates/deletes and flags stale replays") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Upsert]
