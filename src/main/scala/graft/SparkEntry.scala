@@ -75,6 +75,7 @@ object SparkEntry {
     "asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
     "asof_join_exec" -> ((s, d) => AsOf.purchaseAttributionExec(Tables.events(s, d))),
     "asof_join_outer" -> ((s, d) => AsOf.purchaseAttributionOuter(Tables.events(s, d))),
+    "asof_join_tol" -> ((s, d) => AsOf.purchaseAttributionTol(Tables.events(s, d))),
     "zorder_key" -> ((s, d) =>
       Tables.lineitem(s, d).select(
         org.apache.spark.sql.functions.col("l_orderkey"),
@@ -400,6 +401,7 @@ object SparkEntry {
     "asof_join" -> AsOf.purchaseAttributionSql,
     "asof_join_exec" -> AsOf.purchaseAttributionExecSql,
     "asof_join_outer" -> AsOf.purchaseAttributionOuterSql,
+    "asof_join_tol" -> AsOf.purchaseAttributionTolSql,
     "zorder_key" ->
       s"""SELECT l_orderkey, l_partkey,
          |${graft.sources.Writers.zorder2Sql("l_orderkey", "l_partkey")} AS zval

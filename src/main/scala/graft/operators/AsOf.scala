@@ -68,11 +68,25 @@ object AsOf {
   def purchaseAttributionOuter(events: DataFrame): DataFrame =
     attributionViaExec(events, leftOuter = true, includeValue = false)
 
-  /** The one purchase/click attribution pipeline both registered exec
-    * queries share — inner/outer and the value payload are the only knobs,
-    * so the two variants cannot drift. */
+  /** Tolerance in MICROSECONDS for the bounded-lookback variant (24 h) —
+    * the production attribution shape: a purchase only attributes to a
+    * click within the window, enforced O(1) at emit inside the merge. */
+  val TolUs: Long = 24L * 3600 * 1000 * 1000
+
+  /** Bounded-lookback variant: same single-merge plan, plus the
+    * `p.ts - c.ts <= 24h` check at emit (see [[graft.plans.AsofJoin]]) —
+    * at sf0.01 this keeps ~37% of the unbounded matches, so the bound is
+    * genuinely exercised by the hash gate. */
+  def purchaseAttributionTol(events: DataFrame): DataFrame =
+    attributionViaExec(events, leftOuter = false, includeValue = true,
+      toleranceUs = Some(TolUs))
+
+  /** The one purchase/click attribution pipeline the registered exec
+    * queries share — inner/outer, the value payload, and the tolerance are
+    * the only knobs, so the variants cannot drift. */
   private def attributionViaExec(events: DataFrame, leftOuter: Boolean,
-                                 includeValue: Boolean): DataFrame = {
+                                 includeValue: Boolean,
+                                 toleranceUs: Option[Long] = None): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val aggs = max(col("event_id")).as("click_id") +:
@@ -94,7 +108,7 @@ object AsOf {
       col("click_id")) ++ (if (includeValue) Seq(col("click_value")) else Nil)
     graft.plans.AsofJoin.asof(
         purchases, clicks, on = Seq("user_id"), leftTsCol = "ts", rightTsCol = "c_ts",
-        leftOuter = leftOuter)
+        leftOuter = leftOuter, tolerance = toleranceUs)
       .select(outCols: _*)
   }
 
@@ -102,10 +116,18 @@ object AsOf {
     * deduplicated click table — an independent engine's implementation of
     * the identical semantics, payload included. One builder, same knobs as
     * [[attributionViaExec]], so Scala and SQL cannot drift either. */
-  private def attributionSql(leftOuter: Boolean, includeValue: Boolean): String = {
+  private def attributionSql(leftOuter: Boolean, includeValue: Boolean,
+                             toleranceUs: Option[Long] = None): String = {
     val valueAgg = if (includeValue) ",\n             MAX_BY(value, event_id) AS click_value" else ""
     val valueCol = if (includeValue) ", c.click_value" else ""
     val joinKind = if (leftOuter) "ASOF LEFT JOIN" else "ASOF JOIN"
+    // the ASOF join picks the single LATEST at-or-before click, so the
+    // lookback bound states as a post-filter (inner form only: a filtered
+    // outer would drop rows where the exec null-extends)
+    val tolFilter = toleranceUs
+      .map(t => s"\nWHERE epoch_us(p.ts) - epoch_us(c.c_ts) <= $t").getOrElse("")
+    require(tolFilter.isEmpty || !leftOuter,
+      "tolerance oracle is only stated for the inner form")
     s"""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
        |c AS (SELECT user_id, ts AS c_ts, MAX(event_id) AS click_id$valueAgg
        |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
@@ -113,7 +135,7 @@ object AsOf {
        |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
        |strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
        |c.click_id$valueCol
-       |FROM p $joinKind c ON p.user_id = c.user_id AND p.ts >= c.c_ts""".stripMargin
+       |FROM p $joinKind c ON p.user_id = c.user_id AND p.ts >= c.c_ts$tolFilter""".stripMargin
   }
 
   val purchaseAttributionExecSql: String =
@@ -121,6 +143,9 @@ object AsOf {
 
   val purchaseAttributionOuterSql: String =
     attributionSql(leftOuter = true, includeValue = false)
+
+  val purchaseAttributionTolSql: String =
+    attributionSql(leftOuter = false, includeValue = true, toleranceUs = Some(TolUs))
 
   /** Price bands for the range join: (label, lo inclusive, hi exclusive). */
   val PriceBands: Seq[(String, Double, Double)] = Seq(

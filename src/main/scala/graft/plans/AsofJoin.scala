@@ -25,6 +25,15 @@ import org.apache.spark.sql.graftbridge.Bridge
   * to one row per (key, ts) for a deterministic result (as the registered
   * attribution queries do).
   *
+  * `tolerance` (production attribution's lookback bound) additionally
+  * requires `l.ts - r.ts <= tolerance` (inclusive), in the timestamp's
+  * NATIVE units — microseconds for TimestampType. The check is O(1) at
+  * emit: the merge already holds the latest at-or-before right row, and if
+  * THAT row is beyond the tolerance every earlier row is further still, so
+  * no extra state or rescan is needed. A tolerance-failed left row behaves
+  * exactly like an unmatched one (dropped, or null-extended under
+  * `leftOuter`).
+  *
   * Why an exec node and not the window composition ([[graft.operators.AsOf
   * .purchaseAttribution]] keeps that formulation): the window trick carries
   * only expressions reducible through `max(...)` — arbitrary right PAYLOAD
@@ -44,7 +53,8 @@ case class AsofJoin(
     rightTs: Expression,
     leftOuter: Boolean,
     left: LogicalPlan,
-    right: LogicalPlan) extends BinaryNode {
+    right: LogicalPlan,
+    tolerance: Option[Long] = None) extends BinaryNode {
   // left-outer: unmatched left rows emit null right columns
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
@@ -64,8 +74,10 @@ object AsofJoin {
     * joining, exactly as with Spark's own `join`. */
   def asof(left: DataFrame, right: DataFrame, on: Seq[String],
            leftTsCol: String, rightTsCol: String,
-           leftOuter: Boolean = false): DataFrame = {
+           leftOuter: Boolean = false,
+           tolerance: Option[Long] = None): DataFrame = {
     require(on.nonEmpty, "as-of join requires at least one equality key")
+    tolerance.foreach(t => require(t >= 0, s"as-of tolerance must be >= 0: $t"))
     val spark = left.sparkSession
     ensureStrategy(spark)
     // .as(c) mints a fresh exprId per column, detaching the right side's
@@ -76,7 +88,7 @@ object AsofJoin {
     val node = AsofJoin(
       lKeys, rKeys,
       Bridge.expression(left(leftTsCol)), Bridge.expression(r(rightTsCol)),
-      leftOuter, Bridge.analyzed(left), Bridge.analyzed(r))
+      leftOuter, Bridge.analyzed(left), Bridge.analyzed(r), tolerance)
     Bridge.ofRows(spark, node)
   }
 
@@ -93,8 +105,8 @@ object AsofJoin {
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(lk, rk, lts, rts, outer, l, r) =>
-      AsofJoinExec(lk, rk, lts, rts, outer, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(lk, rk, lts, rts, outer, l, r, tol) =>
+      AsofJoinExec(lk, rk, lts, rts, outer, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -106,7 +118,8 @@ case class AsofJoinExec(
     rightTs: Expression,
     leftOuter: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
@@ -139,6 +152,13 @@ case class AsofJoinExec(
     require(leftTs.dataType == rightTs.dataType,
       s"as-of ts types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
     val tsType = leftTs.dataType
+    // the tolerance subtraction reads the raw long repr (micros for
+    // timestamps) — restrict to types stored as long internally
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      require(Seq(TimestampType, TimestampNTZType, LongType).contains(tsType),
+        s"as-of tolerance requires a long-backed ts type, got $tsType")
+    }
     val lOut = left.output
     val rOut = right.output
     val lKeys = leftKeys
@@ -152,6 +172,7 @@ case class AsofJoinExec(
       s"as-of children not co-partitioned: ${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions}")
     val outer = leftOuter
     val nRightCols = rOut.size
+    val tol = tolerance
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       new AsofMergeIterator(
         lIter, rIter,
@@ -160,7 +181,7 @@ case class AsofJoinExec(
         RowOrdering.createNaturalAscendingOrdering(keyTypes),
         RowOrdering.createNaturalAscendingOrdering(Seq(tsType)),
         UnsafeProjection.create(allOut, allOut),
-        outer, nRightCols)
+        outer, nRightCols, tol)
     }
   }
 }
@@ -176,7 +197,11 @@ private final class AsofMergeIterator(
     lTsProj: UnsafeProjection, rTsProj: UnsafeProjection,
     keyOrd: BaseOrdering, tsOrd: BaseOrdering,
     resultProj: UnsafeProjection,
-    leftOuter: Boolean, nRightCols: Int) extends Iterator[InternalRow] {
+    leftOuter: Boolean, nRightCols: Int,
+    tolerance: Option[Long]) extends Iterator[InternalRow] {
+
+  // -1 = unbounded; the exec restricts tolerant joins to long-backed ts
+  private[this] val tolUnits: Long = tolerance.getOrElse(-1L)
 
   private[this] val joined = new JoinedRow
   private[this] val nullRight =
@@ -189,6 +214,7 @@ private final class AsofMergeIterator(
   // out of the cursor buffers — the cursor moves on, the match must not)
   private[this] var lastMatch: InternalRow = _
   private[this] var lastMatchKey: UnsafeRow = _
+  private[this] var lastMatchTsUnits: Long = _
   private[this] var pending: InternalRow = _
   private[this] var pendingValid = false
 
@@ -234,12 +260,17 @@ private final class AsofMergeIterator(
               if (kc == 0) {
                 lastMatch = rRow.copy()
                 lastMatchKey = rKey.copy()
+                if (tolUnits >= 0) lastMatchTsUnits = rTsRow.getLong(0)
               }
               advanceRight()
               scanning = rRow != null
             } else scanning = false
           }
-          if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0) {
+          if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
+              // lookback bound: the latest at-or-before row is the CLOSEST
+              // one, so if it misses the tolerance every earlier row does
+              // too — O(1) completes the bounded-as-of check
+              (tolUnits < 0 || lTsRow.getLong(0) - lastMatchTsUnits <= tolUnits)) {
             pending = resultProj(joined(l, lastMatch))
             matched = true
           }

@@ -119,6 +119,47 @@ class AsofExecSpec extends SparkSpec {
     assert(got === Set((1L, "a1"), (2L, "a2")))
   }
 
+  test("asof exec tolerance: boundary inclusive, beyond-tolerance drops or null-extends") {
+    // 5-minute tolerance in MICROSECONDS (timestamps are long-backed micros)
+    val tol = Some(5L * 60 * 1000 * 1000)
+    val out = AsofJoin.asof(leftDf, rightDf, Seq("key"), "ts", "rts", tolerance = tol)
+      .select(col("id"), col("payload"))
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // id 1: gap 0 (tie) — inside; id 2: gap 2 min — inside;
+    // id 4/5: latest b click 11:30, gap 30 min — BEYOND tolerance, and no
+    // rescan may resurrect the 11:00 click (even further): dropped
+    assert(got === Set((1L, "a@10:00"), (2L, "a@10:03")))
+    // exact-boundary inclusivity: gap == tolerance matches
+    val boundary = AsofJoin.asof(leftDf, rightDf, Seq("key"), "ts", "rts",
+        tolerance = Some(30L * 60 * 1000 * 1000))
+      .select(col("id"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(boundary.contains(4L -> "b@11:30"),
+      "a gap exactly at the tolerance must match (inclusive bound)")
+    // left-outer: tolerance-failed rows null-extend instead of dropping
+    val outer = AsofJoin.asof(leftDf, rightDf, Seq("key"), "ts", "rts",
+        leftOuter = true, tolerance = tol)
+      .select(col("id"), col("payload"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val outerExpected: Set[(Long, Option[String])] =
+      Set((1L, Some("a@10:00")), (2L, Some("a@10:03"))) ++
+        Set(3L, 4L, 5L, 6L, 7L, 8L).map(id => (id, None: Option[String]))
+    assert(outer === outerExpected)
+  }
+
+  test("asof exec tolerance registration matches a post-filtered unbounded as-of") {
+    val events = sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val bounded = operators.AsOf.purchaseAttributionTol(events)
+    val filtered = operators.AsOf.purchaseAttributionExec(events)
+      .filter(unix_micros(to_timestamp(col("p_ts"))) -
+        unix_micros(to_timestamp(col("c_ts"))) <= operators.AsOf.TolUs)
+    assert(bounded.count() > 0, "vacuous: no within-tolerance attributions at sf0.001")
+    assert(bounded.count() < operators.AsOf.purchaseAttributionExec(events).count(),
+      "vacuous: tolerance bound never exercised at sf0.001")
+    assert(bounded.exceptAll(filtered).isEmpty && filtered.exceptAll(bounded).isEmpty,
+      "bounded as-of diverged from post-filtered unbounded as-of")
+  }
+
   test("asof exec registration agrees with the window formulation on real events") {
     val events = sources.Tables.events(spark, "/root/testdata/sf0.001")
     val viaExec = operators.AsOf.purchaseAttributionExec(events)
