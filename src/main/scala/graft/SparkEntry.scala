@@ -217,6 +217,8 @@ object SparkEntry {
     "event_dedup" -> ((s, d) => Relational.eventDedup(Tables.events(s, d))),
     "quantile_hist" -> ((s, d) => Relational.quantileHist(Tables.events(s, d))),
     "moments_sketch" -> ((s, d) => Moments.momentsSketch(Tables.lineitem(s, d))),
+    "kll_quantile" -> ((s, d) => Kll.kllQuantile(Tables.lineitem(s, d))),
+    "kll_portable" -> ((s, d) => Kll.kllPortable(Tables.lineitem(s, d))),
     "path_mining" -> ((s, d) => Relational.pathMining(Tables.events(s, d))),
     "q_ntile" -> ((s, d) => Relational.custQuartiles(Tables.customer(s, d))),
     "q_grouping_sets" -> ((s, d) => Relational.orderGroupingSets(Tables.orders(s, d))),
@@ -528,6 +530,9 @@ object SparkEntry {
     "winnow_matches" -> Winnow.winnowMatchesSql(),
     "quantile_hist" -> Relational.quantileHistSql(),
     "moments_sketch" -> Moments.momentsSketchSql,
+    // kll_quantile: rows-only (KLL compaction is merge-order-dependent;
+    // kll_portable is its hash-green order-independent twin)
+    "kll_portable" -> Kll.kllPortableSql(),
     "path_mining" -> Relational.pathMiningSql(),
     "q_ntile" -> Relational.custQuartilesSql,
     "graph_pagerank" -> GraphOps.pageRankSql(),
