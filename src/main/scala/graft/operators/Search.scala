@@ -47,19 +47,35 @@ object Search {
        |WHERE $score > 0 ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
   }
 
+  /** Test-class sources — the documents-table analog of the reference's
+    * `test/`/`spec/` path classes (a source shard holding test-ish docs),
+    * so the penalty term is exercised on the synthetic corpus (whose texts
+    * contain no literal 'test'/'spec' tokens). */
+  val TestClassSources: Seq[String] = Seq("src17", "src18", "src19")
+
   /** Multiplicative heuristic ranking (ranker.py:14): phrase boost, per-term
-    * boost, language boost, source-prefix boost. All double products of
-    * exact constants — deterministic across engines. */
+    * boost, language boost, source-prefix boost, and the test-file PENALTY
+    * (ranker.py:52: ×0.5 for 'test'/'spec' files unless the query asks for
+    * tests — here: marker in text, or a test-class source shard). All
+    * double products of exact constants — deterministic across engines. */
   def rankDocs(documents: DataFrame, queryTerms: Seq[String], phrase: String,
                lang: String, limit: Int = 30): DataFrame = {
     val termBoost = queryTerms
       .map(t => when(col("text").contains(t), lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
+    // ranker.py:52 guard: no penalty when the query itself asks for tests
+    val queryWantsTests = (phrase +: queryTerms).exists(_.toLowerCase.contains("test"))
+    val isTestDoc = col("text").contains("test") || col("text").contains("spec") ||
+      col("source").isin(TestClassSources: _*)
+    val penalty =
+      if (queryWantsTests) lit(1.0)
+      else when(isTestDoc, lit(0.5)).otherwise(lit(1.0))
     val score = lit(1.0) *
       when(col("text").contains(phrase), lit(2.0)).otherwise(lit(1.0)) *
       (lit(1.0) + lit(0.3) * termBoost) *
       when(col("lang") === lang, lit(1.5)).otherwise(lit(1.0)) *
-      when(col("source").isin("src0", "src1", "src2", "src3"), lit(1.2)).otherwise(lit(1.0))
+      when(col("source").isin("src0", "src1", "src2", "src3"), lit(1.2)).otherwise(lit(1.0)) *
+      penalty
     documents
       .select(col("doc_id"), score.as("score"))
       .orderBy(desc("score"), col("doc_id"))
@@ -70,12 +86,20 @@ object Search {
     val termBoost = queryTerms
       .map(t => s"(CASE WHEN contains(text, '$t') THEN 1 ELSE 0 END)")
       .mkString(" + ")
+    val queryWantsTests = (phrase +: queryTerms).exists(_.toLowerCase.contains("test"))
+    val testSrcs = TestClassSources.map(s => s"'$s'").mkString(",")
+    val penalty =
+      if (queryWantsTests) "1.0::DOUBLE"
+      else s"""(CASE WHEN contains(text, 'test') OR contains(text, 'spec')
+              |         OR source IN ($testSrcs)
+              |    THEN 0.5::DOUBLE ELSE 1.0::DOUBLE END)""".stripMargin
     s"""SELECT doc_id,
        |1.0::DOUBLE
        | * (CASE WHEN contains(text, '$phrase') THEN 2.0::DOUBLE ELSE 1.0::DOUBLE END)
        | * (1.0::DOUBLE + 0.3::DOUBLE * ($termBoost))
        | * (CASE WHEN lang = '$lang' THEN 1.5::DOUBLE ELSE 1.0::DOUBLE END)
        | * (CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.2::DOUBLE ELSE 1.0::DOUBLE END)
+       | * $penalty
        | AS score
        |FROM documents ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
   }

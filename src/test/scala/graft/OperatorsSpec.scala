@@ -18,6 +18,29 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(cos(1)) < 1e-12)
   }
 
+  test("rankDocs test-class penalty halves the score unless the query asks for tests") {
+    import graft.operators.Search
+    val docs = Seq(
+      (1L, "spark join guide", "en", "src0"),   // boosted source, no penalty
+      (2L, "spark join guide", "en", "src17"),  // test-class source: ×0.5
+      (3L, "spark join test notes", "en", "src5") // 'test' in text: ×0.5
+    ).toDF("doc_id", "text", "lang", "source")
+    val scores = Search.rankDocs(docs, Seq("spark", "join"), "spark join", "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // identical boosts apart from source: 2.0·1.6·1.5 = 4.8; src0 also ×1.2
+    assert(math.abs(scores(1L) - 4.8 * 1.2) < 1e-12)
+    assert(math.abs(scores(2L) - 4.8 * 0.5) < 1e-12, s"test-class source not penalized: $scores")
+    assert(math.abs(scores(3L) - 4.8 * 0.5) < 1e-12, s"'test' marker not penalized: $scores")
+    // querying for tests disables the penalty (ranker.py:52 guard)
+    val wanted = Search.rankDocs(docs, Seq("test"), "test", "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wanted(3L) > wanted(2L),
+      s"query asking for tests must not penalize test docs: $wanted")
+    // SQL twin mirrors the penalty (and its guard) verbatim
+    assert(Search.rankDocsSql(Seq("spark", "join"), "spark join", "en").contains("0.5"))
+    assert(!Search.rankDocsSql(Seq("test"), "test", "en").contains("0.5"))
+  }
+
   test("chunking covers the text with the configured overlap") {
     val text = ("x" * 1000)
     val df = Seq((1L, text)).toDF("doc_id", "text")
