@@ -64,22 +64,32 @@ object Bench {
     // suspicious median can be audited; a crashed query must be visible,
     // not a misleadingly fast number: its median is -1 and the message
     // lands in "errors" (remaining reps are skipped — rerunning a crasher
-    // only repeats the stack trace)
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1)
+    // only repeats the stack trace).
+    //
+    // Reps are INTERLEAVED round-robin across queries (r08 verdict item:
+    // back-to-back reps let one co-tenant load spike poison ALL reps of a
+    // few queries — graph_khop's 2.36/5.41/5.58 s within one run — while
+    // interleaving spreads a spike across ONE rep of many queries, which
+    // the median then discards), and each rep carries its 1-minute loadavg
+    // so a regression diff can gate on the contention it ran under.
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-        var r = 0
-        while (r < reps && !errors.contains(name)) {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
-            errors += name -> esc(String.valueOf(e.getMessage))
-          }
-          r += 1
-        }
-        name -> times.toSeq
+    val timesByQ = qlist.map { case (n, _) =>
+      n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
+    val loadsByQ = qlist.map { case (n, _) =>
+      n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
+    for (_ <- 0 until reps; (name, fn) <- qlist if !errors.contains(name)) {
+      val l = loadAvg()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        timesByQ(name) += (System.nanoTime() - t0) / 1e9
+        loadsByQ(name) += l
+      } catch { case e: Throwable =>
+        errors += name -> esc(String.valueOf(e.getMessage))
       }
+    }
+    val runs = qlist.map { case (name, _) => name -> timesByQ(name).toSeq }
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0
       else {
@@ -133,8 +143,13 @@ object Bench {
     val fullRuns = runs.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val stamp = s""""reps":$reps,"load_1m_before":${f2(loadBefore)},"load_1m_after":${f2(loadAfter)},"machine_cpus":${Runtime.getRuntime.availableProcessors}"""
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,$stamp,"queries":$fullQs,"runs":$fullRuns,"recall":$rs,"errors":$es,"sf":"$sfDir"}"""
+    // per-rep 1-minute loadavg, index-aligned with "runs" — the contention
+    // context that makes a cross-round per-query diff readable
+    val fullLoads = runs.map { case (k, _) =>
+      "\"" + k + "\":[" + loadsByQ(k).map(f2).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val stamp = s""""reps":$reps,"rep_order":"interleaved","load_1m_before":${f2(loadBefore)},"load_1m_after":${f2(loadAfter)},"machine_cpus":${Runtime.getRuntime.availableProcessors}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,$stamp,"queries":$fullQs,"runs":$fullRuns,"rep_loads":$fullLoads,"recall":$rs,"errors":$es,"sf":"$sfDir"}"""
     // subset (scale-stress) runs must not clobber the round's full record;
     // they get their own complete per-query record via SPARK_GRAFT_OUT
     // (stress sweeps need every ratio, not the printed 15-slowest slice)

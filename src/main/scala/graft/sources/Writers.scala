@@ -9,6 +9,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Writers {
 
+  /** Row-group byte bound pinned on every parquet write below (default
+    * 32 MiB; override per session via `spark.graft.parquetBlockBytes`).
+    * A single oversized row group is UNSPLITTABLE — the whole file scans
+    * on one task regardless of cluster size (the SURVEY §5 fan-out trap
+    * that serialized the round-5 stress sweeps) — so the writers state
+    * the bound explicitly instead of inheriting the session default.
+    * WritersSpec reads footers back and asserts multi-row-group output. */
+  def rowGroupBytes(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.parquetBlockBytes", (32L * 1024 * 1024).toString).toLong
+
   /** Write a chunk/embedding table partitioned by a low-cardinality key,
     * compacted to sane file counts (the small-file problem is the #1
     * operational failure of big ingestion jobs). The REBALANCE hint lets
@@ -17,12 +28,15 @@ object Writers {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.hint("rebalance", org.apache.spark.sql.functions.col(partitionCol))
       .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes(df))
       .partitionBy(partitionCol)
       .parquet(path)
 
   /** Append-mode variant for incremental ingestion batches. */
   def appendBatch(df: DataFrame, path: String, partitionCol: String): Unit =
-    df.write.mode("append").partitionBy(partitionCol).parquet(path)
+    df.write.mode("append")
+      .option("parquet.block.size", rowGroupBytes(df))
+      .partitionBy(partitionCol).parquet(path)
 
   /** Bucketed catalog table: pre-hash-partition + sort by the join key at
     * write time so every later equi-join/aggregation on that key runs with
@@ -31,6 +45,7 @@ object Writers {
     * pay the shuffle once at ingest, never again. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
     df.write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes(df))
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Cluster, Dedup, ProductQuant, Recall, ScalarQuant, Search}
+
+/** At-scale recall measurement for the four production ANN configs (the r08
+  * verdict's top item): recall@3 vs exact brute force on a StressGen corpus
+  * whose replica embeddings carry the deterministic per-replica
+  * perturbation — so recall measures INDEX QUALITY under 10x/100x density,
+  * not tie-breaking among identical duplicates. Test-scope tool:
+  *
+  *   sbt "Test/runMain graft.Recall10x [sfDir]"      # default /tmp/sf1
+  */
+object Recall10x {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/sf1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.sources.Tables.embeddings(spark, sfDir).localCheckpoint()
+    val n = emb.count()
+    val exact = Search.knnJoin(emb, nProbes = 10, k = 3).localCheckpoint()
+    println(s"dir=$sfDir corpus=$n probes=10 k=3 (registered defaults per variant)")
+    val variants = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      ("ann_lsh_mt", () => Dedup.annLshMultiTable(emb, nProbes = 10, k = 3)),
+      ("ann_ivf_tr", () => Cluster.annIvfTrained(emb)),
+      ("ann_pq_rerank", () => ProductQuant.pqRerank(emb)),
+      ("ann_sq8", () => ScalarQuant.sq8Search(emb)))
+    variants.foreach { case (name, mk) =>
+      val t0 = System.nanoTime()
+      val approx = mk().localCheckpoint()
+      val r = Recall.recallAtK(exact, approx)
+      // near-tie-tolerant recall: on the replica corpus the top-k is a
+      // cluster of near-equivalents (gap ~1e-4 cosine); eps=1e-3 credits
+      // any member of that cluster
+      val re = Recall.recallAtKEps(exact, approx, emb, eps = 1e-3)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-14s recall@3=$r%.3f recall@3(eps=1e-3)=$re%.3f time=$secs%.1fs")
+    }
+    spark.stop()
+  }
+}

@@ -12,11 +12,21 @@ import org.apache.spark.sql.functions._
   * Replica i is a DISJOINT sub-database: every bigint key shifts by i*1e9 and
   * every int dimension key by i*1e6, so relational joins/aggregates scale
   * linearly (each replica joins only with itself — exactly how a larger TPC-H
-  * SF behaves). Document/embedding PAYLOADS are left identical across
-  * replicas, so every doc becomes an R-clique of true near-duplicates — the
-  * worst case for dedup/similarity candidate generation, which is the point
-  * of the stress. Event timestamps are unchanged: time-window densities grow
+  * SF behaves). Document PAYLOADS are left identical across replicas, so
+  * every doc becomes an R-clique of true near-duplicates — the worst case
+  * for dedup/similarity candidate generation, which is the point of the
+  * stress. Event timestamps are unchanged: time-window densities grow
   * R-fold, stressing window/sessionize states.
+  *
+  * EMBEDDING payloads (r09, the verdict's clique-corpus fix): replica 0 is
+  * the base corpus bit-for-bit; replica i>0 multiplies every component by
+  * `1 + Amp·u` where u ∈ [-0.5, 0.5) is hash noise keyed on (replica,
+  * ORIGINAL vec_id, dim) — `u = ((i·2654435761 + vec_id·31 + j·40503) mod
+  * 1000003) / 1000003 - 0.5`, Amp = 0.1 — fully deterministic and
+  * derivable by any engine (integer hash, one multiply). Replicated
+  * vectors stay near-duplicates of their base (cosine ≥ ~0.999, so the
+  * dedup stress keeps its clique) but exact ties are BROKEN: 10x recall
+  * measures index quality, not duplicate tie-breaking.
   *
   * Output layout is R files per table (round-robin repartition) because
   * single-file single-row-group parquet serializes fan-out scans onto one
@@ -27,11 +37,26 @@ object StressGen {
   private val LONG_OFF = 1000000000L // > any base bigint key
   private val INT_OFF  = 1000000     // > any base int dim key
 
-  /** Union of R key-shifted copies of `df`. */
+  /** Relative perturbation amplitude for replica embeddings (±5%). */
+  val PerturbAmp = 0.1
+
+  /** Deterministic per-replica embedding perturbation (see object doc).
+    * Applied BEFORE the key shift so the noise is keyed on the original
+    * vec_id; replica 0 passes through untouched. */
+  def perturbEmbedding(df: DataFrame, i: Int): DataFrame =
+    if (i == 0) df
+    else df.withColumn("embedding", expr(
+      s"""transform(embedding, (x, j) -> cast(x * (1.0D + $PerturbAmp *
+         |  (cast(($i * 2654435761L + vec_id * 31L + j * 40503L) % 1000003L
+         |        AS DOUBLE) / 1000003.0D - 0.5D)) AS FLOAT))""".stripMargin))
+
+  /** Union of R key-shifted copies of `df`; `pre` transforms each replica
+    * before its keys shift (embedding perturbation). */
   private def replicate(df: DataFrame, reps: Int,
-                        longKeys: Seq[String], intKeys: Seq[String]): DataFrame =
+                        longKeys: Seq[String], intKeys: Seq[String],
+                        pre: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
     (0 until reps).map { i =>
-      val shifted = longKeys.foldLeft(df)((d, k) =>
+      val shifted = longKeys.foldLeft(pre(df, i))((d, k) =>
         d.withColumn(k, col(k) + lit(i * LONG_OFF)))
       intKeys.foldLeft(shifted)((d, k) =>
         d.withColumn(k, col(k) + lit(i * INT_OFF)))
@@ -84,7 +109,9 @@ object StressGen {
         s"$name.$k max=${keyMax(k)} >= LONG_OFF=$LONG_OFF: replicas would overlap"))
       intKeys.foreach(k => require(keyMax(k) < INT_OFF,
         s"$name.$k max=${keyMax(k)} >= INT_OFF=$INT_OFF: replicas would overlap"))
-      replicate(src, reps, longKeys, intKeys)
+      val pre: (DataFrame, Int) => DataFrame =
+        if (name == "embeddings") perturbEmbedding else (d, _) => d
+      replicate(src, reps, longKeys, intKeys, pre)
         .repartition(reps)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"$name: ${reps}x -> $outDir/$name.parquet")
