@@ -500,6 +500,31 @@ object StreamReplay {
 
   val streamAsofOooSql: String = streamAsofSql
 
+  /** Bounded-lookback twin of [[streamAsofOoo]] — the streaming side of
+    * `asof_join_tol`: the SAME out-of-order replay, with the 24 h
+    * attribution window enforced in the match (Streams.streamingAsofOoo's
+    * clickLookbackMs — the bound that also garbage-collects churned
+    * click-only state). Content stays watermark-independent, so the
+    * oracle is the batch ASOF JOIN with the identical epoch post-filter
+    * (equivalent because ASOF holds only the latest at-or-before click —
+    * the same argument as the batch tolerance oracle). */
+  def streamAsofTol(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    val jittered = ev.sortBy { e =>
+      val j = math.floorMod(e.event_id * 2654435761L, 61L) - 30L // ±30 min
+      (e.ts.getTime + j * 60000L, e.event_id)
+    }
+    val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + 2 * FlushGapMs), -1L, "__flush", 0.0)
+    replay[Event](spark, s"stream_asof_tol:$dir",
+      quarters(jittered) :+ Seq(flush) :+ Seq(flush),
+      df => Streams.streamingAsofOoo(df.as[Event],
+        clickLookbackMs = graft.operators.AsOf.TolUs / 1000L).toDF())
+  }
+
+  val streamAsofTolSql: String =
+    streamAsofSql + s"\nWHERE epoch_ms(p.ts) - epoch_ms(c.ts) <= ${graft.operators.AsOf.TolUs / 1000L}"
+
   /** LEFT twin of [[streamAsof]]: never-clicked purchases emit null
     * attributions (final at processing time on a time-ordered feed — see
     * Streams.streamingAsofOuter); oracle = the batch ASOF LEFT JOIN. */
