@@ -525,6 +525,29 @@ object StreamReplay {
   val streamAsofTolSql: String =
     streamAsofSql + s"\nWHERE epoch_ms(p.ts) - epoch_ms(c.ts) <= ${graft.operators.AsOf.TolUs / 1000L}"
 
+  /** LEFT × out-of-order: the last cell of the as-of matrix — the SAME
+    * jittered replay as [[streamAsofOoo]] through
+    * [[Streams.streamingAsofOooOuter]], where a purchase's null
+    * attribution is only final once the watermark passes it. Oracle = the
+    * batch ASOF LEFT JOIN (same as the ordered outer form: emitted
+    * content is watermark-independent and the default lookback does not
+    * bind on the 30-day corpus). */
+  def streamAsofOooOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    val jittered = ev.sortBy { e =>
+      val j = math.floorMod(e.event_id * 2654435761L, 61L) - 30L // ±30 min
+      (e.ts.getTime + j * 60000L, e.event_id)
+    }
+    val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + 2 * FlushGapMs), -1L, "__flush", 0.0)
+    replay[Event](spark, s"stream_asof_ooo_outer:$dir",
+      quarters(jittered) :+ Seq(flush) :+ Seq(flush),
+      df => Streams.streamingAsofOooOuter(df.as[Event]).toDF())
+  }
+
+  // def: streamAsofOuterSql is declared below (val init order)
+  def streamAsofOooOuterSql: String = streamAsofOuterSql
+
   /** LEFT twin of [[streamAsof]]: never-clicked purchases emit null
     * attributions (final at processing time on a time-ordered feed — see
     * Streams.streamingAsofOuter); oracle = the batch ASOF LEFT JOIN. */

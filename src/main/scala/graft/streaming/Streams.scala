@@ -316,10 +316,43 @@ object Streams {
                        watermarkDelay: String = "2 hours",
                        clickLookbackMs: Long = 365L * 24 * 3600 * 1000): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
+    asofOooCore[AsofOut](events, watermarkDelay, clickLookbackMs,
+      // inner semantics: no in-lookback click → the purchase drops
+      (uid, pms, pid, best) => best.map { case (cms, cid, cv) =>
+        AsofOut(pid, uid, pms, cms, cid, cv) })
+  }
+
+  /** LEFT × OUT-OF-ORDER as-of — the remaining cell of the as-of matrix
+    * (streamingAsofOuter handles ordered feeds; this one delays the
+    * null-attribution decision until the WATERMARK passes the purchase:
+    * on an out-of-order feed "no prior click" is only final once no
+    * earlier-ts click can still arrive). Same state machine, retention
+    * argument, and lookback/GC as [[streamingAsofOoo]] — only the
+    * unmatched-row policy differs, exactly like the batch exec's
+    * leftOuter flag. Oracle = the batch ASOF LEFT JOIN. */
+  def streamingAsofOooOuter(events: Dataset[Event],
+                            watermarkDelay: String = "2 hours",
+                            clickLookbackMs: Long = 365L * 24 * 3600 * 1000): Dataset[AsofOuterOut] = {
+    import events.sparkSession.implicits._
+    asofOooCore[AsofOuterOut](events, watermarkDelay, clickLookbackMs,
+      (uid, pms, pid, best) => Some(best match {
+        case Some((cms, cid, _)) => AsofOuterOut(pid, uid, pms, Some(cms), Some(cid))
+        case None => AsofOuterOut(pid, uid, pms, None, None)
+      }))
+  }
+
+  /** The one out-of-order as-of state machine both OOO forms share —
+    * `emit(userId, p_ms, purchase_id, best-in-lookback-click)` is the only
+    * knob, so inner and outer cannot drift. */
+  private def asofOooCore[T](events: Dataset[Event], watermarkDelay: String,
+      clickLookbackMs: Long,
+      emit: (Long, Long, Long, Option[(Long, Long, Double)]) => Option[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import events.sparkSession.implicits._
     require(clickLookbackMs > 0, s"clickLookbackMs must be positive: $clickLookbackMs")
 
     def fn(userId: Long, batch: Iterator[Event],
-           state: GroupState[AsofOooState]): Iterator[AsofOut] = {
+           state: GroupState[AsofOooState]): Iterator[T] = {
       val st0 = state.getOption.getOrElse(AsofOooState(None, Nil, Nil))
       var oldClick = st0.oldClick
       var clicks = st0.clicks
@@ -337,11 +370,10 @@ object Streams {
       val out = ripe.sortBy(p => (p._1, p._2)).flatMap { case (pms, pid) =>
         val candidates = (clicks ++ oldClick.toList)
           .filter(c => c._1 <= pms && pms - c._1 <= clickLookbackMs)
-        if (candidates.isEmpty) Nil // inner semantics: never-clicked drops
-        else {
-          val (cms, cid, cv) = candidates.maxBy(c => (c._1, c._2))
-          Seq(AsofOut(pid, userId, pms, cms, cid, cv))
-        }
+        val best =
+          if (candidates.isEmpty) None
+          else Some(candidates.maxBy(c => (c._1, c._2)))
+        emit(userId, pms, pid, best)
       }
       // prune clicks below the frontier, keeping the single latest one —
       // and only while it can still fall inside some future purchase's
@@ -385,9 +417,9 @@ object Streams {
     * null attribution IMMEDIATELY — on a time-ordered feed that decision is
     * final at processing time (any later click carries a later ts, which
     * can never be at-or-before this purchase), so no timeout or watermark
-    * is needed; an out-of-order production feed would instead hold the
-    * purchase in state under an event-time timeout and emit on watermark
-    * expiry. Same O(1) state cell; the oracle is the batch ASOF LEFT JOIN. */
+    * is needed; [[streamingAsofOooOuter]] is the out-of-order form that
+    * instead holds the purchase until watermark expiry. Same O(1) state
+    * cell; the oracle is the batch ASOF LEFT JOIN. */
   def streamingAsofOuter(events: Dataset[Event]): Dataset[AsofOuterOut] = {
     import events.sparkSession.implicits._
 

@@ -267,6 +267,38 @@ class StreamingSpec extends SparkSpec {
     ), s"got $rows")
   }
 
+  test("out-of-order outer as-of: null attribution waits for the watermark; late click wins") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, uid: Long, typ: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), uid, typ, v)
+    val input = MemoryStream[Event]
+    val q = Streams.streamingAsofOooOuter(input.toDS(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("asof_ooo_outer")
+      .outputMode(OutputMode.Append()).start()
+    // purchase 10 arrives BEFORE the click (12) that must attribute it —
+    // an eager outer would emit (10, null) here, which is WRONG
+    input.addData(
+      ev(10, "2024-01-01 09:30:00", 1, "purchase", 0.0),
+      ev(13, "2024-01-01 08:30:00", 2, "purchase", 0.0)) // user 2 never clicks
+    q.processAllAvailable()
+    assert(spark.table("asof_ooo_outer").isEmpty,
+      "outer OOO must not decide before the watermark passes the purchase")
+    input.addData(ev(12, "2024-01-01 09:00:00", 1, "click", 7.0))
+    q.processAllAvailable()
+    // advance the watermark past both purchases (plus a batch for timeouts)
+    input.addData(ev(14, "2024-01-02 12:00:00", 1, "click", 9.0))
+    q.processAllAvailable()
+    input.addData(ev(15, "2024-01-02 13:00:00", 1, "click", 9.5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("asof_ooo_outer")
+      .select("purchase_id", "click_id").as[(Long, Option[Long])].collect().toSet
+    assert(rows == Set(
+      (10L, Some(12L)), // the late-arriving click won — not a premature null
+      (13L, None)       // never-clicked: null attribution via timeout flush
+    ), s"got $rows")
+  }
+
   test("out-of-order as-of: lookback bounds attribution and GCs churned click-only state") {
     implicit val sqlCtx = spark.sqlContext
     def ev(id: Long, t: String, uid: Long, typ: String, v: Double) =
