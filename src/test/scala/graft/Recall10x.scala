@@ -30,6 +30,12 @@ object Recall10x {
       ("ann_lsh_mt", () => Dedup.annLshMultiTable(emb, nProbes = 10, k = 3)),
       ("ann_ivf_tr", () => Cluster.annIvfTrained(emb)),
       ("ann_pq_rerank", () => ProductQuant.pqRerank(emb)),
+      // density-scaled rerank pools: the registered depth=30 is sized for
+      // the 2k base corpus; at 10x/100x density the oversampling factor
+      // must grow with cluster occupancy or the true top-k falls outside
+      // the ADC pool — these rows measure the recovery
+      ("ann_pq_rr_d100", () => ProductQuant.pqRerank(emb, depth = 100)),
+      ("ann_pq_rr_d300", () => ProductQuant.pqRerank(emb, depth = 300)),
       ("ann_sq8", () => ScalarQuant.sq8Search(emb)))
     variants.foreach { case (name, mk) =>
       val t0 = System.nanoTime()
