@@ -134,6 +134,55 @@ class CheckpointRestartSpec extends SparkSpec {
       s"restart output wrong: $all")
   }
 
+  test("streamingAsofOoo survives a kill: watermark, buffers, AND timeouts recover") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    import graft.streaming.Streams.{AsofOut, Event}
+    def ev(id: Long, t: String, uid: Long, typ: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), uid, typ, v)
+    // pre-kill: user 1's purchase arrives BEFORE its attributing click;
+    // user 2 buffers a click+purchase then goes silent forever — its flush
+    // after the restart can only come from a RECOVERED EventTimeTimeout
+    val a0 = Seq(ev(10, "2024-01-01 09:30:00", 1, "purchase", 0.0),
+      ev(11, "2024-01-01 08:00:00", 2, "click", 2.0))
+    val a1 = Seq(ev(12, "2024-01-01 09:00:00", 1, "click", 7.0), // late click, must win
+      ev(13, "2024-01-01 08:30:00", 2, "purchase", 0.0))
+    // post-kill: user-1-only traffic advances the watermark; user 2 stays quiet
+    val a2 = Seq(ev(14, "2024-01-02 12:00:00", 1, "click", 9.0))
+    val a3 = Seq(ev(15, "2024-01-02 13:00:00", 1, "click", 9.5))
+
+    def rows(dir: String): Seq[(Long, Long)] =
+      spark.read.schema(implicitly[org.apache.spark.sql.Encoder[AsofOut]].schema)
+        .parquet(dir).as[AsofOut].collect().toSeq
+        .map(o => (o.purchase_id, o.click_id))
+
+    val cp = Files.createTempDirectory("graft_ooo_cp").toString
+    val sink = Files.createTempDirectory("graft_ooo_sink").toString
+    val input = MemoryStream[Event]
+    def start() = Streams.streamingAsofOoo(input.toDS(), watermarkDelay = "2 hours").toDF()
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    input.addData(a0: _*); q1.processAllAvailable()
+    input.addData(a1: _*); q1.processAllAvailable()
+    q1.stop() // the kill: both purchases still pending (watermark at 07:30)
+    assert(rows(sink).isEmpty, "nothing may emit before the watermark passes the purchases")
+
+    val q2 = start()
+    input.addData(a2: _*); q2.processAllAvailable()
+    input.addData(a3: _*); q2.processAllAvailable()
+    q2.stop()
+    // 10→12: pre-kill purchase matched by the pre-kill late click — both
+    // crossed the restart in the state store. 13→11: user 2 sent NOTHING
+    // post-restart, so its emission required the recovered buffered pair
+    // plus a recovered (or re-registered) event-time timeout firing on the
+    // post-restart watermark.
+    assert(rows(sink).sorted == Seq((10L, 12L), (13L, 11L)).sorted,
+      s"restart output wrong: ${rows(sink)}")
+  }
+
   /** Multiset difference a − b (Seq#diff is already multiset-aware). */
   private def diffMultiset[T](a: Seq[T], b: Seq[T]): Seq[T] = a.diff(b)
 }
