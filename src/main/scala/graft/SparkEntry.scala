@@ -142,6 +142,7 @@ object SparkEntry {
     "char_diversity" -> ((s, d) => TextAnalysis.charDiversity(Tables.documents(s, d))),
     "split_holdout" -> ((s, d) => Corpus.splitHoldout(Tables.documents(s, d))),
     "kmv_distinct" -> ((s, d) => Corpus.kmvDistinct(Tables.events(s, d))),
+    "kmv_merge" -> ((s, d) => Corpus.kmvMerge(Tables.events(s, d))),
     "dataset_card" -> ((s, d) => Corpus.datasetCard(Tables.documents(s, d))),
     "sketch_stats" -> ((s, d) => Corpus.sketchStats(Tables.events(s, d))),
     "text_normalize" -> ((s, d) => Normalize.textNormalize(Tables.documents(s, d))),
@@ -454,6 +455,7 @@ object SparkEntry {
     "char_diversity" -> TextAnalysis.charDiversitySql,
     "split_holdout" -> Corpus.splitHoldoutSql(),
     "kmv_distinct" -> Corpus.kmvDistinctSql(),
+    "kmv_merge" -> Corpus.kmvMergeSql(),
     "dataset_card" -> Corpus.datasetCardSql,
     "text_normalize" -> Normalize.textNormalizeSql,
     "gopher_quality" -> Normalize.gopherQualitySql(),

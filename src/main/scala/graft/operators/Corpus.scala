@@ -162,6 +162,60 @@ object Corpus {
             element_at(col("mins"), k).getField("id").cast("double")).as("est_users"))
   }
 
+  /** Incremental KMV — the sketch-PERSISTENCE pattern every production
+    * profiling pipeline needs: each ingestion batch (here: one day of
+    * events) computes its own k-min sketch; the merged estimate re-mins
+    * the UNION of per-batch sketches. k-min sets form a semilattice
+    * (every global k-smallest hash is k-smallest within its own batch),
+    * so the two-phase result is BIT-IDENTICAL to the single-pass sketch —
+    * and the oracle states exactly that: it replays the SINGLE-pass KMV,
+    * so the hash gate proves "incremental maintenance == full recompute"
+    * cross-engine. Scale shape: phase 1 is one map-combined groupBy per
+    * batch partition emitting k values per (group, batch); the merge
+    * phase touches only O(groups·batches·k) sketch rows — at 100 TB the
+    * daily job reads yesterday's sketch TABLE, never yesterday's data. */
+  def kmvMerge(events: DataFrame, k: Int = 8): DataFrame = {
+    val h = pmod(col("user_id").bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L, lit(4294967296L))
+    val hv = h.bitwiseXOR(shiftright(h, 16))
+    val sketches = events
+      .select(col("event_type"), to_date(col("ts")).as("day"), hv.as("hv")).distinct()
+      .groupBy(col("event_type"), col("day"))
+      .agg(graft.functions.TopKAgg.topK(col("hv").cast("double") * -1, col("hv"), k).as("mins"))
+    sketches
+      .select(col("event_type"), explode(col("mins")).as("m"))
+      .select(col("event_type"), col("m").getField("id").as("hv")).distinct()
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.TopKAgg.topK(col("hv").cast("double") * -1, col("hv"), k).as("mins"),
+        count(lit(1)).as("n_sketch"))
+      .select(
+        col("event_type"),
+        // below k retained values the sketch IS the exact distinct set, so
+        // the threshold cases agree with the single-pass oracle exactly
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+            element_at(col("mins"), k).getField("id").cast("double")).as("est_users"))
+  }
+
+  /** Oracle: the SINGLE-pass KMV estimate — the day-batched merge must be
+    * invisible in the result (see [[kmvMerge]]). */
+  def kmvMergeSql(k: Int = 8): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    xor((user_id & 2147483647) * 2654435761 % 4294967296,
+       |        ((user_id & 2147483647) * 2654435761 % 4294967296) // 65536) AS hv
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, hv,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+       |  FROM h)
+       |SELECT event_type,
+       |  CASE WHEN MAX(nd) < $k THEN CAST(MAX(nd) AS DOUBLE)
+       |       ELSE ${(k - 1).toDouble * 4294967296.0} /
+       |            CAST(MAX(CASE WHEN rn = $k THEN hv END) AS DOUBLE) END AS est_users
+       |FROM r GROUP BY event_type""".stripMargin
+
   def kmvDistinctSql(k: Int = 8): String =
     s"""WITH h AS (
        |  SELECT DISTINCT event_type,

@@ -21,4 +21,18 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(est - u).toDouble / u < 0.1, s"$k: est=$est exact=$u")
     }
   }
+
+  test("incremental KMV merge is bit-identical to the single-pass sketch") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    def ests(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.select("event_type", "est_users").as[(String, Double)].collect().toMap
+    val single = ests(Corpus.kmvDistinct(ev).select(col("event_type"), col("est_users")))
+    // k-min sets form a semilattice: re-minning the union of per-day
+    // sketches must reproduce the single-pass estimate EXACTLY, under any
+    // partitioning of the input
+    for (parts <- Seq(1, 5, 16)) {
+      val merged = ests(Corpus.kmvMerge(ev.repartition(parts)))
+      assert(merged == single, s"parts=$parts: merged=$merged single=$single")
+    }
+  }
 }
