@@ -306,6 +306,7 @@ object SparkEntry {
     "stream_asof_ooo" -> ((s, d) => graft.streaming.StreamReplay.streamAsofOoo(s, d)),
     "stream_asof_tol" -> ((s, d) => graft.streaming.StreamReplay.streamAsofTol(s, d)),
     "stream_asof_ooo_outer" -> ((s, d) => graft.streaming.StreamReplay.streamAsofOooOuter(s, d)),
+    "stream_quantile" -> ((s, d) => graft.streaming.StreamReplay.streamQuantile(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (column names aligned with the
@@ -582,6 +583,7 @@ object SparkEntry {
     "stream_asof_ooo" -> graft.streaming.StreamReplay.streamAsofOooSql,
     "stream_asof_tol" -> graft.streaming.StreamReplay.streamAsofTolSql,
     "stream_asof_ooo_outer" -> graft.streaming.StreamReplay.streamAsofOooOuterSql,
+    "stream_quantile" -> graft.streaming.StreamReplay.streamQuantileSql(),
     "embed_pool" -> Embedding.meanPoolSql,
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,

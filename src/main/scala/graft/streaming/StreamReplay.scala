@@ -248,6 +248,77 @@ object StreamReplay {
       |CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Streaming rank-quantile sketch: the [[Streams.streamingQuantileCells]]
+    * cell table replayed over day windows, then the bounded batch rank
+    * WALK (the kll_portable finishing step, per (window, type)): crossing
+    * cell per probe quantile, estimate = its min value. Oracle = the same
+    * cells + walk computed from the batch events — the hash gate states
+    * "incrementally-maintained sketch == batch recompute". */
+  def streamQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + 2 * FlushGapMs), -1L, "__flush", 0.0)
+    val cells = replay[Event](spark, s"stream_quantile:$dir",
+      quarters(ev) :+ Seq(flush) :+ Seq(flush),
+      df => Streams.streamingQuantileCells(df))
+      // the flush's own window never closes (wm stays 2 h behind it), so
+      // this is a no-op guard, not an output shaper
+      .filter(col("event_type") =!= "__flush")
+    val tot = cells.groupBy(col("window_start"), col("event_type"))
+      .agg(sum(col("c")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start", "event_type").orderBy("ck")
+    val cum = cells.withColumn("cum", sum(col("c")).over(w))
+      .join(tot, Seq("window_start", "event_type"))
+    val probes = graft.operators.Kll.Probes.toDF("q", "num", "den")
+    val crossing = cum.crossJoin(broadcast(probes))
+      .filter(col("cum") * col("den") >= col("num") * col("n"))
+      .groupBy(col("window_start"), col("event_type"), col("q"), col("n"))
+      .agg(min(col("ck")).as("ck"))
+    crossing.join(cells, Seq("window_start", "event_type", "ck"))
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("q"), col("n"),
+        col("mn").as("est_value"), col("c").as("cell_n"))
+  }
+
+  def streamQuantileSql(minorBits: Int = 5): String = {
+    val probeRows = graft.operators.Kll.Probes
+      .map { case (q, num, den) => s"('$q', ${num}::BIGINT, ${den}::BIGINT)" }
+      .mkString(", ")
+    val cellW = 1L << (minorBits + 1)
+    s"""WITH base AS (
+       |  SELECT epoch_us(date_trunc('day', ts)) AS window_start_us, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents, value
+       |  FROM events),
+       |keyed AS (
+       |  SELECT window_start_us, event_type, value,
+       |    CAST(length(bin(cents)) AS BIGINT) * $cellW
+       |      + (cents >> CAST(greatest(length(bin(cents)) - 1 - $minorBits, 0) AS INTEGER))
+       |      AS ck
+       |  FROM base),
+       |cells AS (
+       |  SELECT window_start_us, event_type, ck, COUNT(*) AS c, MIN(value) AS mn
+       |  FROM keyed GROUP BY 1, 2, 3),
+       |tot AS (SELECT window_start_us, event_type, CAST(SUM(c) AS BIGINT) AS n
+       |        FROM cells GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT cells.*, tot.n,
+       |    SUM(c) OVER (PARTITION BY cells.window_start_us, cells.event_type
+       |                 ORDER BY ck) AS cum
+       |  FROM cells JOIN tot USING (window_start_us, event_type)),
+       |probes(q, num, den) AS (VALUES $probeRows),
+       |crossing AS (
+       |  SELECT window_start_us, event_type, q, n, MIN(ck) AS ck
+       |  FROM cum CROSS JOIN probes
+       |  WHERE cum * den >= num * n
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT cr.window_start_us, cr.event_type, cr.q, cr.n,
+       |  ce.mn AS est_value, ce.c AS cell_n
+       |FROM crossing cr JOIN cells ce
+       |  ON cr.window_start_us = ce.window_start_us
+       | AND cr.event_type = ce.event_type AND cr.ck = ce.ck""".stripMargin
+  }
+
   def streamHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = eventScript(spark, dir)

@@ -43,6 +43,40 @@ object Streams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming member of the mergeable-sketch family: per tumbling DAY
+    * window and event type, the log-linear rank-sketch CELLS of
+    * [[graft.operators.Kll.kllPortable]] (cents bit-length + top bits —
+    * exact integer arithmetic, no libm), maintained incrementally by the
+    * windowed streaming aggregate: cell counts merge by ADDITION, so the
+    * micro-batch state update IS the sketch merge and state per window is
+    * bounded by the cell-table size (≤ 64·2^m cells), never by the event
+    * count. Cells emit when the watermark closes their window; the rank
+    * WALK (quantile finishing) is a bounded batch step over the emitted
+    * cell table — see StreamReplay.streamQuantile — and the oracle
+    * replays cells + walk from the batch events, so the hash gate proves
+    * the incrementally-maintained sketch equals the batch recompute
+    * (the kmv_merge statement, in streaming form). */
+  def streamingQuantileCells(events: DataFrame, minorBits: Int = 5): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      // NO pre-aggregation row filter: Catalyst pushes any such filter
+      // BELOW the EventTimeWatermark node, and a filtered-out flush row
+      // then never reaches the watermark statistics — the watermark
+      // stalls and the final window never closes (observed: the replay's
+      // __flush row carries value 0). Flush rows instead land in their
+      // own far-future window, which the watermark never closes, so they
+      // never emit; the replay filters them defensively anyway. Value
+      // contract: positive 2-decimal values (the events table's).
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("value"))
+      .withColumn("blen", length(bin(col("cents"))))
+      .withColumn("ck", col("blen").cast("long") * (1L << (minorBits + 1)) +
+        expr(s"shiftright(cents, cast(greatest(blen - 1 - $minorBits, 0) as int))"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"), col("ck"))
+      .agg(count(lit(1)).as("c"), min(col("value")).as("mn"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("ck"), col("c"), col("mn"))
+
   /** Windowed trending terms over a (ts, text) document stream — the
     * streaming analog of term_freq for ingest-time monitoring (what is the
     * crawl pulling in right now): explode words, tumbling window counts,

@@ -344,6 +344,39 @@ class StreamingSpec extends SparkSpec {
       s"expected user 2's click-only state GC'd (1 row left), got $stateRows")
   }
 
+  test("streaming quantile cells merge across batches and emit on window close") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, typ: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), 1L, typ, v)
+    val input = MemoryStream[Event]
+    val q = Streams.streamingQuantileCells(input.toDS().toDF())
+      .writeStream.format("memory").queryName("qcells")
+      .outputMode(OutputMode.Append()).start()
+    // same cell (cents 512..1023 → blen 10, identical top bits for 5.12)
+    // hit from TWO different micro-batches: the emitted count must be the
+    // MERGED one, which is exactly the "cell counts merge by addition"
+    // sketch-union claim stated incrementally
+    input.addData(ev(1, "2024-01-30 10:00:00", "click", 5.12))
+    q.processAllAvailable()
+    input.addData(ev(2, "2024-01-30 11:00:00", "click", 5.12),
+      ev(3, "2024-01-30 12:00:00", "click", 300.0))
+    q.processAllAvailable()
+    assert(spark.table("qcells").isEmpty, "cells must not emit before window close")
+    val flush = ev(-1, "2024-01-31 03:00:00", "__flush", 0.0)
+    input.addData(flush); q.processAllAvailable()
+    input.addData(flush); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("qcells")
+      .select("event_type", "ck", "c", "mn").as[(String, Long, Long, Double)]
+      .collect().toSet
+    val clickCells = rows.filter(_._1 == "click")
+    assert(clickCells.size == 2, s"expected 2 click cells, got $rows")
+    assert(clickCells.exists(c => c._3 == 2L && c._4 == 5.12),
+      s"cross-batch cell not merged: $rows")
+    assert(clickCells.exists(c => c._3 == 1L && c._4 == 300.0), s"got $rows")
+    assert(!rows.exists(_._1 == "__flush"), "flush cells must never emit")
+  }
+
   test("streaming upsert resolves inserts/updates/deletes and flags stale replays") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Upsert]
