@@ -70,14 +70,19 @@ object Kll {
       .select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"),
         col("l_extendedprice").as("price"))
-      .withColumn("blen", length(bin(col("cents"))))
+      // bit length via the native BitLengthLong kernel (one JVM intrinsic
+      // per row). Both composed spellings measured worse: length(bin(x))
+      // allocates a String per corpus row, and a 47-term comparison-sum
+      // inlines into every downstream reference under project collapse and
+      // falls out of codegen (1.5 s → 30 s at sf0.1).
+      .withColumn("blen", graft.functions.BitLengthLong.bitLen(col("cents")))
       // shiftright via expr: the functions._ overload only takes a literal
       // shift, but the underlying expression accepts a per-row one
       .withColumn("minor",
         expr(s"shiftright(cents, cast(greatest(blen - 1 - $minorBits, 0) as int))"))
       // cell key monotone in value: minor < 2^(m+1) always, so
       // blen·2^(m+1) + minor orders cells exactly as the values they hold
-      .withColumn("ck", col("blen").cast("long") * (1L << (minorBits + 1)) + col("minor"))
+      .withColumn("ck", col("blen") * (1L << (minorBits + 1)) + col("minor"))
       .groupBy(col("l_returnflag"), col("ck"))
       .agg(count(lit(1)).as("c"), min(col("price")).as("mn"))
     val tot = cells.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))

@@ -69,8 +69,8 @@ object Streams {
       // contract: positive 2-decimal values (the events table's).
       .select(col("ts"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"), col("value"))
-      .withColumn("blen", length(bin(col("cents"))))
-      .withColumn("ck", col("blen").cast("long") * (1L << (minorBits + 1)) +
+      .withColumn("blen", graft.functions.BitLengthLong.bitLen(col("cents")))
+      .withColumn("ck", col("blen") * (1L << (minorBits + 1)) +
         expr(s"shiftright(cents, cast(greatest(blen - 1 - $minorBits, 0) as int))"))
       .groupBy(window(col("ts"), "1 day"), col("event_type"), col("ck"))
       .agg(count(lit(1)).as("c"), min(col("value")).as("mn"))
