@@ -105,6 +105,7 @@ object SparkEntry {
     "keyword_search" -> ((s, d) => Search.keywordSearch(Tables.documents(s, d), kwTerms)),
     "rank_files" -> ((s, d) =>
       Search.rankDocs(Tables.documents(s, d), Seq("spark", "join"), "spark join", "en")),
+    "file_summary" -> ((s, d) => Search.fileSummaries(Tables.documents(s, d))),
     "vector_topk" -> ((s, d) => Search.vectorTopK(Tables.embeddings(s, d))),
     "knn_join" -> ((s, d) => Search.knnJoin(Tables.embeddings(s, d))),
     "ann_maxsim" -> ((s, d) => Search.maxsimRetrieve(Tables.embeddings(s, d))),
@@ -419,6 +420,7 @@ object SparkEntry {
     "chunk_words" -> Chunking.chunkWordsSql(),
     "keyword_search" -> Search.keywordSearchSql(kwTerms),
     "rank_files" -> Search.rankDocsSql(Seq("spark", "join"), "spark join", "en"),
+    "file_summary" -> Search.fileSummariesSql,
     "vector_topk" -> Search.vectorTopKSql(),
     "knn_join" -> Search.knnJoinSql(),
     "hybrid_search" -> Search.hybridSql(kwTerms),

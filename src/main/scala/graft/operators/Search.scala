@@ -104,6 +104,37 @@ object Search {
        |FROM documents ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
   }
 
+  /** Rule-based file summaries + ref:// handles (ranker.py:64
+    * generate_file_summary and ranker.py:77 generate_ref_handle — the last
+    * uncovered surface of the reference ranker): documents get a
+    * deterministic pseudo-path `source/doc_<id>.md` (the corpus has no
+    * path column; source is its directory analog, as in rankDocs), then
+    * the reference's exact format strings — "<Lang> file <name> in
+    * <dir>/ directory" and "ref://file/<path>#L<start>-L<end>". Pure
+    * narrow projection (one codegen'd pass, zero shuffle); capitalize is
+    * spelled upper(first)+lower(rest) on BOTH engines, no initcap
+    * (locale-dependent word splitting). */
+  def fileSummaries(documents: DataFrame): DataFrame = {
+    val path = concat(col("source"), lit("/doc_"), col("doc_id"), lit(".md"))
+    val fname = concat(lit("doc_"), col("doc_id"), lit(".md"))
+    val langCap = concat(upper(substring(col("lang"), 1, 1)),
+      lower(substring(col("lang"), 2, 1000)))
+    documents.select(
+      col("doc_id"),
+      concat(langCap, lit(" file "), fname, lit(" in "), col("source"),
+        lit("/ directory")).as("summary"),
+      concat(lit("ref://file/"), path, lit("#L1-L1000")).as("ref_handle"))
+  }
+
+  val fileSummariesSql: String =
+    """SELECT doc_id,
+      |  upper(substr(lang, 1, 1)) || lower(substr(lang, 2))
+      |    || ' file doc_' || doc_id || '.md in ' || source || '/ directory'
+      |    AS summary,
+      |  'ref://file/' || source || '/doc_' || doc_id || '.md#L1-L1000'
+      |    AS ref_handle
+      |FROM documents""".stripMargin
+
   /** Brute-force cosine top-k against one query vector (the exact baseline;
     * the scale path is Dedup.annLsh). Query side is a broadcast of one row —
     * the scan side streams, no shuffle before the TakeOrdered. */
