@@ -273,6 +273,8 @@ object SparkEntry {
     "schema_classify" -> ((s, d) => SchemaClassify.classify(Tables.part(s, d))),
     "schema_parse" -> ((s, d) =>
       SchemaParse.parse(SchemaParse.syntheticDdlView(Tables.documents(s, d)))),
+    "sql_analyze" -> ((s, d) =>
+      SqlAnalyze.analyze(SqlAnalyze.syntheticQueryView(Tables.documents(s, d)))),
     "pack_builder" -> ((s, d) => PackBuilder.pack(Tables.documents(s, d), kwTerms)),
     "seq_pack" -> ((s, d) => PackBuilder.seqPack(Tables.documents(s, d))),
     // --- multimodal (plumbing real, decode stubbed; rows-only) ---
@@ -589,6 +591,7 @@ object SparkEntry {
     "embed_pool" -> Embedding.meanPoolSql,
     "schema_classify" -> SchemaClassify.classifySql,
     "schema_parse" -> SchemaParse.parseSql,
+    "sql_analyze" -> SqlAnalyze.analyzeSql,
     "pack_builder" -> PackBuilder.packSql(kwTerms),
     "seq_pack" -> PackBuilder.seqPackSql(),
     // multimodal: ASCII corpus ⇒ byte ops replay as string ops; the

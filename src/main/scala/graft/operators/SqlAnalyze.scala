@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SQL QUERY analysis — the extraction surface of the reference's
+  * services/sql/sql_parser.py `SQLAnalysisService.parse_sql` (sqlglot-
+  * based: statement type, referenced tables, join count, called
+  * functions, WHERE predicates). The reference's remaining members
+  * (_optimize_sql, convert_between_dialects, _generate_explanation) are
+  * sqlglot library passthroughs / string formatting around the same
+  * parse, not additional computation — the extraction is the surface.
+  *
+  * Spark-first shape: the whole analysis is regexp_extract_all +
+  * aggregation over a corpus of query strings — one narrow codegen'd
+  * pass, zero shuffle, linear scale-out (the reference parses one
+  * statement per call on one core). Regexes avoid lookbehind so the
+  * DuckDB (RE2) oracle replays them verbatim; list outputs are
+  * sorted-distinct comma joins, so the hash gate is order-stable.
+  */
+object SqlAnalyze {
+
+  /** Deterministic synthetic query corpus from doc_id (the
+    * SchemaParse.syntheticDdlView recipe): four statement templates —
+    * filter select, join+aggregate, insert, three-way join — cycling by
+    * doc_id, identifiers and literals derived by modulus. Stated
+    * identically in [[syntheticQuerySql]] for the oracle. */
+  def syntheticQueryView(documents: DataFrame): DataFrame = {
+    val a = (col("doc_id") % 7).cast("string")
+    val b = ((col("doc_id") + 3) % 7).cast("string")
+    val c = ((col("doc_id") + 5) % 7).cast("string")
+    val n = (col("doc_id") % 100).cast("string")
+    val q = when(col("doc_id") % 4 === 0,
+        concat(lit("SELECT id, name FROM t_"), a, lit(" WHERE id > "), n))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("SELECT a.id, sum(b.v) FROM t_"), a, lit(" a JOIN t_"), b,
+          lit(" b ON a.id = b.id WHERE b.v > "), n,
+          lit(" AND a.id < 500 GROUP BY a.id")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("INSERT INTO t_"), a, lit(" (id, v) VALUES ("), n, lit(", 1)")))
+      .otherwise(
+        concat(lit("SELECT count(*), max(v) FROM t_"), a, lit(" JOIN t_"), b,
+          lit(" ON t_"), a, lit(".id = t_"), b, lit(".id JOIN t_"), c,
+          lit(" ON t_"), b, lit(".id = t_"), c, lit(".id")))
+    documents.select(col("doc_id").as("query_id"), q.as("sql"))
+  }
+
+  // continuation lines must never BEGIN with '||': this string is embedded
+  // in analyzeSql, whose own stripMargin would eat one pipe of a
+  // line-leading '||' (margin-char collision)
+  val syntheticQuerySql: String =
+    """SELECT doc_id AS query_id,
+      |  CASE
+      |    WHEN doc_id % 4 = 0 THEN
+      |      'SELECT id, name FROM t_' || (doc_id % 7) || ' WHERE id > ' || (doc_id % 100)
+      |    WHEN doc_id % 4 = 1 THEN
+      |      'SELECT a.id, sum(b.v) FROM t_' || (doc_id % 7) || ' a JOIN t_' || ((doc_id + 3) % 7) ||
+      |      ' b ON a.id = b.id WHERE b.v > ' || (doc_id % 100) || ' AND a.id < 500 GROUP BY a.id'
+      |    WHEN doc_id % 4 = 2 THEN
+      |      'INSERT INTO t_' || (doc_id % 7) || ' (id, v) VALUES (' || (doc_id % 100) || ', 1)'
+      |    ELSE
+      |      'SELECT count(*), max(v) FROM t_' || (doc_id % 7) || ' JOIN t_' || ((doc_id + 3) % 7) ||
+      |      ' ON t_' || (doc_id % 7) || '.id = t_' || ((doc_id + 3) % 7) || '.id JOIN t_' ||
+      |      ((doc_id + 5) % 7) || ' ON t_' || ((doc_id + 3) % 7) || '.id = t_' ||
+      |      ((doc_id + 5) % 7) || '.id'
+      |  END AS sql
+      |FROM documents""".stripMargin
+
+  private val TablePat = """(?i)(?:FROM|JOIN|INTO)\s+(\w+)"""
+  private val FuncPat = """(\w+)\s*\("""
+  private val JoinPat = """(?i)\bJOIN\b"""
+  private val CondPat = """(?i)\b(?:WHERE|AND)\b"""
+
+  /** Per query: statement type (first keyword, the sql_type analog of
+    * `parsed.__class__.__name__.lower()`), sorted-distinct referenced
+    * tables, join count, sorted-distinct function names, predicate count
+    * (WHERE + ANDs — the reference's flattened condition list). */
+  def analyze(queries: DataFrame): DataFrame =
+    queries.select(
+      col("query_id"),
+      lower(regexp_extract(col("sql"), """^\s*(\w+)""", 1)).as("sql_type"),
+      array_join(array_sort(array_distinct(
+        regexp_extract_all(col("sql"), lit(TablePat), lit(1)))), ",").as("tables"),
+      size(regexp_extract_all(col("sql"), lit(JoinPat), lit(0))).cast("long").as("n_joins"),
+      array_join(array_sort(array_distinct(
+        transform(regexp_extract_all(col("sql"), lit(FuncPat), lit(1)),
+          x => lower(x)))), ",").as("functions"),
+      size(regexp_extract_all(col("sql"), lit(CondPat), lit(0))).cast("long").as("n_conds"))
+
+  // NOTE: the s-interpolator processes escapes even in triple quotes, so
+  // '\\s' below lands as '\s' in the emitted SQL — what RE2 needs
+  val analyzeSql: String =
+    s"""WITH q AS ($syntheticQuerySql)
+       |SELECT query_id,
+       |  lower(regexp_extract(sql, '^\\s*(\\w+)', 1)) AS sql_type,
+       |  coalesce(array_to_string(list_sort(list_distinct(
+       |    regexp_extract_all(sql, '(?i)(?:FROM|JOIN|INTO)\\s+(\\w+)', 1))), ','), '') AS tables,
+       |  CAST(len(regexp_extract_all(sql, '(?i)\\bJOIN\\b', 0)) AS BIGINT) AS n_joins,
+       |  coalesce(array_to_string(list_sort(list_distinct(
+       |    list_transform(regexp_extract_all(sql, '(\\w+)\\s*\\(', 1), x -> lower(x)))), ','), '')
+       |    AS functions,
+       |  CAST(len(regexp_extract_all(sql, '(?i)\\b(?:WHERE|AND)\\b', 0)) AS BIGINT) AS n_conds
+       |FROM q""".stripMargin
+}
