@@ -36,6 +36,10 @@ object Recall10x {
       // the ADC pool — these rows measure the recovery
       ("ann_pq_rr_d100", () => ProductQuant.pqRerank(emb, depth = 100)),
       ("ann_pq_rr_d300", () => ProductQuant.pqRerank(emb, depth = 300)),
+      // trained codebooks: the recovery path where the data-independent
+      // grid's quantization error reaches the neighbor-gap scale
+      ("ann_pq_tr", () => ProductQuant.pqSearchTrained(emb)),
+      ("ann_ivf_pq_rr", () => ProductQuant.ivfPqRerank(emb)),
       ("ann_sq8", () => ScalarQuant.sq8Search(emb)))
     variants.foreach { case (name, mk) =>
       val t0 = System.nanoTime()
