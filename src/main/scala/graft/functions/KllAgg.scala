@@ -157,6 +157,13 @@ case class KllAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // fail at ANALYSIS, not as a mid-job ClassCastException in update()
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (value.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kll expects a DOUBLE value column, got ${value.dataType}")
+
   override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
 
   override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {

@@ -147,20 +147,35 @@ object Corpus {
     * shuffle O(types·k) after the distinct), and KMV merges by
     * union-then-retake-k, the property that makes it a distributed
     * aggregate at all. */
-  def kmvDistinct(events: DataFrame, k: Int = 8): DataFrame = {
-    val h = pmod(col("user_id").bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L, lit(4294967296L))
-    val hv = h.bitwiseXOR(shiftright(h, 16))
-    events.select(col("event_type"), hv.as("hv")).distinct()
+  /** The ONE portable KMV hash (xor-shifted multiplicative) and estimator
+    * — shared by [[kmvDistinct]]/[[kmvMerge]] and their SQL twins, whose
+    * bit-equality the SketchSpec merge test asserts: a tweak applied to
+    * one copy of four would only surface as an opaque hash mismatch. */
+  private def kmvHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = pmod(key.bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L, lit(4294967296L))
+    h.bitwiseXOR(shiftright(h, 16))
+  }
+
+  /** (k−1)·M/h_k, exact below k retained values (`nd` = that count). */
+  private def kmvEstimate(mins: org.apache.spark.sql.Column,
+                          nd: org.apache.spark.sql.Column, k: Int) =
+    when(nd < k, nd.cast("double"))
+      .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+        element_at(mins, k).getField("id").cast("double"))
+
+  private val KmvHashSql: String =
+    """xor((user_id & 2147483647) * 2654435761 % 4294967296,
+      |        ((user_id & 2147483647) * 2654435761 % 4294967296) // 65536)""".stripMargin
+
+  def kmvDistinct(events: DataFrame, k: Int = 8): DataFrame =
+    events.select(col("event_type"), kmvHash(col("user_id")).as("hv")).distinct()
       .groupBy(col("event_type"))
       .agg(
         graft.functions.TopKAgg.topK(col("hv").cast("double") * -1, col("hv"), k).as("mins"),
         count(lit(1)).as("n_distinct"))
       .select(
         col("event_type"), col("n_distinct"),
-        when(col("n_distinct") < k, col("n_distinct").cast("double"))
-          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
-            element_at(col("mins"), k).getField("id").cast("double")).as("est_users"))
-  }
+        kmvEstimate(col("mins"), col("n_distinct"), k).as("est_users"))
 
   /** Incremental KMV — the sketch-PERSISTENCE pattern every production
     * profiling pipeline needs: each ingestion batch (here: one day of
@@ -175,10 +190,9 @@ object Corpus {
     * phase touches only O(groups·batches·k) sketch rows — at 100 TB the
     * daily job reads yesterday's sketch TABLE, never yesterday's data. */
   def kmvMerge(events: DataFrame, k: Int = 8): DataFrame = {
-    val h = pmod(col("user_id").bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L, lit(4294967296L))
-    val hv = h.bitwiseXOR(shiftright(h, 16))
     val sketches = events
-      .select(col("event_type"), to_date(col("ts")).as("day"), hv.as("hv")).distinct()
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        kmvHash(col("user_id")).as("hv")).distinct()
       .groupBy(col("event_type"), col("day"))
       .agg(graft.functions.TopKAgg.topK(col("hv").cast("double") * -1, col("hv"), k).as("mins"))
     sketches
@@ -192,46 +206,36 @@ object Corpus {
         col("event_type"),
         // below k retained values the sketch IS the exact distinct set, so
         // the threshold cases agree with the single-pass oracle exactly
-        when(col("n_sketch") < k, col("n_sketch").cast("double"))
-          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
-            element_at(col("mins"), k).getField("id").cast("double")).as("est_users"))
+        kmvEstimate(col("mins"), col("n_sketch"), k).as("est_users"))
   }
 
   /** Oracle: the SINGLE-pass KMV estimate — the day-batched merge must be
     * invisible in the result (see [[kmvMerge]]). */
-  def kmvMergeSql(k: Int = 8): String =
+  /** One SQL builder for both KMV oracles — both state the SINGLE-pass
+    * sketch (that IS kmv_merge's correctness claim); the n_distinct
+    * column is kmv_distinct's only extra. Hash snippet shared via
+    * [[KmvHashSql]], estimator stated once here. */
+  private def kmvSql(k: Int, includeNDistinct: Boolean): String = {
+    val nd = if (includeNDistinct) " CAST(MAX(nd) AS BIGINT) AS n_distinct," else ""
     s"""WITH h AS (
        |  SELECT DISTINCT event_type,
-       |    xor((user_id & 2147483647) * 2654435761 % 4294967296,
-       |        ((user_id & 2147483647) * 2654435761 % 4294967296) // 65536) AS hv
+       |    $KmvHashSql AS hv
        |  FROM events),
        |r AS (
        |  SELECT event_type, hv,
        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
        |  FROM h)
-       |SELECT event_type,
+       |SELECT event_type,$nd
        |  CASE WHEN MAX(nd) < $k THEN CAST(MAX(nd) AS DOUBLE)
        |       ELSE ${(k - 1).toDouble * 4294967296.0} /
        |            CAST(MAX(CASE WHEN rn = $k THEN hv END) AS DOUBLE) END AS est_users
        |FROM r GROUP BY event_type""".stripMargin
+  }
 
-  def kmvDistinctSql(k: Int = 8): String =
-    s"""WITH h AS (
-       |  SELECT DISTINCT event_type,
-       |    xor((user_id & 2147483647) * 2654435761 % 4294967296,
-       |        ((user_id & 2147483647) * 2654435761 % 4294967296) // 65536) AS hv
-       |  FROM events),
-       |r AS (
-       |  SELECT event_type, hv,
-       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
-       |    COUNT(*) OVER (PARTITION BY event_type) AS nd
-       |  FROM h)
-       |SELECT event_type, CAST(MAX(nd) AS BIGINT) AS n_distinct,
-       |  CASE WHEN MAX(nd) < $k THEN CAST(MAX(nd) AS DOUBLE)
-       |       ELSE ${(k - 1).toDouble * 4294967296.0} /
-       |            CAST(MAX(CASE WHEN rn = $k THEN hv END) AS DOUBLE) END AS est_users
-       |FROM r GROUP BY event_type""".stripMargin
+  def kmvMergeSql(k: Int = 8): String = kmvSql(k, includeNDistinct = false)
+
+  def kmvDistinctSql(k: Int = 8): String = kmvSql(k, includeNDistinct = true)
 
   /** Sketch-based statistics — the O(1)-memory cardinality/quantile tools
     * that replace exact distincts at 100 TB: HyperLogLog++ distinct users

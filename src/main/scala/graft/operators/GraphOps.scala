@@ -943,10 +943,14 @@ object GraphOps {
       prevHr = hr
     }
     if (prevHr != null) prevHr.unpersist(blocking = false)
-    // the final (only) auth normalization; the caller-side persist keeps
-    // the one extra edge join+agg here as the whole recompute cost (this
-    // last cache backs the RETURNED lazy plan, so it outlives the loop)
-    val auth = lInfNorm(authRaw.persist(), "dst", "auth")
+    // the final (only) auth normalization: persist for the max-agg +
+    // normalize double read, MATERIALIZE the normalized result (node-sized
+    // table), then release the cache — returning a plan that leaned on the
+    // persist would pin authRaw's blocks for the session lifetime, the
+    // same leak the loop above just closed for hr
+    val authRawP = authRaw.persist()
+    val auth = lInfNorm(authRawP, "dst", "auth").materialize
+    authRawP.unpersist(blocking = false)
     auth.select(lit("part").as("node_type"), col("node").as("node_id"),
         col("auth").as("score"))
       .unionAll(hub.select(lit("supplier").as("node_type"), col("node").as("node_id"),

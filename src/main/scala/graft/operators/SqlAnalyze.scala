@@ -74,31 +74,43 @@ object SqlAnalyze {
   /** Per query: statement type (first keyword, the sql_type analog of
     * `parsed.__class__.__name__.lower()`), sorted-distinct referenced
     * tables, join count, sorted-distinct function names, predicate count
-    * (WHERE + ANDs — the reference's flattened condition list). */
-  def analyze(queries: DataFrame): DataFrame =
+    * (WHERE + ANDs — the reference's flattened condition list). An
+    * identifier before '(' is only a FUNCTION if it is neither a
+    * referenced table (INSERT's column-list paren follows the table name)
+    * nor the VALUES keyword — RE2 has no lookbehind, so the exclusion is
+    * a set difference rather than a regex context, identically on both
+    * engines. */
+  def analyze(queries: DataFrame): DataFrame = {
+    val tables = array_distinct(regexp_extract_all(col("sql"), lit(TablePat), lit(1)))
+    val funcCand = array_distinct(
+      transform(regexp_extract_all(col("sql"), lit(FuncPat), lit(1)), x => lower(x)))
     queries.select(
       col("query_id"),
       lower(regexp_extract(col("sql"), """^\s*(\w+)""", 1)).as("sql_type"),
-      array_join(array_sort(array_distinct(
-        regexp_extract_all(col("sql"), lit(TablePat), lit(1)))), ",").as("tables"),
+      array_join(array_sort(tables), ",").as("tables"),
       size(regexp_extract_all(col("sql"), lit(JoinPat), lit(0))).cast("long").as("n_joins"),
-      array_join(array_sort(array_distinct(
-        transform(regexp_extract_all(col("sql"), lit(FuncPat), lit(1)),
-          x => lower(x)))), ",").as("functions"),
+      array_join(array_sort(
+        array_except(funcCand, array_union(tables, array(lit("values"))))), ",")
+        .as("functions"),
       size(regexp_extract_all(col("sql"), lit(CondPat), lit(0))).cast("long").as("n_conds"))
+  }
 
   // NOTE: the s-interpolator processes escapes even in triple quotes, so
   // '\\s' below lands as '\s' in the emitted SQL — what RE2 needs
   val analyzeSql: String =
-    s"""WITH q AS ($syntheticQuerySql)
+    s"""WITH q AS ($syntheticQuerySql),
+       |k AS (
+       |  SELECT query_id, sql,
+       |    list_distinct(regexp_extract_all(sql, '(?i)(?:FROM|JOIN|INTO)\\s+(\\w+)', 1)) AS tabs,
+       |    list_distinct(list_transform(
+       |      regexp_extract_all(sql, '(\\w+)\\s*\\(', 1), x -> lower(x))) AS fcand
+       |  FROM q)
        |SELECT query_id,
        |  lower(regexp_extract(sql, '^\\s*(\\w+)', 1)) AS sql_type,
-       |  coalesce(array_to_string(list_sort(list_distinct(
-       |    regexp_extract_all(sql, '(?i)(?:FROM|JOIN|INTO)\\s+(\\w+)', 1))), ','), '') AS tables,
+       |  coalesce(array_to_string(list_sort(tabs), ','), '') AS tables,
        |  CAST(len(regexp_extract_all(sql, '(?i)\\bJOIN\\b', 0)) AS BIGINT) AS n_joins,
-       |  coalesce(array_to_string(list_sort(list_distinct(
-       |    list_transform(regexp_extract_all(sql, '(\\w+)\\s*\\(', 1), x -> lower(x)))), ','), '')
-       |    AS functions,
+       |  coalesce(array_to_string(list_sort(list_filter(fcand,
+       |    x -> NOT list_contains(tabs, x) AND x <> 'values')), ','), '') AS functions,
        |  CAST(len(regexp_extract_all(sql, '(?i)\\b(?:WHERE|AND)\\b', 0)) AS BIGINT) AS n_conds
-       |FROM q""".stripMargin
+       |FROM k""".stripMargin
 }

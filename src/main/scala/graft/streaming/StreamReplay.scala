@@ -257,7 +257,14 @@ object StreamReplay {
   def streamQuantile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = eventScript(spark, dir)
-    val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + 2 * FlushGapMs), -1L, "__flush", 0.0)
+    // the flush must put the WATERMARK (flush ts − 2 h delay) past the end
+    // of the last event's DAY window — a fixed gap from the last event only
+    // closes it when that event happens to fall within the gap of midnight
+    // (the hourly-window replays never hit this: their margin exceeds the
+    // window size structurally)
+    val dayMs = 86400000L
+    val lastDayEndMs = (ev.last.ts.getTime / dayMs + 1L) * dayMs
+    val flush = Event(-1L, new Timestamp(lastDayEndMs + FlushGapMs + 60000L), -1L, "__flush", 0.0)
     val cells = replay[Event](spark, s"stream_quantile:$dir",
       quarters(ev) :+ Seq(flush) :+ Seq(flush),
       df => Streams.streamingQuantileCells(df))
@@ -539,33 +546,39 @@ object StreamReplay {
       |epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms, c.click_id, c.click_value
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
-  /** Out-of-order as-of replay: delivery order is ts + a deterministic
-    * ±30 min jitter (keyed on event_id), so clicks routinely arrive AFTER
-    * the purchases they must attribute — the arrival pattern
-    * [[Streams.streamingAsofOoo]]'s watermark/event-time-timeout machinery
-    * exists for, which the time-ordered streamAsof script never exercises.
-    * The 2 h watermark delay dominates the 30 min disorder with margin, so
-    * no row is watermark-late (the operator's retention contract); batches
-    * slice the JITTERED order, and a far-future doubled flush advances the
-    * watermark so every pending purchase emits (the second flush batch runs
-    * WITH the advanced watermark — where the event-time timeouts of all
-    * quiet users fire). Emitted content is watermark-independent, so the
-    * oracle is the SAME batch ASOF SQL as streamAsof. */
-  def streamAsofOoo(spark: SparkSession, dir: String): DataFrame = {
+  /** The one out-of-order replay preamble every OOO as-of variant shares
+    * (inner / tolerance / outer — the build function is the only knob, so
+    * the three replays and their oracles cannot drift): delivery order is
+    * ts + a deterministic ±30 min jitter keyed on event_id, so clicks
+    * routinely arrive AFTER the purchases they must attribute — the
+    * arrival pattern [[Streams.streamingAsofOoo]]'s watermark/event-time-
+    * timeout machinery exists for. The 2 h watermark delay dominates the
+    * 30 min disorder with margin, so no row is watermark-late (the
+    * operator's retention contract); batches slice the JITTERED order,
+    * and the far-future DOUBLED flush advances the watermark so every
+    * pending purchase emits (the second flush batch runs WITH the
+    * advanced watermark — where quiet users' event-time timeouts fire;
+    * ripeness is strict, so a single gap would leave the last-instant
+    * purchase pending forever). floorMod: stress-tier event_ids overflow
+    * the multiply, and a plain % would widen the jitter range past the
+    * watermark's margin. Emitted content is watermark-independent, so
+    * each variant's oracle is its batch ASOF SQL. */
+  private def jitteredAsofReplay(spark: SparkSession, key: String, dir: String,
+                                 build: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     val ev = eventScript(spark, dir)
     val jittered = ev.sortBy { e =>
-      // floorMod: stress-tier event_ids overflow the multiply, and a plain
-      // % would widen the jitter range past the watermark's margin
       val j = math.floorMod(e.event_id * 2654435761L, 61L) - 30L // ±30 min
       (e.ts.getTime + j * 60000L, e.event_id)
     }
-    // double gap: the watermark lands at flushTs − 2 h and ripeness is
-    // STRICT (wm > p.ts) — a single gap would leave the last-instant
-    // purchase pending forever
     val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + 2 * FlushGapMs), -1L, "__flush", 0.0)
-    replay[Event](spark, s"stream_asof_ooo:$dir",
-      quarters(jittered) :+ Seq(flush) :+ Seq(flush),
+    replay[Event](spark, s"$key:$dir",
+      quarters(jittered) :+ Seq(flush) :+ Seq(flush), build)
+  }
+
+  def streamAsofOoo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jitteredAsofReplay(spark, "stream_asof_ooo", dir,
       df => Streams.streamingAsofOoo(df.as[Event]).toDF())
   }
 
@@ -581,14 +594,7 @@ object StreamReplay {
     * the same argument as the batch tolerance oracle). */
   def streamAsofTol(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = eventScript(spark, dir)
-    val jittered = ev.sortBy { e =>
-      val j = math.floorMod(e.event_id * 2654435761L, 61L) - 30L // ±30 min
-      (e.ts.getTime + j * 60000L, e.event_id)
-    }
-    val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + 2 * FlushGapMs), -1L, "__flush", 0.0)
-    replay[Event](spark, s"stream_asof_tol:$dir",
-      quarters(jittered) :+ Seq(flush) :+ Seq(flush),
+    jitteredAsofReplay(spark, "stream_asof_tol", dir,
       df => Streams.streamingAsofOoo(df.as[Event],
         clickLookbackMs = graft.operators.AsOf.TolUs / 1000L).toDF())
   }
@@ -605,14 +611,7 @@ object StreamReplay {
     * bind on the 30-day corpus). */
   def streamAsofOooOuter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = eventScript(spark, dir)
-    val jittered = ev.sortBy { e =>
-      val j = math.floorMod(e.event_id * 2654435761L, 61L) - 30L // ±30 min
-      (e.ts.getTime + j * 60000L, e.event_id)
-    }
-    val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + 2 * FlushGapMs), -1L, "__flush", 0.0)
-    replay[Event](spark, s"stream_asof_ooo_outer:$dir",
-      quarters(jittered) :+ Seq(flush) :+ Seq(flush),
+    jitteredAsofReplay(spark, "stream_asof_ooo_outer", dir,
       df => Streams.streamingAsofOooOuter(df.as[Event]).toDF())
   }
 
