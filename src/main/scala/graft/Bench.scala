@@ -121,6 +121,8 @@ object Bench {
             exact, graft.operators.ProductQuant.pqSearchTrained(emb, nProbes = 10, k = 3)),
           "ann_pq_rerank@3" -> Recall.recallAtK(
             exact, graft.operators.ProductQuant.pqRerank(emb, nProbes = 10, k = 3)),
+          "ann_pq_rr_ad@3" -> Recall.recallAtK(
+            exact, graft.operators.ProductQuant.pqRerankAdaptive(emb, nProbes = 10, k = 3)),
           "ann_sq8@3" -> Recall.recallAtK(
             exact, graft.operators.ScalarQuant.sq8Search(emb, nProbes = 10, k = 3)),
           "ann_ivf_pq@3" -> Recall.recallAtK(

@@ -202,6 +202,7 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
     "ann_pq_tr" -> ((s, d) => ProductQuant.pqSearchTrained(Tables.embeddings(s, d))),
     "ann_pq_rerank" -> ((s, d) => ProductQuant.pqRerank(Tables.embeddings(s, d))),
+    "ann_pq_rr_ad" -> ((s, d) => ProductQuant.pqRerankAdaptive(Tables.embeddings(s, d))),
     "ann_sq8" -> ((s, d) => ScalarQuant.sq8Search(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => ProductQuant.ivfPqSearch(Tables.embeddings(s, d))),
     "ann_ivf_pq_rr" -> ((s, d) => ProductQuant.ivfPqRerank(Tables.embeddings(s, d))),
@@ -475,6 +476,7 @@ object SparkEntry {
     "ann_pq" -> ProductQuant.pqSearchSql(),
     "ann_pq_tr" -> ProductQuant.pqSearchTrainedSql(),
     "ann_pq_rerank" -> ProductQuant.pqRerankSql(),
+    "ann_pq_rr_ad" -> ProductQuant.pqRerankAdaptiveSql(),
     "ann_sq8" -> ScalarQuant.sq8SearchSql(),
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
     "ann_ivf_pq_rr" -> ProductQuant.ivfPqRerankSql(),

@@ -192,8 +192,11 @@ object ProductQuant extends Serializable {
       probes)
   }
 
-  private def adcSearch(embeddings: DataFrame, cbs: Array[Array[Array[Double]]],
-                        m: Int, nProbes: Int, k: Int,
+  /** All-pairs ADC scores (probe_id, neighbor_id, approx_score) — the
+    * narrow scoring pass both the fixed-k search and the adaptive-pool
+    * rerank share. */
+  private def adcScores(embeddings: DataFrame, cbs: Array[Array[Array[Double]]],
+                        m: Int, nProbes: Int,
                         probeDf: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -214,7 +217,7 @@ object ProductQuant extends Serializable {
     // task binary" warnings at MB sizes); broadcast ships once per executor
     val bcCbs = spark.sparkContext.broadcast(cbs)
     val bcLut = spark.sparkContext.broadcast(lut)
-    val scored = embeddings.select(col("vec_id"), col("embedding"))
+    embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { iter =>
         val cbsL = bcCbs.value
@@ -230,7 +233,12 @@ object ProductQuant extends Serializable {
         }
       }
       .toDF("probe_id", "neighbor_id", "approx_score")
-    scored
+  }
+
+  private def adcSearch(embeddings: DataFrame, cbs: Array[Array[Array[Double]]],
+                        m: Int, nProbes: Int, k: Int,
+                        probeDf: Option[DataFrame] = None): DataFrame = {
+    adcScores(embeddings, cbs, m, nProbes, probeDf)
       .groupBy(col("probe_id"))
       .agg(graft.functions.TopKAgg.topK(col("approx_score"), col("neighbor_id"), k).as("topk"))
       .select(col("probe_id"), posexplode(col("topk")))
@@ -259,6 +267,119 @@ object ProductQuant extends Serializable {
     require(depth >= k, s"rerank depth $depth must be >= k=$k")
     rerankTail(embeddings,
       pqSearch(embeddings, m, nCodes, nProbes, depth, probes), nProbes, k, probes)
+  }
+
+  /** ADAPTIVE-pool PQ rerank — the operator-shaped answer to the
+    * natural-density recall finding (SCALING.md r09): a fixed rerank
+    * depth must be hand-scaled to neighborhood occupancy, while this pool
+    * sizes ITSELF from per-candidate quantization error bounds. For each
+    * (probe p, candidate v), ADC error is provably bounded:
+    * |dot(p,v) − adc(p,v)| = |dot(p, v − recon(v))| ≤ Σ_s ‖p_s‖·‖res_s(v)‖
+    * = ε_pv (Cauchy-Schwarz per subspace, res = the candidate's OWN
+    * encode residual — far tighter than a corpus-max bound, which the
+    * first cut used and which degenerated to the whole corpus on
+    * uncorrelated data). With lb = adc − ε and ub = adc + ε, the pool
+    * keeps every candidate whose ub reaches the k-th largest lb — the
+    * classic branch-and-bound prune, which GUARANTEES the exact-DOT
+    * top-k is in the pool: if ub(v) < kth_lb then exact(v) < lb of at
+    * least k candidates, whose exacts all exceed exact(v). Pool size is
+    * the genuine ambiguity set: small where codes separate neighbors
+    * (well-quantized data), honestly large where they cannot — exactly
+    * when rerank is needed. The final rerank scores exact COSINE (the
+    * family contract); the dot guarantee transfers in proportion to norm
+    * concentration, and PqAdaptiveSpec asserts the dot-top-k containment
+    * directly. Cost vs pqRerank: the residual norms fall out of the
+    * encode loop already being run; the extra work is one broadcast of
+    * probe subnorms and the lb/ub arithmetic per scored pair. */
+  def pqRerankAdaptive(embeddings: DataFrame, m: Int = 32, nCodes: Int = 64,
+                       nProbes: Int = 10, k: Int = 3,
+                       probes: Option[DataFrame] = None): DataFrame =
+    rerankTail(embeddings,
+      pqAdaptivePool(embeddings, m, nCodes, nProbes, k, probes), nProbes, k, probes)
+
+  /** The margin pool (probe_id, neighbor_id) — exposed at package level so
+    * the spec can assert the containment theorem on the pool itself. */
+  private[graft] def pqAdaptivePool(embeddings: DataFrame, m: Int, nCodes: Int,
+                                    nProbes: Int, k: Int,
+                                    probeDf: Option[DataFrame] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val w = Dim / m
+    val base = embeddings.filter(col("vec_id") < nCodes)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map(r => toD(r._2))
+    val cbs = firstKCodebooks(base, m, nCodes)
+    val probeArr: Array[(Long, Array[Float])] =
+      Probes.resolve(embeddings, probeDf, nProbes)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // per-probe ADC lookup tables + per-probe-subspace norms ‖p_s‖
+    val lut: Array[(Long, Array[Array[Double]], Array[Double])] =
+      probeArr.map { case (pid, pv) =>
+        val pd = toD(pv)
+        val t = Array.tabulate(m)(s => Array.tabulate(cbs(s).length)(c =>
+          dotD(pd.slice(s * w, s * w + w), cbs(s)(c))))
+        val pn = Array.tabulate(m) { s =>
+          val sub = pd.slice(s * w, s * w + w)
+          math.sqrt(dotD(sub, sub))
+        }
+        (pid, t, pn)
+      }
+    val bcCbs = spark.sparkContext.broadcast(cbs)
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val mL = m; val wL = w
+    // one narrow pass: adc score AND the per-candidate error bound ε_pv
+    // (the residual norms fall out of the encode argmin already computed)
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cbsL = bcCbs.value
+        val lutL = bcLut.value
+        iter.flatMap { case (nid, v) =>
+          val vd = toD(v)
+          val codes = new Array[Int](mL)
+          val resN = new Array[Double](mL)
+          var s = 0
+          while (s < mL) {
+            val sub = vd.slice(s * wL, s * wL + wL)
+            var bestC = 0
+            var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < cbsL(s).length) {
+              val d = l2D(sub, cbsL(s)(c))
+              if (d < bestD) { bestD = d; bestC = c }
+              c += 1
+            }
+            codes(s) = bestC
+            resN(s) = math.sqrt(bestD)
+            s += 1
+          }
+          lutL.iterator.collect { case (pid, t, pn) if pid != nid =>
+            var score = 0.0
+            var eps = 0.0
+            var i = 0
+            while (i < mL) {
+              score += t(i)(codes(i))
+              eps += pn(i) * resN(i)
+              i += 1
+            }
+            (pid, nid, score, eps)
+          }
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "approx_score", "eps")
+    // k-th largest LOWER bound per probe (lb = adc − ε; ties by id like
+    // TopKAgg); get() is null-safe under ANSI for sub-k candidate counts
+    val kthLb = scored
+      .withColumn("lb", col("approx_score") - col("eps"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("lb"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"),
+        get(col("topk"), lit(k - 1)).getField("score").as("kth_lb"))
+    scored
+      .join(broadcast(kthLb), "probe_id")
+      .filter(col("approx_score") + col("eps") >=
+        coalesce(col("kth_lb"), lit(-1e308)))
+      .select(col("probe_id"), col("neighbor_id"))
   }
 
   /** Shared refine tail: broadcast the O(probes·depth) candidate pool into
@@ -437,6 +558,84 @@ object ProductQuant extends Serializable {
     s"""WITH cand AS MATERIALIZED (
        |  SELECT probe_id, neighbor_id FROM (
        |${pqSearchSql(m, nCodes, nProbes, depth)}))
+       |SELECT c.probe_id, c.neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
+       |    ORDER BY $cos DESC, c.neighbor_id) AS BIGINT) AS rn,
+       |  $cos AS score
+       |FROM cand c
+       |JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |JOIN embeddings pe ON pe.vec_id = c.probe_id
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
+  /** Adaptive-pool oracle: the pqSearchSql encode/ADC pipeline, plus the
+    * per-candidate residual norms (sqrt of the min-L2 the encode argmin
+    * already ranks on), per-(probe, candidate) ε as an s-ordered
+    * list_reduce fold of ‖p_s‖·‖res_s(v)‖ (the cmsFreq pattern — SUM is
+    * unordered, the fold is not), the k-th largest LOWER bound via
+    * ROW_NUMBER on (adc − ε), and the branch-and-bound prune
+    * ub ≥ kth_lb — every float op in the same order as the Scala side,
+    * so the pool membership boundary is bit-deterministic cross-engine. */
+  def pqRerankAdaptiveSql(m: Int = 32, nCodes: Int = 64, nProbes: Int = 10,
+                          k: Int = 3): String = {
+    val w = Dim / m
+    val encL2 = VectorOps.l2Sql("sv.sub_e", "c.emb_sub", w)
+    val cos = VectorOps.cosineSql("pe.embedding", "ne.embedding")
+    val pSub = s"(p.pv[ss.s*$w+1 : ss.s*$w+$w])"
+    val pNorm = s"sqrt(${VectorOps.dotSql(pSub, pSub, w)})"
+    s"""WITH ss AS (SELECT unnest(range(0, $m)) AS s),
+       |cb AS MATERIALIZED (
+       |  SELECT ss.s, e.vec_id AS code, e.embedding[ss.s*$w+1 : ss.s*$w+$w] AS emb_sub
+       |  FROM embeddings e CROSS JOIN ss
+       |  WHERE e.vec_id < $nCodes),
+       |sv AS MATERIALIZED (
+       |  SELECT e.vec_id, ss.s, e.embedding[ss.s*$w+1 : ss.s*$w+$w] AS sub_e
+       |  FROM embeddings e CROSS JOIN ss),
+       |enc AS MATERIALIZED (
+       |  SELECT sv.vec_id, sv.s, c.code
+       |  FROM sv JOIN cb c ON c.s = sv.s
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
+       |    ORDER BY $encL2 ASC, c.code) = 1),
+       |encp AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    ${(0 until m).map(s => s"MAX(CASE WHEN s = $s THEN code END) AS c$s").mkString(", ")}
+       |  FROM enc GROUP BY 1),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < $nProbes),
+       |rv AS MATERIALIZED (
+       |  SELECT sv.vec_id, sv.s, sqrt(MIN($encL2)) AS r
+       |  FROM sv JOIN cb c ON c.s = sv.s GROUP BY 1, 2),
+       |pn AS MATERIALIZED (
+       |  SELECT p.probe_id, ss.s, $pNorm AS pnorm
+       |  FROM probes p CROSS JOIN ss),
+       |epsv AS MATERIALIZED (
+       |  SELECT pn.probe_id, rv.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(pn.pnorm * rv.r ORDER BY rv.s)), (a, b) -> a + b) AS eps
+       |  FROM pn JOIN rv ON pn.s = rv.s GROUP BY 1, 2),
+       |scored AS MATERIALIZED (
+       |  SELECT p.probe_id, n.vec_id AS neighbor_id,
+       |    ${(0 until m).map(s =>
+             VectorOps.dotSql(s"(p.pv[$s*$w+1 : $s*$w+$w])", s"cb$s.emb_sub", w))
+             .reduce((a, b) => s"($a + $b)")} AS approx_score
+       |  FROM encp n
+       |  ${(0 until m).map(s => s"JOIN cb cb$s ON cb$s.s = $s AND cb$s.code = n.c$s").mkString("\n  ")}
+       |  CROSS JOIN probes p
+       |  WHERE n.vec_id <> p.probe_id),
+       |se AS MATERIALIZED (
+       |  SELECT s.probe_id, s.neighbor_id, s.approx_score, e.eps
+       |  FROM scored s JOIN epsv e
+       |    ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id),
+       |kth AS (
+       |  SELECT probe_id, lb AS kth_lb FROM (
+       |    SELECT probe_id, approx_score - eps AS lb,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY approx_score - eps DESC, neighbor_id) AS rn
+       |    FROM se) WHERE rn = $k),
+       |cand AS MATERIALIZED (
+       |  SELECT s.probe_id, s.neighbor_id FROM se s
+       |  LEFT JOIN kth t ON t.probe_id = s.probe_id
+       |  WHERE s.approx_score + s.eps >= COALESCE(t.kth_lb, -1e308))
        |SELECT c.probe_id, c.neighbor_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
        |    ORDER BY $cos DESC, c.neighbor_id) AS BIGINT) AS rn,

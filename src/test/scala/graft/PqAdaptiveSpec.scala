@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.ProductQuant
+import graft.sources.Tables
+
+/** The adaptive-pool containment theorem, asserted directly on the pool:
+  * every exact-DOT top-k neighbor of every probe must be inside the
+  * branch-and-bound pool (per-candidate ε = Σ_s ‖p_s‖·‖res_s(v)‖ bounds
+  * the ADC error, so a candidate whose upper bound misses the k-th lower
+  * bound provably cannot be exact-dot top-k), under several input
+  * partitionings — the guarantee a fixed rerank depth cannot give at any
+  * setting — while the prune still bites (pool ≪ corpus). */
+class PqAdaptiveSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("branch-and-bound ADC pool contains every exact-dot top-k neighbor, any partitioning") {
+    val emb0 = Tables.embeddings(spark, dir)
+    val k = 3
+    // exact-dot top-k per probe (probe contract: first-10 slice)
+    val probes = emb0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val exactTopK = emb0
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(probes))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("d", VectorOps.dot(col("embedding"), col("pv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+          .orderBy(desc("d"), col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val expected = exactTopK.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (parts <- Seq(2, 7)) {
+      val pool = ProductQuant.pqAdaptivePool(emb0.repartition(parts),
+          m = 32, nCodes = 64, nProbes = 10, k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val missing = expected -- pool
+      assert(missing.isEmpty,
+        s"parts=$parts: exact-dot top-$k outside the 2eps pool: $missing")
+      // and the pool is a POOL, not the corpus: the margin must bite
+      val corpusPairs = 10L * (emb0.count() - 1)
+      assert(pool.size < corpusPairs,
+        s"margin never excluded anything (pool=${pool.size} of $corpusPairs)")
+    }
+  }
+
+  test("adaptive rerank output is k rows per probe with exact cosine scores") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = ProductQuant.pqRerankAdaptive(emb)
+    val perProbe = out.groupBy("probe_id").count().collect()
+    assert(perProbe.length == 10 && perProbe.forall(_.getLong(1) == 3L))
+    // scores are EXACT cosines (spot-check one row against the kernel)
+    val row = out.orderBy("probe_id", "rn").limit(1).collect().head
+    val pid = row.getLong(0); val nid = row.getLong(1); val sc = row.getDouble(3)
+    val exact = emb.filter(col("vec_id") === pid).select(col("embedding").as("a"))
+      .crossJoin(emb.filter(col("vec_id") === nid).select(col("embedding").as("b")))
+      .select(VectorOps.cosine(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(sc == exact, s"rerank score $sc != exact cosine $exact")
+  }
+}

@@ -40,6 +40,9 @@ object Recall10x {
       // grid's quantization error reaches the neighbor-gap scale
       ("ann_pq_tr", () => ProductQuant.pqSearchTrained(emb)),
       ("ann_ivf_pq_rr", () => ProductQuant.ivfPqRerank(emb)),
+      // branch-and-bound pool: sizes itself from per-candidate ADC error
+      // bounds — the operator-shaped answer to the fixed-depth collapse
+      ("ann_pq_rr_ad", () => ProductQuant.pqRerankAdaptive(emb)),
       ("ann_sq8", () => ScalarQuant.sq8Search(emb)))
     variants.foreach { case (name, mk) =>
       val t0 = System.nanoTime()
