@@ -48,6 +48,12 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // GraphOps.release intentionally unpersists superseded localCheckpoints;
+    // each one logs a WARN ("lineage has been truncated…") that would print
+    // thousands of times across the interleaved board
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     def esc(s: String) = s.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
     def f2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -88,6 +94,18 @@ object Bench {
       } catch { case e: Throwable =>
         errors += name -> esc(String.valueOf(e.getMessage))
       }
+      // Drop leftover storage between queries (r09 verdict item 1a): the
+      // iterative graph family localCheckpoints per-round frames whose
+      // blocks otherwise accumulate in the single local[32] block manager
+      // across all ~218 interleaved queries — the eviction/recompute
+      // pressure landed exactly on the checkpoint-heavy family
+      // (graph_components 3.6×, label_prop 5.7× in the r09 record). Every
+      // rep rebuilds its DataFrame from scratch, so nothing legitimate
+      // survives a rep boundary; the unpersist is outside the timed region.
+      try {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
     }
     val runs = qlist.map { case (name, _) => name -> timesByQ(name).toSeq }
     def median(xs: Seq[Double]): Double =
@@ -96,7 +114,13 @@ object Bench {
         val s = xs.sorted
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       }
-    val results = runs.map { case (name, ts) => name -> median(ts) }
+    // a query that crashed after some good reps keeps its partial times in
+    // "runs" (auditable) but must NOT publish a median computed from fewer
+    // reps next to clean medians-of-N — once a name is in "errors" its
+    // median is -1 (ADVICE r09: a reader took partial medians as full-rep
+    // results). "rep_counts" records how many reps each query achieved.
+    val results = runs.map { case (name, ts) =>
+      name -> (if (errors.contains(name)) -1.0 else median(ts)) }
     // recall@k of the approximate ANN indexes vs exact brute force — the
     // accuracy/cost tradeoff tracked per round next to the wall times
     val recalls =
@@ -150,8 +174,10 @@ object Bench {
     val fullLoads = runs.map { case (k, _) =>
       "\"" + k + "\":[" + loadsByQ(k).map(f2).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val repCounts = runs.map { case (k, ts) => "\"" + k + "\":" + ts.size }
+      .mkString("{", ",", "}")
     val stamp = s""""reps":$reps,"rep_order":"interleaved","load_1m_before":${f2(loadBefore)},"load_1m_after":${f2(loadAfter)},"machine_cpus":${Runtime.getRuntime.availableProcessors}"""
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,$stamp,"queries":$fullQs,"runs":$fullRuns,"rep_loads":$fullLoads,"recall":$rs,"errors":$es,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,$stamp,"queries":$fullQs,"runs":$fullRuns,"rep_loads":$fullLoads,"rep_counts":$repCounts,"recall":$rs,"errors":$es,"sf":"$sfDir"}"""
     // subset (scale-stress) runs must not clobber the round's full record;
     // they get their own complete per-query record via SPARK_GRAFT_OUT
     // (stress sweeps need every ratio, not the printed 15-slowest slice)

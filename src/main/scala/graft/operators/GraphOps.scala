@@ -33,6 +33,26 @@ object GraphOps {
       else df.localCheckpoint()
   }
 
+  /** Release the storage behind a SUPERSEDED materialized frame. A
+    * localCheckpoint's cached blocks ARE its data (the lineage is
+    * truncated — there is nothing to recompute from), so this must only be
+    * called on frames that are provably never read again: the previous
+    * round of an iterative loop, once the round that replaces it is itself
+    * materialized. Without it every round's frame stays pinned in the
+    * block manager for the session lifetime — on a real cluster that is
+    * executor-memory pressure growing with iteration count, and in the
+    * interleaved bench it was the r09 3–6× level shift on this family.
+    * Structurally a no-op on anything that is not a bare checkpoint scan
+    * (the match only fires on a top-level LogicalRDD), and on reliable
+    * checkpoints (their data lives on cluster storage, not the block
+    * manager — the unpersist call is then harmless). */
+  private def release(df: DataFrame): Unit =
+    if (df != null)
+      try df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      } catch { case _: Throwable => () }
+
   /** Derived edge table: customer −PLACED→ order −CONTAINS→ part,
     *                                  order −SUPPLIED_BY→ supplier. */
   def edges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
@@ -468,7 +488,11 @@ object GraphOps {
         .agg(sum(col("sigma")).as("sigma"))
         .select(col("seed"), col("dst").as("node"), col("sigma")).materialize
       levels += next
-      seen = seen.unionAll(next.select(col("seed"), col("node"))).materialize
+      val nseen = seen.unionAll(next.select(col("seed"), col("node"))).materialize
+      // seen is forward-pass-only scratch (levels carry the state the
+      // backward pass reads) — free the superseded accumulation
+      release(seen)
+      seen = nseen
     }
     var delta = levels(maxDepth).select(col("seed"), col("node"), col("sigma"), lit(0.0).as("delta"))
     var out = delta.select(col("seed"), col("node"), lit(maxDepth.toLong).as("dist"),
@@ -591,13 +615,21 @@ object GraphOps {
       // each round (label propagation alone needs diameter rounds; with
       // compression convergence is O(log diameter))
       val cur = propagated.select(col("node"), col("new_label").as("label"))
-      labels = cur.as("a")
+      val next = cur.as("a")
         .join(cur.select(col("node").as("ln"), col("label").as("ll")).as("b"),
           col("a.label") === col("b.ln"), "left_outer")
         .select(col("a.node").as("node"),
           least(col("a.label"), coalesce(col("ll"), col("a.label"))).as("label")).materialize
+      // the new round is materialized — the previous labels and the interim
+      // propagated frame are superseded; free their blocks now instead of
+      // pinning O(rounds) node-sized frames for the session
+      release(labels); release(propagated)
+      labels = next
       it += 1
     }
+    // the returned plan scans only the final labels checkpoint — the edge
+    // tables were loop-only
+    release(sym); release(edges)
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"connectedComponents exited at maxIters=$maxIters still " +
@@ -632,12 +664,20 @@ object GraphOps {
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c").cast("string").cast("decimal(38,18)")).cast("double").as("inflow"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (lit((1.0 - damping) / nNodes) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
             .as("rank")).materialize
+      // round-0 ranks is a Project over nodes (release is structurally a
+      // no-op there); every later round is a superseded checkpoint
+      release(ranks)
+      ranks = next
     }
+    // the returned plan reads only the final rank checkpoint — but round-0
+    // ranks IS a projection of nodes, so only release once a real
+    // iteration has replaced it
+    if (iters >= 1) { release(edges); release(nodes); release(outDeg) }
     ranks.select(col("node"), (col("rank") * nNodes).as("scaled_rank"))
   }
 
@@ -691,13 +731,16 @@ object GraphOps {
         .groupBy(col("dst"))
         .agg(sum(col("c").cast("string").cast("decimal(38,18)"))
           .cast("string").cast("double").as("inflow"))
-      ranks = nodes.crossJoin(broadcast(srcRow))
+      val next = nodes.crossJoin(broadcast(srcRow))
         .join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (when(col("node") === col("s"), lit(1.0 - damping)).otherwise(lit(0.0)) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
         .materialize
+      release(ranks) // see pageRank: no-op on round 0, real on later rounds
+      ranks = next
     }
+    if (iters >= 1) { release(edges); release(nodes); release(outDeg) }
     ranks.filter(col("rank") > 0.0).select(col("node"), col("rank"))
   }
 
@@ -986,6 +1029,7 @@ object GraphOps {
       val after = ne.count()
       converged = after == prevEdges
       prevEdges = after
+      release(e) // the peeled-down round replaces the previous edge set
       e = ne
       rounds += 1
     }
@@ -1036,9 +1080,11 @@ object GraphOps {
         .groupBy(col("dst"))
         .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
         .select(col("dst"), (-col("m.neg")).as("blabel"))
-      labels = labels.join(best, col("node") === col("dst"), "left_outer")
+      val next = labels.join(best, col("node") === col("dst"), "left_outer")
         .select(col("node"), coalesce(col("blabel"), col("label")).as("label"))
         .materialize
+      release(labels) // superseded round — new labels are materialized
+      labels = next
     }
     labels
   }
