@@ -206,6 +206,7 @@ object SparkEntry {
     "ann_sq8" -> ((s, d) => ScalarQuant.sq8Search(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => ProductQuant.ivfPqSearch(Tables.embeddings(s, d))),
     "ann_ivf_pq_rr" -> ((s, d) => ProductQuant.ivfPqRerank(Tables.embeddings(s, d))),
+    "ann_ivf_pq_rr_ad" -> ((s, d) => ProductQuant.ivfPqRerankAdaptive(Tables.embeddings(s, d))),
     // --- graph ---
     "graph_stats" -> ((s, d) => GraphOps.stats(Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_degree" -> ((s, d) => GraphOps.degrees(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -480,6 +481,7 @@ object SparkEntry {
     "ann_sq8" -> ScalarQuant.sq8SearchSql(),
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
     "ann_ivf_pq_rr" -> ProductQuant.ivfPqRerankSql(),
+    "ann_ivf_pq_rr_ad" -> ProductQuant.ivfPqRerankAdaptiveSql(),
     "bpe_train" -> Bpe.bpeTrainSql(),
     "bpe_encode" -> Bpe.bpeEncodeSql(),
     "dedup_exact" -> Dedup.exactSql,

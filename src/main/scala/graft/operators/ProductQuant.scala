@@ -403,6 +403,34 @@ object ProductQuant extends Serializable {
         (col("pos") + 1).cast("long").as("rn"), col("col.score").as("score"))
   }
 
+  /** Narrow argmax-cosine cell assignment over the centroid array (annIvf's
+    * contract); parameterized on cents so executor-side closures can read
+    * them from a broadcast instead of capturing the driver array. Shared by
+    * ivfPqSearch and ivfPqAdaptivePool. */
+  private def cellOf(cs: Array[(Long, Array[Float])], v: Array[Float]): Int = {
+    var bestC = 0
+    var bestD = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cs.length) {
+      val c = cs(ci)._2
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < v.length) {
+        val x = v(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (cos > bestD) { bestD = cos; bestC = ci }
+      ci += 1
+    }
+    bestC
+  }
+
+  private def residOf(cs: Array[(Long, Array[Float])], v: Array[Float]): Array[Double] = {
+    val c = cs(cellOf(cs, v))._2
+    Array.tabulate(Dim)(i => v(i).toDouble - c(i).toDouble)
+  }
+
   /** IVF-PQ — the composition every billion-vector index actually ships
     * (FAISS IndexIVFPQ): the IVF coarse quantizer routes each probe to ONE
     * cell, and candidates are scored from PQ codes of their RESIDUAL
@@ -421,31 +449,6 @@ object ProductQuant extends Serializable {
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1)
     val w = Dim / m
-    // narrow argmax-cosine cell assignment over the centroid array (annIvf's
-    // contract); parameterized on cents so the executor-side closure can
-    // read them from a broadcast instead of capturing the driver array
-    def cellOf(cs: Array[(Long, Array[Float])], v: Array[Float]): Int = {
-      var bestC = 0
-      var bestD = Double.NegativeInfinity
-      var ci = 0
-      while (ci < cs.length) {
-        val c = cs(ci)._2
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < v.length) {
-          val x = v(i).toDouble; val y = c(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-        if (cos > bestD) { bestD = cos; bestC = ci }
-        ci += 1
-      }
-      bestC
-    }
-    def residOf(cs: Array[(Long, Array[Float])], v: Array[Float]): Array[Double] = {
-      val c = cs(cellOf(cs, v))._2
-      Array.tabulate(Dim)(i => v(i).toDouble - c(i).toDouble)
-    }
     // residual codebooks from the first nCodes vectors' residuals
     val cbs = firstKCodebooks(
       embeddings.filter(col("vec_id") < nCodes)
@@ -507,6 +510,124 @@ object ProductQuant extends Serializable {
     rerankTail(embeddings,
       ivfPqSearch(embeddings, nCells, m, nCodes, nProbes, depth, probes), nProbes, k,
       probes)
+  }
+
+  /** ADAPTIVE-pool IVF-PQ rerank — [[pqRerankAdaptive]]'s branch-and-bound
+    * bound composed over the coarse-quantized index (r09: the production
+    * config at high occupancy is IVF-routed and still used a fixed depth).
+    * Within the probed cell the ADC identity is
+    * score = dot(p, cent) + Σ_s dot(p_s, cbres_s[code_s]) while the true
+    * dot is dot(p, cent) + dot(p, res(v)), so the error is
+    * |dot(p, res(v) − recon(res(v)))| ≤ Σ_s ‖p_s‖·‖res_s(v) − cbres_s[code_s]‖
+    * — the same per-candidate Cauchy-Schwarz bound, with the residual
+    * encode's own argmin distances as the norms (they fall out of the
+    * encode loop already running). The pool therefore provably contains
+    * the exact-dot top-k among SAME-CELL candidates: the IVF routing stays
+    * the recall ceiling exactly as in [[ivfPqRerank]]; what the adaptive
+    * pool removes is the hand-tuned depth knob on the within-cell PQ
+    * error. Same bounded scale shape: codes-only corpus scan, broadcast
+    * LUTs + kth-lb, O(pool) raw-vector fetches, TopKAgg O(probes·k). */
+  def ivfPqRerankAdaptive(embeddings: DataFrame, nCells: Int = 16, m: Int = 32,
+                          nCodes: Int = 128, nProbes: Int = 10, k: Int = 3,
+                          probes: Option[DataFrame] = None): DataFrame =
+    rerankTail(embeddings,
+      ivfPqAdaptivePool(embeddings, nCells, m, nCodes, nProbes, k, probes),
+      nProbes, k, probes)
+
+  /** The within-cell margin pool (probe_id, neighbor_id) — package-level so
+    * the spec can assert same-cell exact-top-k containment on it. */
+  private[graft] def ivfPqAdaptivePool(embeddings: DataFrame, nCells: Int, m: Int,
+                                       nCodes: Int, nProbes: Int, k: Int,
+                                       probeDf: Option[DataFrame] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val w = Dim / m
+    val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val cbs = firstKCodebooks(
+      embeddings.filter(col("vec_id") < nCodes)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1).map(r => residOf(cents, r._2)),
+      m, nCodes)
+    val probeArr: Array[(Long, Array[Float])] =
+      Probes.resolve(embeddings, probeDf, nProbes)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // per-probe: routed cell, base term dot(p, cent(pcell)), residual ADC
+    // LUT, and per-subspace norms ‖p_s‖ of the FULL probe vector (the
+    // bound is against the candidate's residual-encode error)
+    val lut: Array[(Long, Int, Double, Array[Array[Double]], Array[Double])] =
+      probeArr.map { case (pid, pv) =>
+        val pd = toD(pv)
+        val pcell = cellOf(cents, pv)
+        val base = dotD(pd, toD(cents(pcell)._2))
+        val t = Array.tabulate(m)(s => Array.tabulate(cbs(s).length)(c =>
+          dotD(pd.slice(s * w, s * w + w), cbs(s)(c))))
+        val pn = Array.tabulate(m) { s =>
+          val sub = pd.slice(s * w, s * w + w)
+          math.sqrt(dotD(sub, sub))
+        }
+        (pid, pcell, base, t, pn)
+      }
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcCbs = spark.sparkContext.broadcast(cbs)
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val mL = m; val wL = w
+    // one codes-only pass: residual encode (argmin per subspace) yields
+    // BOTH the ADC codes and the per-subspace residual norms the bound needs
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val centsL = bcCents.value
+        val cbsL = bcCbs.value
+        val lutL = bcLut.value
+        iter.flatMap { case (nid, v) =>
+          val cell = cellOf(centsL, v)
+          val rd = residOf(centsL, v)
+          val codes = new Array[Int](mL)
+          val resN = new Array[Double](mL)
+          var s = 0
+          while (s < mL) {
+            val sub = rd.slice(s * wL, s * wL + wL)
+            var bestC = 0
+            var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < cbsL(s).length) {
+              val d = l2D(sub, cbsL(s)(c))
+              if (d < bestD) { bestD = d; bestC = c }
+              c += 1
+            }
+            codes(s) = bestC
+            resN(s) = math.sqrt(bestD)
+            s += 1
+          }
+          lutL.iterator.collect { case (pid, pcell, base, t, pn) if pcell == cell && pid != nid =>
+            var score = base
+            var eps = 0.0
+            var i = 0
+            while (i < mL) {
+              score += t(i)(codes(i))
+              eps += pn(i) * resN(i)
+              i += 1
+            }
+            (pid, nid, score, eps)
+          }
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "approx_score", "eps")
+    // k-th largest LOWER bound per probe, then the branch-and-bound prune
+    // ub ≥ kth_lb — identical tail to pqAdaptivePool
+    val kthLb = scored
+      .withColumn("lb", col("approx_score") - col("eps"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("lb"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"),
+        get(col("topk"), lit(k - 1)).getField("score").as("kth_lb"))
+    scored
+      .join(broadcast(kthLb), "probe_id")
+      .filter(col("approx_score") + col("eps") >=
+        coalesce(col("kth_lb"), lit(-1e308)))
+      .select(col("probe_id"), col("neighbor_id"))
   }
 
   // ---- DuckDB oracle ----
@@ -781,5 +902,93 @@ object ProductQuant extends Serializable {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx_score DESC, neighbor_id) AS BIGINT) AS rn,
        |  approx_score
        |FROM scored QUALIFY rn <= $k""".stripMargin
+  }
+
+  /** Adaptive-pool IVF-PQ oracle: ivfPqSearchSql's cell/residual/encode
+    * preamble + pqRerankAdaptiveSql's residual-norm, s-ordered ε fold,
+    * k-th-lb and branch-and-bound prune (every float op in the Scala
+    * order), then the exact-cosine rerank tail. */
+  def ivfPqRerankAdaptiveSql(nCells: Int = 16, m: Int = 32, nCodes: Int = 128,
+                             nProbes: Int = 10, k: Int = 3): String = {
+    val w = Dim / m
+    val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
+    val encL2 = VectorOps.l2Sql("sv.sub_e", "c.emb_sub", w)
+    val baseDot = VectorOps.dotSql("p.pv", "pc.embedding")
+    val cos = VectorOps.cosineSql("pe.embedding", "ne.embedding")
+    val pSub = s"(p.pv[ss.s*$w+1 : ss.s*$w+$w])"
+    val pNorm = s"sqrt(${VectorOps.dotSql(pSub, pSub, w)})"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $nCells),
+       |assigned AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, c.cell_id AS cell
+       |  FROM embeddings e CROSS JOIN cents c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $ccos DESC, c.cell_id) = 1),
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) AS r
+       |  FROM assigned a JOIN cents c ON c.cell_id = a.cell),
+       |ss AS (SELECT unnest(range(0, $m)) AS s),
+       |cb AS MATERIALIZED (
+       |  SELECT ss.s, r.vec_id AS code, r.r[ss.s*$w+1 : ss.s*$w+$w] AS emb_sub
+       |  FROM resid r CROSS JOIN ss
+       |  WHERE r.vec_id < $nCodes),
+       |sv AS MATERIALIZED (
+       |  SELECT r.vec_id, ss.s, r.r[ss.s*$w+1 : ss.s*$w+$w] AS sub_e
+       |  FROM resid r CROSS JOIN ss),
+       |enc AS MATERIALIZED (
+       |  SELECT sv.vec_id, sv.s, c.code
+       |  FROM sv JOIN cb c ON c.s = sv.s
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
+       |    ORDER BY $encL2 ASC, c.code) = 1),
+       |encp AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    ${(0 until m).map(s => s"MAX(CASE WHEN s = $s THEN code END) AS c$s").mkString(", ")}
+       |  FROM enc GROUP BY 1),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv, cell FROM assigned WHERE vec_id < $nProbes),
+       |rv AS MATERIALIZED (
+       |  SELECT sv.vec_id, sv.s, sqrt(MIN($encL2)) AS r
+       |  FROM sv JOIN cb c ON c.s = sv.s GROUP BY 1, 2),
+       |pn AS MATERIALIZED (
+       |  SELECT p.probe_id, ss.s, $pNorm AS pnorm
+       |  FROM probes p CROSS JOIN ss),
+       |epsv AS MATERIALIZED (
+       |  SELECT pn.probe_id, rv.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(pn.pnorm * rv.r ORDER BY rv.s)), (a, b) -> a + b) AS eps
+       |  FROM pn JOIN rv ON pn.s = rv.s GROUP BY 1, 2),
+       |scored AS MATERIALIZED (
+       |  SELECT p.probe_id, n.vec_id AS neighbor_id,
+       |    ${(0 until m).map(s =>
+             VectorOps.dotSql(s"(p.pv[$s*$w+1 : $s*$w+$w])", s"cb$s.emb_sub", w))
+             .foldLeft(s"($baseDot)")((a, b) => s"($a + $b)")} AS approx_score
+       |  FROM encp n
+       |  JOIN assigned na ON na.vec_id = n.vec_id
+       |  ${(0 until m).map(s => s"JOIN cb cb$s ON cb$s.s = $s AND cb$s.code = n.c$s").mkString("\n  ")}
+       |  JOIN probes p ON p.cell = na.cell AND n.vec_id <> p.probe_id
+       |  JOIN cents pc ON pc.cell_id = p.cell),
+       |se AS MATERIALIZED (
+       |  SELECT s.probe_id, s.neighbor_id, s.approx_score, e.eps
+       |  FROM scored s JOIN epsv e
+       |    ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id),
+       |kth AS (
+       |  SELECT probe_id, lb AS kth_lb FROM (
+       |    SELECT probe_id, approx_score - eps AS lb,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY approx_score - eps DESC, neighbor_id) AS rn
+       |    FROM se) WHERE rn = $k),
+       |cand AS MATERIALIZED (
+       |  SELECT s.probe_id, s.neighbor_id FROM se s
+       |  LEFT JOIN kth t ON t.probe_id = s.probe_id
+       |  WHERE s.approx_score + s.eps >= COALESCE(t.kth_lb, -1e308))
+       |SELECT c.probe_id, c.neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
+       |    ORDER BY $cos DESC, c.neighbor_id) AS BIGINT) AS rn,
+       |  $cos AS score
+       |FROM cand c
+       |JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |JOIN embeddings pe ON pe.vec_id = c.probe_id
+       |QUALIFY rn <= $k""".stripMargin
   }
 }

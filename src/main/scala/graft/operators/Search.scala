@@ -56,8 +56,9 @@ object Search {
   /** Multiplicative heuristic ranking (ranker.py:14): phrase boost, per-term
     * boost, language boost, source-prefix boost, and the test-file PENALTY
     * (ranker.py:52: ×0.5 for 'test'/'spec' files unless the query asks for
-    * tests — here: marker in text, or a test-class source shard). All
-    * double products of exact constants — deterministic across engines. */
+    * tests — keyed on the synthetic pseudo-path `source/doc_<id>.md` or a
+    * test-class source shard, mirroring the reference's path-only check).
+    * All double products of exact constants — deterministic across engines. */
   def rankDocs(documents: DataFrame, queryTerms: Seq[String], phrase: String,
                lang: String, limit: Int = 30): DataFrame = {
     val termBoost = queryTerms
@@ -65,7 +66,13 @@ object Search {
       .reduce(_ + _)
     // ranker.py:52 guard: no penalty when the query itself asks for tests
     val queryWantsTests = (phrase +: queryTerms).exists(_.toLowerCase.contains("test"))
-    val isTestDoc = col("text").contains("test") || col("text").contains("spec") ||
+    // ranker.py:52 keys the penalty on the file PATH, not the content — use
+    // the deterministic pseudo-path (fileSummaries' `source/doc_<id>.md`)
+    // plus the test-class source shards (the corpus analog of test/ dirs).
+    // Keying on text halved any doc merely containing 'latest'/'inspect'
+    // (ADVICE r09) — a semantic divergence from the reference, now closed.
+    val pseudoPath = concat(col("source"), lit("/doc_"), col("doc_id"), lit(".md"))
+    val isTestDoc = pseudoPath.contains("test") || pseudoPath.contains("spec") ||
       col("source").isin(TestClassSources: _*)
     val penalty =
       if (queryWantsTests) lit(1.0)
@@ -90,7 +97,8 @@ object Search {
     val testSrcs = TestClassSources.map(s => s"'$s'").mkString(",")
     val penalty =
       if (queryWantsTests) "1.0::DOUBLE"
-      else s"""(CASE WHEN contains(text, 'test') OR contains(text, 'spec')
+      else s"""(CASE WHEN contains(source || '/doc_' || doc_id || '.md', 'test')
+              |         OR contains(source || '/doc_' || doc_id || '.md', 'spec')
               |         OR source IN ($testSrcs)
               |    THEN 0.5::DOUBLE ELSE 1.0::DOUBLE END)""".stripMargin
     s"""SELECT doc_id,

@@ -537,14 +537,23 @@ object StreamReplay {
       df => Streams.streamingAsof(df.as[Event]).toDF())
   }
 
-  val streamAsofSql: String =
-    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
-      |             MAX_BY(value, event_id) AS click_value
-      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-      |SELECT p.event_id AS purchase_id, p.user_id,
-      |epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms, c.click_id, c.click_value
-      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+  /** Shared builder for the inner as-of attribution oracle: the tolerance
+    * variant splices its bound in as a parameter instead of string-appending
+    * a WHERE to the finished SQL — textual concatenation silently breaks
+    * the moment the base query grows a trailing clause (ADVICE r09; the
+    * attributionSql-builder pattern from AsOf.scala). */
+  private def asofAttributionSql(extraWhere: Option[String]): String = {
+    val where = extraWhere.map(w => s"\nWHERE $w").getOrElse("")
+    s"""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
+       |             MAX_BY(value, event_id) AS click_value
+       |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       |SELECT p.event_id AS purchase_id, p.user_id,
+       |epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms, c.click_id, c.click_value
+       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin + where
+  }
+
+  val streamAsofSql: String = asofAttributionSql(None)
 
   /** The one out-of-order replay preamble every OOO as-of variant shares
     * (inner / tolerance / outer — the build function is the only knob, so
@@ -599,8 +608,8 @@ object StreamReplay {
         clickLookbackMs = graft.operators.AsOf.TolUs / 1000L).toDF())
   }
 
-  val streamAsofTolSql: String =
-    streamAsofSql + s"\nWHERE epoch_ms(p.ts) - epoch_ms(c.ts) <= ${graft.operators.AsOf.TolUs / 1000L}"
+  val streamAsofTolSql: String = asofAttributionSql(
+    Some(s"epoch_ms(p.ts) - epoch_ms(c.ts) <= ${graft.operators.AsOf.TolUs / 1000L}"))
 
   /** LEFT × out-of-order: the last cell of the as-of matrix — the SAME
     * jittered replay as [[streamAsofOoo]] through

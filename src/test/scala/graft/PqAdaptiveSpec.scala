@@ -48,6 +48,48 @@ class PqAdaptiveSpec extends SparkSpec {
     }
   }
 
+  test("IVF-routed branch-and-bound pool contains the same-cell exact-dot top-k") {
+    // the IVF composition's guarantee is conditional on routing: the pool
+    // must contain every exact-dot top-k neighbor AMONG candidates routed
+    // to the probe's cell (cross-cell misses are the IVF ceiling, owned by
+    // the routing — not the adaptive bound's claim)
+    val emb0 = Tables.embeddings(spark, dir)
+    val k = 3
+    val w = org.apache.spark.sql.expressions.Window
+    val cents = emb0.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+    val assigned = emb0
+      .crossJoin(broadcast(cents))
+      .withColumn("cc", VectorOps.cosine(col("embedding"), col("cv")))
+      .withColumn("arn", row_number().over(
+        w.partitionBy("vec_id").orderBy(desc("cc"), col("cell_id"))))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cell_id").as("cell"))
+    val probes = emb0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      .join(assigned.select(col("vec_id").as("probe_id"), col("cell").as("pcell")),
+        "probe_id")
+    val exactTopK = emb0.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")), "neighbor_id")
+      .join(broadcast(probes),
+        col("cell") === col("pcell") && col("neighbor_id") =!= col("probe_id"))
+      .withColumn("d", VectorOps.dot(col("embedding"), col("pv")))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("probe_id").orderBy(desc("d"), col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val expected = exactTopK.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pool = ProductQuant.ivfPqAdaptivePool(emb0,
+        nCells = 16, m = 32, nCodes = 128, nProbes = 10, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = expected -- pool
+    assert(missing.isEmpty,
+      s"same-cell exact-dot top-$k outside the IVF adaptive pool: $missing")
+    val corpusPairs = 10L * (emb0.count() - 1)
+    assert(pool.size < corpusPairs,
+      s"margin never excluded anything (pool=${pool.size} of $corpusPairs)")
+  }
+
   test("adaptive rerank output is k rows per probe with exact cosine scores") {
     val emb = Tables.embeddings(spark, dir)
     val out = ProductQuant.pqRerankAdaptive(emb)
