@@ -533,7 +533,9 @@ object StreamReplay {
   def streamAsof(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = eventScript(spark, dir)
-    replay[Event](spark, s"stream_asof:$dir", quartersTsAligned(ev),
+    // shared staged-source key with streamAsofOuter — identical
+    // ts-aligned script, only the build differs
+    replay[Event](spark, s"asof_aligned:$dir", quartersTsAligned(ev),
       df => Streams.streamingAsof(df.as[Event]).toDF())
   }
 
@@ -581,7 +583,13 @@ object StreamReplay {
       (e.ts.getTime + j * 60000L, e.event_id)
     }
     val flush = Event(-1L, new Timestamp(ev.last.ts.getTime + 2 * FlushGapMs), -1L, "__flush", 0.0)
-    replay[Event](spark, s"$key:$dir",
+    // ONE staged-source key for all three OOO variants (inner / tolerance /
+    // outer): the script above is variant-independent — only `build`
+    // differs — so staging the identical parquet batches three times was
+    // pure fixed cost (~1 s per extra variant per bench rep; r09 verdict
+    // item 7). `key` still names the query for readers/stack traces.
+    val _ = key
+    replay[Event](spark, s"asof_jittered:$dir",
       quarters(jittered) :+ Seq(flush) :+ Seq(flush), build)
   }
 
@@ -633,7 +641,7 @@ object StreamReplay {
   def streamAsofOuter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = eventScript(spark, dir)
-    replay[Event](spark, s"stream_asof_outer:$dir", quartersTsAligned(ev),
+    replay[Event](spark, s"asof_aligned:$dir", quartersTsAligned(ev),
       df => Streams.streamingAsofOuter(df.as[Event]).toDF())
   }
 
