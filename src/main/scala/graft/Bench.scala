@@ -149,6 +149,10 @@ object Bench {
             exact, graft.operators.ProductQuant.pqRerankAdaptive(emb, nProbes = 10, k = 3)),
           "ann_sq8@3" -> Recall.recallAtK(
             exact, graft.operators.ScalarQuant.sq8Search(emb, nProbes = 10, k = 3)),
+          "ann_sq8_rr@3" -> Recall.recallAtK(
+            exact, graft.operators.ScalarQuant.sq8RerankAdaptive(emb, nProbes = 10, k = 3)),
+          "ann_ivf_pq_rr_ad@3" -> Recall.recallAtK(
+            exact, graft.operators.ProductQuant.ivfPqRerankAdaptive(emb, nProbes = 10, k = 3)),
           "ann_ivf_pq@3" -> Recall.recallAtK(
             exact, graft.operators.ProductQuant.ivfPqSearch(emb, nProbes = 10, k = 3)),
           "ann_ivf_pq_rr@3" -> Recall.recallAtK(

@@ -204,6 +204,7 @@ object SparkEntry {
     "ann_pq_rerank" -> ((s, d) => ProductQuant.pqRerank(Tables.embeddings(s, d))),
     "ann_pq_rr_ad" -> ((s, d) => ProductQuant.pqRerankAdaptive(Tables.embeddings(s, d))),
     "ann_sq8" -> ((s, d) => ScalarQuant.sq8Search(Tables.embeddings(s, d))),
+    "ann_sq8_rr" -> ((s, d) => ScalarQuant.sq8RerankAdaptive(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => ProductQuant.ivfPqSearch(Tables.embeddings(s, d))),
     "ann_ivf_pq_rr" -> ((s, d) => ProductQuant.ivfPqRerank(Tables.embeddings(s, d))),
     "ann_ivf_pq_rr_ad" -> ((s, d) => ProductQuant.ivfPqRerankAdaptive(Tables.embeddings(s, d))),
@@ -479,6 +480,7 @@ object SparkEntry {
     "ann_pq_rerank" -> ProductQuant.pqRerankSql(),
     "ann_pq_rr_ad" -> ProductQuant.pqRerankAdaptiveSql(),
     "ann_sq8" -> ScalarQuant.sq8SearchSql(),
+    "ann_sq8_rr" -> ScalarQuant.sq8RerankAdaptiveSql(),
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
     "ann_ivf_pq_rr" -> ProductQuant.ivfPqRerankSql(),
     "ann_ivf_pq_rr_ad" -> ProductQuant.ivfPqRerankAdaptiveSql(),

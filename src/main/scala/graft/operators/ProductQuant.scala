@@ -385,9 +385,9 @@ object ProductQuant extends Serializable {
   /** Shared refine tail: broadcast the O(probes·depth) candidate pool into
     * a hash join fetching raw vectors for pool members only, exact-cosine
     * re-score, TopKAgg-bounded final top-k. */
-  private def rerankTail(embeddings: DataFrame, cand0: DataFrame,
-                         nProbes: Int, k: Int,
-                         probeDf: Option[DataFrame] = None): DataFrame = {
+  private[operators] def rerankTail(embeddings: DataFrame, cand0: DataFrame,
+                                    nProbes: Int, k: Int,
+                                    probeDf: Option[DataFrame] = None): DataFrame = {
     val cand = cand0.select(col("probe_id"), col("neighbor_id"))
     val probes = Probes.resolve(embeddings, probeDf, nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))

@@ -108,6 +108,83 @@ object ScalarQuant {
         (col("pos") + 1).cast("long").as("rn"), col("col.score").as("approx_score"))
   }
 
+  /** SQ8 + adaptive exact-rerank tail — the recovery rung the r09 verdict
+    * flagged as missing (SQ8 was the one production-named config with no
+    * recovery path; nat200k recall 0.167/0.300). Same branch-and-bound
+    * shape as ProductQuant.pqRerankAdaptive, with SQ8's own error
+    * structure: per dimension the reconstruction error is exact and known
+    * at encode time, so |dot(p,v) − dot(p,recon(v))| =
+    * |Σ_d p_d·(v_d − recon_d)| ≤ Σ_d |p_d|·|v_d − recon_d| (Hölder ∞/1
+    * per dimension on the candidate's OWN reconstruction error — computed
+    * in the same fused pass, no extra scan). The pool keeps every
+    * candidate whose ub = adc + ε reaches the k-th largest lb = adc − ε,
+    * so it provably contains the exact-dot top-k; only pool members fetch
+    * raw vectors for the exact-cosine rerank. Scale shape unchanged:
+    * codes-only corpus scan, 2·d-float range table + kth-lb broadcast,
+    * TopKAgg-bounded shuffles. */
+  def sq8RerankAdaptive(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
+                        probeDf: Option[DataFrame] = None): DataFrame =
+    ProductQuant.rerankTail(embeddings,
+      sq8AdaptivePool(embeddings, nProbes, k, probeDf), nProbes, k, probeDf)
+
+  /** The margin pool (probe_id, neighbor_id) — package-level so the spec
+    * can assert exact-top-k containment on the pool itself. */
+  private[graft] def sq8AdaptivePool(embeddings: DataFrame, nProbes: Int, k: Int,
+                                     probeDf: Option[DataFrame] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rng = ranges(embeddings)
+    val probes: Array[(Long, Array[Float])] =
+      Probes.resolve(embeddings, probeDf, nProbes)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (nid, v) =>
+          val recon = new Array[Double](Dim)
+          val err = new Array[Double](Dim)
+          var d = 0
+          while (d < Dim) {
+            val (mn, mx) = rng(d)
+            val code =
+              if (mx == mn) 0L
+              else {
+                val r = math.floor((v(d).toDouble - mn) * 255.0 / (mx - mn)).toLong
+                math.min(math.max(r, 0L), 255L)
+              }
+            recon(d) = mn + code.toDouble * ((mx - mn) / 255.0)
+            err(d) = math.abs(v(d).toDouble - recon(d))
+            d += 1
+          }
+          probes.iterator.collect { case (pid, pv) if pid != nid =>
+            var score = 0.0
+            var eps = 0.0
+            var i = 0
+            while (i < Dim) {
+              score += pv(i).toDouble * recon(i)
+              eps += math.abs(pv(i).toDouble) * err(i)
+              i += 1
+            }
+            (pid, nid, score, eps)
+          }
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "approx_score", "eps")
+    // k-th largest LOWER bound + branch-and-bound prune — the
+    // pqAdaptivePool tail verbatim
+    val kthLb = scored
+      .withColumn("lb", col("approx_score") - col("eps"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("lb"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"),
+        get(col("topk"), lit(k - 1)).getField("score").as("kth_lb"))
+    scored
+      .join(broadcast(kthLb), "probe_id")
+      .filter(col("approx_score") + col("eps") >=
+        coalesce(col("kth_lb"), lit(-1e308)))
+      .select(col("probe_id"), col("neighbor_id"))
+  }
+
   def sq8SearchSql(nProbes: Int = 10, k: Int = 3): String =
     s"""WITH dm AS (
        |  SELECT CAST(i - 1 AS BIGINT) AS dim, MIN(a[i]) AS mn, MAX(a[i]) AS mx
@@ -138,4 +215,66 @@ object ScalarQuant {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx_score DESC, neighbor_id) AS BIGINT) AS rn,
        |  approx_score
        |FROM scored QUALIFY rn <= $k""".stripMargin
+
+  /** Adaptive-rerank oracle: the sq8SearchSql recon pipeline keeps the raw
+    * per-dim value alongside the reconstruction, the per-candidate ε is the
+    * dim-ordered fold of |p_d|·|v_d − recon_d| (list_reduce — SUM is
+    * unordered, the fold is not; pqRerankAdaptiveSql precedent), then the
+    * identical kth-lb / prune / exact-cosine tail. */
+  def sq8RerankAdaptiveSql(nProbes: Int = 10, k: Int = 3): String = {
+    val cos = VectorOps.cosineSql("pe.embedding", "ne.embedding")
+    s"""WITH dm AS (
+       |  SELECT CAST(i - 1 AS BIGINT) AS dim, MIN(a[i]) AS mn, MAX(a[i]) AS mx
+       |  FROM (SELECT embedding AS a, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)
+       |  GROUP BY i),
+       |recon AS MATERIALIZED (
+       |  SELECT e.vec_id, d.dim, CAST(e.embedding[d.dim + 1] AS DOUBLE) AS ev,
+       |    CAST(d.mn AS DOUBLE) +
+       |    CAST(CASE WHEN d.mx = d.mn THEN 0
+       |         ELSE LEAST(GREATEST(CAST(floor(
+       |           (CAST(e.embedding[d.dim + 1] AS DOUBLE) - CAST(d.mn AS DOUBLE)) * 255.0
+       |             / (CAST(d.mx AS DOUBLE) - CAST(d.mn AS DOUBLE))) AS BIGINT), 0), 255)
+       |         END AS DOUBLE)
+       |      * ((CAST(d.mx AS DOUBLE) - CAST(d.mn AS DOUBLE)) / 255.0) AS r
+       |  FROM embeddings e CROSS JOIN dm d),
+       |rl AS MATERIALIZED (
+       |  SELECT vec_id, list(r ORDER BY dim) AS rv FROM recon GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+       |  WHERE vec_id < $nProbes),
+       |epsv AS MATERIALIZED (
+       |  SELECT p.probe_id, rc.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(abs(CAST(p.pv[rc.dim + 1] AS DOUBLE)) * abs(rc.ev - rc.r)
+       |           ORDER BY rc.dim)), (a, b) -> a + b) AS eps
+       |  FROM recon rc CROSS JOIN probes p GROUP BY 1, 2),
+       |scored AS MATERIALIZED (
+       |  SELECT p.probe_id, n.vec_id AS neighbor_id,
+       |    ${VectorOps.dotSql("p.pv", "n.rv", Dim)} AS approx_score
+       |  FROM rl n CROSS JOIN probes p
+       |  WHERE n.vec_id <> p.probe_id),
+       |se AS MATERIALIZED (
+       |  SELECT s.probe_id, s.neighbor_id, s.approx_score, e.eps
+       |  FROM scored s JOIN epsv e
+       |    ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id),
+       |kth AS (
+       |  SELECT probe_id, lb AS kth_lb FROM (
+       |    SELECT probe_id, approx_score - eps AS lb,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY approx_score - eps DESC, neighbor_id) AS rn
+       |    FROM se) WHERE rn = $k),
+       |cand AS MATERIALIZED (
+       |  SELECT s.probe_id, s.neighbor_id FROM se s
+       |  LEFT JOIN kth t ON t.probe_id = s.probe_id
+       |  WHERE s.approx_score + s.eps >= COALESCE(t.kth_lb, -1e308))
+       |SELECT c.probe_id, c.neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
+       |    ORDER BY $cos DESC, c.neighbor_id) AS BIGINT) AS rn,
+       |  $cos AS score
+       |FROM cand c
+       |JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |JOIN embeddings pe ON pe.vec_id = c.probe_id
+       |QUALIFY rn <= $k""".stripMargin
+  }
 }

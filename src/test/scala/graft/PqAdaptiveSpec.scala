@@ -90,6 +90,34 @@ class PqAdaptiveSpec extends SparkSpec {
       s"margin never excluded anything (pool=${pool.size} of $corpusPairs)")
   }
 
+  test("SQ8 adaptive pool contains every exact-dot top-k neighbor") {
+    // SQ8's bound is flat (no routing): per-dim reconstruction error is
+    // exact at encode time, so the Hölder ∞/1 bound brackets the true dot
+    // and the containment is unconditional, like the flat-PQ pool
+    val emb0 = Tables.embeddings(spark, dir)
+    val k = 3
+    val probes = emb0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val exactTopK = emb0
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(probes))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("d", VectorOps.dot(col("embedding"), col("pv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+          .orderBy(desc("d"), col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val expected = exactTopK.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pool = graft.operators.ScalarQuant.sq8AdaptivePool(emb0, nProbes = 10, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = expected -- pool
+    assert(missing.isEmpty, s"exact-dot top-$k outside the SQ8 pool: $missing")
+    val corpusPairs = 10L * (emb0.count() - 1)
+    assert(pool.size < corpusPairs,
+      s"margin never excluded anything (pool=${pool.size} of $corpusPairs)")
+  }
+
   test("adaptive rerank output is k rows per probe with exact cosine scores") {
     val emb = Tables.embeddings(spark, dir)
     val out = ProductQuant.pqRerankAdaptive(emb)
