@@ -285,12 +285,15 @@ object ProductQuant extends Serializable {
     * least k candidates, whose exacts all exceed exact(v). Pool size is
     * the genuine ambiguity set: small where codes separate neighbors
     * (well-quantized data), honestly large where they cannot — exactly
-    * when rerank is needed. The final rerank scores exact COSINE (the
-    * family contract); the dot guarantee transfers in proportion to norm
-    * concentration, and PqAdaptiveSpec asserts the dot-top-k containment
-    * directly. Cost vs pqRerank: the residual norms fall out of the
-    * encode loop already being run; the extra work is one broadcast of
-    * probe subnorms and the lb/ub arithmetic per scored pair. */
+    * when rerank is needed. r10: the brackets go out on the COSINE scale
+    * — dividing by the EXACT norms ‖p‖‖v‖ (the candidate's raw vector is
+    * in hand at encode time) carries the dot bracket to the metric the
+    * rerank actually ranks by, so the pool provably contains the
+    * exact-COSINE top-k (PqAdaptiveSpec asserts it on the pool; the r09
+    * dot-scale pool left a measured "metric transfer" recall gap on
+    * natural density). Cost vs pqRerank: the residual norms fall out of
+    * the encode loop already being run; the extra work is one broadcast
+    * of probe subnorms and the lb/ub arithmetic per scored pair. */
   def pqRerankAdaptive(embeddings: DataFrame, m: Int = 32, nCodes: Int = 64,
                        nProbes: Int = 10, k: Int = 3,
                        probes: Option[DataFrame] = None): DataFrame =
@@ -312,8 +315,9 @@ object ProductQuant extends Serializable {
     val probeArr: Array[(Long, Array[Float])] =
       Probes.resolve(embeddings, probeDf, nProbes)
         .as[(Long, Array[Float])].collect().sortBy(_._1)
-    // per-probe ADC lookup tables + per-probe-subspace norms ‖p_s‖
-    val lut: Array[(Long, Array[Array[Double]], Array[Double])] =
+    // per-probe ADC lookup tables + per-probe-subspace norms ‖p_s‖ + the
+    // full probe norm ‖p‖ (the cosine-scale denominator)
+    val lut: Array[(Long, Array[Array[Double]], Array[Double], Double)] =
       probeArr.map { case (pid, pv) =>
         val pd = toD(pv)
         val t = Array.tabulate(m)(s => Array.tabulate(cbs(s).length)(c =>
@@ -322,13 +326,20 @@ object ProductQuant extends Serializable {
           val sub = pd.slice(s * w, s * w + w)
           math.sqrt(dotD(sub, sub))
         }
-        (pid, t, pn)
+        (pid, t, pn, math.sqrt(dotD(pd, pd)))
       }
     val bcCbs = spark.sparkContext.broadcast(cbs)
     val bcLut = spark.sparkContext.broadcast(lut)
     val mL = m; val wL = w
     // one narrow pass: adc score AND the per-candidate error bound ε_pv
-    // (the residual norms fall out of the encode argmin already computed)
+    // (the residual norms fall out of the encode argmin already computed).
+    // The brackets are emitted on the COSINE scale: the candidate's exact
+    // norm ‖v‖ is free in the same pass (the raw vector is in hand), and
+    // cos = dot/(‖p‖‖v‖) with |dot − adc| ≤ ε gives
+    // cos ∈ [(adc−ε)/(‖p‖‖v‖), (adc+ε)/(‖p‖‖v‖)] — so the pool contains
+    // the exact-COSINE top-k, the metric the rerank actually ranks by.
+    // (r10; the dot-scale pool of r09 guaranteed only dot-top-k
+    // containment — the "metric transfer" recall gap on natural density.)
     val scored = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { iter =>
@@ -336,6 +347,7 @@ object ProductQuant extends Serializable {
         val lutL = bcLut.value
         iter.flatMap { case (nid, v) =>
           val vd = toD(v)
+          val nv = math.sqrt(dotD(vd, vd))
           val codes = new Array[Int](mL)
           val resN = new Array[Double](mL)
           var s = 0
@@ -353,7 +365,7 @@ object ProductQuant extends Serializable {
             resN(s) = math.sqrt(bestD)
             s += 1
           }
-          lutL.iterator.collect { case (pid, t, pn) if pid != nid =>
+          lutL.iterator.collect { case (pid, t, pn, pnf) if pid != nid =>
             var score = 0.0
             var eps = 0.0
             var i = 0
@@ -362,23 +374,27 @@ object ProductQuant extends Serializable {
               eps += pn(i) * resN(i)
               i += 1
             }
-            (pid, nid, score, eps)
+            (pid, nid, (score - eps) / (pnf * nv), (score + eps) / (pnf * nv))
           }
         }
       }
-      .toDF("probe_id", "neighbor_id", "approx_score", "eps")
-    // k-th largest LOWER bound per probe (lb = adc − ε; ties by id like
-    // TopKAgg); get() is null-safe under ANSI for sub-k candidate counts
+      .toDF("probe_id", "neighbor_id", "lb", "ub")
+    adaptivePrune(scored, k)
+  }
+
+  /** Shared branch-and-bound tail over cosine-scale (lb, ub) brackets:
+    * k-th largest LOWER bound per probe (ties by id like TopKAgg; get()
+    * is null-safe under ANSI for sub-k candidate counts), keep every
+    * candidate whose ub reaches it. */
+  private[operators] def adaptivePrune(scored: DataFrame, k: Int): DataFrame = {
     val kthLb = scored
-      .withColumn("lb", col("approx_score") - col("eps"))
       .groupBy(col("probe_id"))
       .agg(graft.functions.TopKAgg.topK(col("lb"), col("neighbor_id"), k).as("topk"))
       .select(col("probe_id"),
         get(col("topk"), lit(k - 1)).getField("score").as("kth_lb"))
     scored
       .join(broadcast(kthLb), "probe_id")
-      .filter(col("approx_score") + col("eps") >=
-        coalesce(col("kth_lb"), lit(-1e308)))
+      .filter(col("ub") >= coalesce(col("kth_lb"), lit(-1e308)))
       .select(col("probe_id"), col("neighbor_id"))
   }
 
@@ -554,9 +570,10 @@ object ProductQuant extends Serializable {
       Probes.resolve(embeddings, probeDf, nProbes)
         .as[(Long, Array[Float])].collect().sortBy(_._1)
     // per-probe: routed cell, base term dot(p, cent(pcell)), residual ADC
-    // LUT, and per-subspace norms ‖p_s‖ of the FULL probe vector (the
-    // bound is against the candidate's residual-encode error)
-    val lut: Array[(Long, Int, Double, Array[Array[Double]], Array[Double])] =
+    // LUT, per-subspace norms ‖p_s‖ of the FULL probe vector (the bound is
+    // against the candidate's residual-encode error), and the full probe
+    // norm ‖p‖ for the cosine-scale brackets
+    val lut: Array[(Long, Int, Double, Array[Array[Double]], Array[Double], Double)] =
       probeArr.map { case (pid, pv) =>
         val pd = toD(pv)
         val pcell = cellOf(cents, pv)
@@ -567,7 +584,7 @@ object ProductQuant extends Serializable {
           val sub = pd.slice(s * w, s * w + w)
           math.sqrt(dotD(sub, sub))
         }
-        (pid, pcell, base, t, pn)
+        (pid, pcell, base, t, pn, math.sqrt(dotD(pd, pd)))
       }
     val bcCents = spark.sparkContext.broadcast(cents)
     val bcCbs = spark.sparkContext.broadcast(cbs)
@@ -584,6 +601,10 @@ object ProductQuant extends Serializable {
         iter.flatMap { case (nid, v) =>
           val cell = cellOf(centsL, v)
           val rd = residOf(centsL, v)
+          // ‖v‖ from the raw vector — the cosine-scale denominator is
+          // exact even though the score is residual-quantized
+          val vd = toD(v)
+          val nv = math.sqrt(dotD(vd, vd))
           val codes = new Array[Int](mL)
           val resN = new Array[Double](mL)
           var s = 0
@@ -601,33 +622,23 @@ object ProductQuant extends Serializable {
             resN(s) = math.sqrt(bestD)
             s += 1
           }
-          lutL.iterator.collect { case (pid, pcell, base, t, pn) if pcell == cell && pid != nid =>
-            var score = base
-            var eps = 0.0
-            var i = 0
-            while (i < mL) {
-              score += t(i)(codes(i))
-              eps += pn(i) * resN(i)
-              i += 1
-            }
-            (pid, nid, score, eps)
+          lutL.iterator.collect {
+            case (pid, pcell, base, t, pn, pnf) if pcell == cell && pid != nid =>
+              var score = base
+              var eps = 0.0
+              var i = 0
+              while (i < mL) {
+                score += t(i)(codes(i))
+                eps += pn(i) * resN(i)
+                i += 1
+              }
+              (pid, nid, (score - eps) / (pnf * nv), (score + eps) / (pnf * nv))
           }
         }
       }
-      .toDF("probe_id", "neighbor_id", "approx_score", "eps")
-    // k-th largest LOWER bound per probe, then the branch-and-bound prune
-    // ub ≥ kth_lb — identical tail to pqAdaptivePool
-    val kthLb = scored
-      .withColumn("lb", col("approx_score") - col("eps"))
-      .groupBy(col("probe_id"))
-      .agg(graft.functions.TopKAgg.topK(col("lb"), col("neighbor_id"), k).as("topk"))
-      .select(col("probe_id"),
-        get(col("topk"), lit(k - 1)).getField("score").as("kth_lb"))
-    scored
-      .join(broadcast(kthLb), "probe_id")
-      .filter(col("approx_score") + col("eps") >=
-        coalesce(col("kth_lb"), lit(-1e308)))
-      .select(col("probe_id"), col("neighbor_id"))
+      .toDF("probe_id", "neighbor_id", "lb", "ub")
+    // cosine-scale branch-and-bound prune — identical tail to pqAdaptivePool
+    adaptivePrune(scored, k)
   }
 
   // ---- DuckDB oracle ----
@@ -693,10 +704,12 @@ object ProductQuant extends Serializable {
     * per-candidate residual norms (sqrt of the min-L2 the encode argmin
     * already ranks on), per-(probe, candidate) ε as an s-ordered
     * list_reduce fold of ‖p_s‖·‖res_s(v)‖ (the cmsFreq pattern — SUM is
-    * unordered, the fold is not), the k-th largest LOWER bound via
-    * ROW_NUMBER on (adc − ε), and the branch-and-bound prune
-    * ub ≥ kth_lb — every float op in the same order as the Scala side,
-    * so the pool membership boundary is bit-deterministic cross-engine. */
+    * unordered, the fold is not), the COSINE-scale brackets
+    * (adc ∓ ε)/(‖p‖‖v‖) with both norms as exact self-dot folds, the
+    * k-th largest LOWER bound via ROW_NUMBER on lb, and the
+    * branch-and-bound prune ub ≥ kth_lb — every float op in the same
+    * order as the Scala side, so the pool membership boundary is
+    * bit-deterministic cross-engine. */
   def pqRerankAdaptiveSql(m: Int = 32, nCodes: Int = 64, nProbes: Int = 10,
                           k: Int = 3): String = {
     val w = Dim / m
@@ -734,6 +747,12 @@ object ProductQuant extends Serializable {
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list(pn.pnorm * rv.r ORDER BY rv.s)), (a, b) -> a + b) AS eps
        |  FROM pn JOIN rv ON pn.s = rv.s GROUP BY 1, 2),
+       |pf AS MATERIALIZED (
+       |  SELECT p.probe_id, sqrt(${VectorOps.dotSql("p.pv", "p.pv")}) AS pnf
+       |  FROM probes p),
+       |nrm AS MATERIALIZED (
+       |  SELECT e.vec_id, sqrt(${VectorOps.dotSql("e.embedding", "e.embedding")}) AS nv
+       |  FROM embeddings e),
        |scored AS MATERIALIZED (
        |  SELECT p.probe_id, n.vec_id AS neighbor_id,
        |    ${(0 until m).map(s =>
@@ -744,19 +763,23 @@ object ProductQuant extends Serializable {
        |  CROSS JOIN probes p
        |  WHERE n.vec_id <> p.probe_id),
        |se AS MATERIALIZED (
-       |  SELECT s.probe_id, s.neighbor_id, s.approx_score, e.eps
-       |  FROM scored s JOIN epsv e
-       |    ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id),
+       |  SELECT s.probe_id, s.neighbor_id,
+       |    (s.approx_score - e.eps) / (pf.pnf * nr.nv) AS lb,
+       |    (s.approx_score + e.eps) / (pf.pnf * nr.nv) AS ub
+       |  FROM scored s
+       |  JOIN epsv e ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id
+       |  JOIN pf ON pf.probe_id = s.probe_id
+       |  JOIN nrm nr ON nr.vec_id = s.neighbor_id),
        |kth AS (
        |  SELECT probe_id, lb AS kth_lb FROM (
-       |    SELECT probe_id, approx_score - eps AS lb,
+       |    SELECT probe_id, lb,
        |      ROW_NUMBER() OVER (PARTITION BY probe_id
-       |        ORDER BY approx_score - eps DESC, neighbor_id) AS rn
+       |        ORDER BY lb DESC, neighbor_id) AS rn
        |    FROM se) WHERE rn = $k),
        |cand AS MATERIALIZED (
        |  SELECT s.probe_id, s.neighbor_id FROM se s
        |  LEFT JOIN kth t ON t.probe_id = s.probe_id
-       |  WHERE s.approx_score + s.eps >= COALESCE(t.kth_lb, -1e308))
+       |  WHERE s.ub >= COALESCE(t.kth_lb, -1e308))
        |SELECT c.probe_id, c.neighbor_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
        |    ORDER BY $cos DESC, c.neighbor_id) AS BIGINT) AS rn,
@@ -958,6 +981,12 @@ object ProductQuant extends Serializable {
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list(pn.pnorm * rv.r ORDER BY rv.s)), (a, b) -> a + b) AS eps
        |  FROM pn JOIN rv ON pn.s = rv.s GROUP BY 1, 2),
+       |pf AS MATERIALIZED (
+       |  SELECT p.probe_id, sqrt(${VectorOps.dotSql("p.pv", "p.pv")}) AS pnf
+       |  FROM probes p),
+       |nrm AS MATERIALIZED (
+       |  SELECT e.vec_id, sqrt(${VectorOps.dotSql("e.embedding", "e.embedding")}) AS nv
+       |  FROM embeddings e),
        |scored AS MATERIALIZED (
        |  SELECT p.probe_id, n.vec_id AS neighbor_id,
        |    ${(0 until m).map(s =>
@@ -969,19 +998,23 @@ object ProductQuant extends Serializable {
        |  JOIN probes p ON p.cell = na.cell AND n.vec_id <> p.probe_id
        |  JOIN cents pc ON pc.cell_id = p.cell),
        |se AS MATERIALIZED (
-       |  SELECT s.probe_id, s.neighbor_id, s.approx_score, e.eps
-       |  FROM scored s JOIN epsv e
-       |    ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id),
+       |  SELECT s.probe_id, s.neighbor_id,
+       |    (s.approx_score - e.eps) / (pf.pnf * nr.nv) AS lb,
+       |    (s.approx_score + e.eps) / (pf.pnf * nr.nv) AS ub
+       |  FROM scored s
+       |  JOIN epsv e ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id
+       |  JOIN pf ON pf.probe_id = s.probe_id
+       |  JOIN nrm nr ON nr.vec_id = s.neighbor_id),
        |kth AS (
        |  SELECT probe_id, lb AS kth_lb FROM (
-       |    SELECT probe_id, approx_score - eps AS lb,
+       |    SELECT probe_id, lb,
        |      ROW_NUMBER() OVER (PARTITION BY probe_id
-       |        ORDER BY approx_score - eps DESC, neighbor_id) AS rn
+       |        ORDER BY lb DESC, neighbor_id) AS rn
        |    FROM se) WHERE rn = $k),
        |cand AS MATERIALIZED (
        |  SELECT s.probe_id, s.neighbor_id FROM se s
        |  LEFT JOIN kth t ON t.probe_id = s.probe_id
-       |  WHERE s.approx_score + s.eps >= COALESCE(t.kth_lb, -1e308))
+       |  WHERE s.ub >= COALESCE(t.kth_lb, -1e308))
        |SELECT c.probe_id, c.neighbor_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
        |    ORDER BY $cos DESC, c.neighbor_id) AS BIGINT) AS rn,

@@ -137,12 +137,22 @@ object ScalarQuant {
     val probes: Array[(Long, Array[Float])] =
       Probes.resolve(embeddings, probeDf, nProbes)
         .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // probe norms ‖p‖ — with the candidate norm ‖v‖ (exact, from the raw
+    // vector in the same pass) the brackets go out on the COSINE scale:
+    // cos ∈ [(adc−ε)/(‖p‖‖v‖), (adc+ε)/(‖p‖‖v‖)] — so the pool contains
+    // the exact-COSINE top-k, the metric the rerank ranks by
+    val probeNorms: Array[Double] = probes.map { case (_, pv) =>
+      var s = 0.0; var i = 0
+      while (i < Dim) { s += pv(i).toDouble * pv(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
     val scored = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { iter =>
         iter.flatMap { case (nid, v) =>
           val recon = new Array[Double](Dim)
           val err = new Array[Double](Dim)
+          var nv2 = 0.0
           var d = 0
           while (d < Dim) {
             val (mn, mx) = rng(d)
@@ -154,9 +164,11 @@ object ScalarQuant {
               }
             recon(d) = mn + code.toDouble * ((mx - mn) / 255.0)
             err(d) = math.abs(v(d).toDouble - recon(d))
+            nv2 += v(d).toDouble * v(d).toDouble
             d += 1
           }
-          probes.iterator.collect { case (pid, pv) if pid != nid =>
+          val nv = math.sqrt(nv2)
+          probes.iterator.zipWithIndex.collect { case ((pid, pv), pi) if pid != nid =>
             var score = 0.0
             var eps = 0.0
             var i = 0
@@ -165,24 +177,14 @@ object ScalarQuant {
               eps += math.abs(pv(i).toDouble) * err(i)
               i += 1
             }
-            (pid, nid, score, eps)
+            val pnf = probeNorms(pi)
+            (pid, nid, (score - eps) / (pnf * nv), (score + eps) / (pnf * nv))
           }
         }
       }
-      .toDF("probe_id", "neighbor_id", "approx_score", "eps")
-    // k-th largest LOWER bound + branch-and-bound prune — the
-    // pqAdaptivePool tail verbatim
-    val kthLb = scored
-      .withColumn("lb", col("approx_score") - col("eps"))
-      .groupBy(col("probe_id"))
-      .agg(graft.functions.TopKAgg.topK(col("lb"), col("neighbor_id"), k).as("topk"))
-      .select(col("probe_id"),
-        get(col("topk"), lit(k - 1)).getField("score").as("kth_lb"))
-    scored
-      .join(broadcast(kthLb), "probe_id")
-      .filter(col("approx_score") + col("eps") >=
-        coalesce(col("kth_lb"), lit(-1e308)))
-      .select(col("probe_id"), col("neighbor_id"))
+      .toDF("probe_id", "neighbor_id", "lb", "ub")
+    // cosine-scale branch-and-bound prune — the pqAdaptivePool tail
+    ProductQuant.adaptivePrune(scored, k)
   }
 
   def sq8SearchSql(nProbes: Int = 10, k: Int = 3): String =
@@ -249,25 +251,35 @@ object ScalarQuant {
        |      list(abs(CAST(p.pv[rc.dim + 1] AS DOUBLE)) * abs(rc.ev - rc.r)
        |           ORDER BY rc.dim)), (a, b) -> a + b) AS eps
        |  FROM recon rc CROSS JOIN probes p GROUP BY 1, 2),
+       |pf AS MATERIALIZED (
+       |  SELECT p.probe_id, sqrt(${VectorOps.dotSql("p.pv", "p.pv", Dim)}) AS pnf
+       |  FROM probes p),
+       |nrm AS MATERIALIZED (
+       |  SELECT e.vec_id, sqrt(${VectorOps.dotSql("e.embedding", "e.embedding", Dim)}) AS nv
+       |  FROM embeddings e),
        |scored AS MATERIALIZED (
        |  SELECT p.probe_id, n.vec_id AS neighbor_id,
        |    ${VectorOps.dotSql("p.pv", "n.rv", Dim)} AS approx_score
        |  FROM rl n CROSS JOIN probes p
        |  WHERE n.vec_id <> p.probe_id),
        |se AS MATERIALIZED (
-       |  SELECT s.probe_id, s.neighbor_id, s.approx_score, e.eps
-       |  FROM scored s JOIN epsv e
-       |    ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id),
+       |  SELECT s.probe_id, s.neighbor_id,
+       |    (s.approx_score - e.eps) / (pf.pnf * nr.nv) AS lb,
+       |    (s.approx_score + e.eps) / (pf.pnf * nr.nv) AS ub
+       |  FROM scored s
+       |  JOIN epsv e ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id
+       |  JOIN pf ON pf.probe_id = s.probe_id
+       |  JOIN nrm nr ON nr.vec_id = s.neighbor_id),
        |kth AS (
        |  SELECT probe_id, lb AS kth_lb FROM (
-       |    SELECT probe_id, approx_score - eps AS lb,
+       |    SELECT probe_id, lb,
        |      ROW_NUMBER() OVER (PARTITION BY probe_id
-       |        ORDER BY approx_score - eps DESC, neighbor_id) AS rn
+       |        ORDER BY lb DESC, neighbor_id) AS rn
        |    FROM se) WHERE rn = $k),
        |cand AS MATERIALIZED (
        |  SELECT s.probe_id, s.neighbor_id FROM se s
        |  LEFT JOIN kth t ON t.probe_id = s.probe_id
-       |  WHERE s.approx_score + s.eps >= COALESCE(t.kth_lb, -1e308))
+       |  WHERE s.ub >= COALESCE(t.kth_lb, -1e308))
        |SELECT c.probe_id, c.neighbor_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
        |    ORDER BY $cos DESC, c.neighbor_id) AS BIGINT) AS rn,

@@ -7,40 +7,49 @@ import graft.operators.ProductQuant
 import graft.sources.Tables
 
 /** The adaptive-pool containment theorem, asserted directly on the pool:
-  * every exact-DOT top-k neighbor of every probe must be inside the
-  * branch-and-bound pool (per-candidate ε = Σ_s ‖p_s‖·‖res_s(v)‖ bounds
-  * the ADC error, so a candidate whose upper bound misses the k-th lower
-  * bound provably cannot be exact-dot top-k), under several input
-  * partitionings — the guarantee a fixed rerank depth cannot give at any
-  * setting — while the prune still bites (pool ≪ corpus). */
+  * every exact-COSINE top-k neighbor of every probe must be inside the
+  * branch-and-bound pool. Per-candidate ε = Σ_s ‖p_s‖·‖res_s(v)‖ bounds
+  * the ADC error on the dot, and dividing the brackets by the EXACT norms
+  * ‖p‖‖v‖ (both known — the candidate's raw vector is in hand at encode
+  * time) transfers the bracket to the cosine scale, the metric the rerank
+  * ranks by (r10; the r09 dot-scale pool guaranteed only dot-top-k — the
+  * measured "metric transfer" recall gap on natural density). A candidate
+  * whose cosine upper bound misses the k-th cosine lower bound provably
+  * cannot be exact-cosine top-k — under any input partitioning, the
+  * guarantee a fixed rerank depth cannot give at any setting — while the
+  * prune still bites (pool ≪ corpus). */
 class PqAdaptiveSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("branch-and-bound ADC pool contains every exact-dot top-k neighbor, any partitioning") {
-    val emb0 = Tables.embeddings(spark, dir)
-    val k = 3
-    // exact-dot top-k per probe (probe contract: first-10 slice)
-    val probes = emb0.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val exactTopK = emb0
-      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+  /** exact-COSINE top-k pairs per probe over an optional candidate filter */
+  private def cosineTopK(emb: org.apache.spark.sql.DataFrame,
+                         probes: org.apache.spark.sql.DataFrame,
+                         k: Int): Set[(Long, Long)] =
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
       .crossJoin(broadcast(probes))
       .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("d", VectorOps.dot(col("embedding"), col("pv")))
+      .withColumn("d", VectorOps.cosine(col("embedding"), col("pv")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
           .orderBy(desc("d"), col("neighbor_id"))))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("neighbor_id"))
-    val expected = exactTopK.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("branch-and-bound ADC pool contains every exact-cosine top-k neighbor, any partitioning") {
+    val emb0 = Tables.embeddings(spark, dir)
+    val k = 3
+    val probes = emb0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val expected = cosineTopK(emb0, probes, k)
     for (parts <- Seq(2, 7)) {
       val pool = ProductQuant.pqAdaptivePool(emb0.repartition(parts),
           m = 32, nCodes = 64, nProbes = 10, k = k)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val missing = expected -- pool
       assert(missing.isEmpty,
-        s"parts=$parts: exact-dot top-$k outside the 2eps pool: $missing")
+        s"parts=$parts: exact-cosine top-$k outside the 2eps pool: $missing")
       // and the pool is a POOL, not the corpus: the margin must bite
       val corpusPairs = 10L * (emb0.count() - 1)
       assert(pool.size < corpusPairs,
@@ -48,11 +57,11 @@ class PqAdaptiveSpec extends SparkSpec {
     }
   }
 
-  test("IVF-routed branch-and-bound pool contains the same-cell exact-dot top-k") {
+  test("IVF-routed branch-and-bound pool contains the same-cell exact-cosine top-k") {
     // the IVF composition's guarantee is conditional on routing: the pool
-    // must contain every exact-dot top-k neighbor AMONG candidates routed
-    // to the probe's cell (cross-cell misses are the IVF ceiling, owned by
-    // the routing — not the adaptive bound's claim)
+    // must contain every exact-cosine top-k neighbor AMONG candidates
+    // routed to the probe's cell (cross-cell misses are the IVF ceiling,
+    // owned by the routing — not the adaptive bound's claim)
     val emb0 = Tables.embeddings(spark, dir)
     val k = 3
     val w = org.apache.spark.sql.expressions.Window
@@ -73,7 +82,7 @@ class PqAdaptiveSpec extends SparkSpec {
       .join(assigned.select(col("vec_id").as("neighbor_id"), col("cell")), "neighbor_id")
       .join(broadcast(probes),
         col("cell") === col("pcell") && col("neighbor_id") =!= col("probe_id"))
-      .withColumn("d", VectorOps.dot(col("embedding"), col("pv")))
+      .withColumn("d", VectorOps.cosine(col("embedding"), col("pv")))
       .withColumn("rn", row_number().over(
         w.partitionBy("probe_id").orderBy(desc("d"), col("neighbor_id"))))
       .filter(col("rn") <= k)
@@ -84,35 +93,26 @@ class PqAdaptiveSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val missing = expected -- pool
     assert(missing.isEmpty,
-      s"same-cell exact-dot top-$k outside the IVF adaptive pool: $missing")
+      s"same-cell exact-cosine top-$k outside the IVF adaptive pool: $missing")
     val corpusPairs = 10L * (emb0.count() - 1)
     assert(pool.size < corpusPairs,
       s"margin never excluded anything (pool=${pool.size} of $corpusPairs)")
   }
 
-  test("SQ8 adaptive pool contains every exact-dot top-k neighbor") {
+  test("SQ8 adaptive pool contains every exact-cosine top-k neighbor") {
     // SQ8's bound is flat (no routing): per-dim reconstruction error is
-    // exact at encode time, so the Hölder ∞/1 bound brackets the true dot
-    // and the containment is unconditional, like the flat-PQ pool
+    // exact at encode time, the Hölder ∞/1 bound brackets the true dot,
+    // and the exact-norm division carries the bracket to the cosine —
+    // containment is unconditional, like the flat-PQ pool
     val emb0 = Tables.embeddings(spark, dir)
     val k = 3
     val probes = emb0.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val exactTopK = emb0
-      .select(col("vec_id").as("neighbor_id"), col("embedding"))
-      .crossJoin(broadcast(probes))
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("d", VectorOps.dot(col("embedding"), col("pv")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
-          .orderBy(desc("d"), col("neighbor_id"))))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("neighbor_id"))
-    val expected = exactTopK.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = cosineTopK(emb0, probes, k)
     val pool = graft.operators.ScalarQuant.sq8AdaptivePool(emb0, nProbes = 10, k = k)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val missing = expected -- pool
-    assert(missing.isEmpty, s"exact-dot top-$k outside the SQ8 pool: $missing")
+    assert(missing.isEmpty, s"exact-cosine top-$k outside the SQ8 pool: $missing")
     val corpusPairs = 10L * (emb0.count() - 1)
     assert(pool.size < corpusPairs,
       s"margin never excluded anything (pool=${pool.size} of $corpusPairs)")
