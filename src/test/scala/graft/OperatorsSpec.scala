@@ -20,21 +20,30 @@ class OperatorsSpec extends SparkSpec {
 
   test("rankDocs test-class penalty halves the score unless the query asks for tests") {
     import graft.operators.Search
+    // r10: the penalty keys on the PSEUDO-PATH source/doc_<id>.md (the
+    // reference penalizes on path only — ranker.py:52) or a test-class
+    // source shard; text content no longer triggers it (a doc merely
+    // containing 'latest' used to be halved)
     val docs = Seq(
-      (1L, "spark join guide", "en", "src0"),   // boosted source, no penalty
-      (2L, "spark join guide", "en", "src17"),  // test-class source: ×0.5
-      (3L, "spark join test notes", "en", "src5") // 'test' in text: ×0.5
+      (1L, "spark join guide", "en", "src0"),    // boosted source, no penalty
+      (2L, "spark join guide", "en", "src17"),   // test-class source: ×0.5
+      (3L, "spark join guide", "en", "my_tests"), // 'test' in path: ×0.5
+      (4L, "spark join latest notes", "en", "src5"), // 'test' only in TEXT: no penalty
+      (5L, "spark join guide", "en", "src5")     // plain doc, guard-comparison twin
     ).toDF("doc_id", "text", "lang", "source")
     val scores = Search.rankDocs(docs, Seq("spark", "join"), "spark join", "en")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // identical boosts apart from source: 2.0·1.6·1.5 = 4.8; src0 also ×1.2
     assert(math.abs(scores(1L) - 4.8 * 1.2) < 1e-12)
     assert(math.abs(scores(2L) - 4.8 * 0.5) < 1e-12, s"test-class source not penalized: $scores")
-    assert(math.abs(scores(3L) - 4.8 * 0.5) < 1e-12, s"'test' marker not penalized: $scores")
-    // querying for tests disables the penalty (ranker.py:52 guard)
+    assert(math.abs(scores(3L) - 4.8 * 0.5) < 1e-12, s"path marker not penalized: $scores")
+    assert(math.abs(scores(4L) - 4.8) < 1e-12,
+      s"text-only 'test' substring must NOT be penalized (path-keyed): $scores")
+    // querying for tests disables the penalty (ranker.py:52 guard):
+    // penalty-class docs score identically to the plain twin (same text)
     val wanted = Search.rankDocs(docs, Seq("test"), "test", "en")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(wanted(3L) > wanted(2L),
+    assert(wanted(2L) == wanted(5L) && wanted(3L) == wanted(5L),
       s"query asking for tests must not penalize test docs: $wanted")
     // SQL twin mirrors the penalty (and its guard) verbatim
     assert(Search.rankDocsSql(Seq("spark", "join"), "spark join", "en").contains("0.5"))
