@@ -208,6 +208,8 @@ object SparkEntry {
     "ann_ivf_pq" -> ((s, d) => ProductQuant.ivfPqSearch(Tables.embeddings(s, d))),
     "ann_ivf_pq_rr" -> ((s, d) => ProductQuant.ivfPqRerank(Tables.embeddings(s, d))),
     "ann_ivf_pq_rr_ad" -> ((s, d) => ProductQuant.ivfPqRerankAdaptive(Tables.embeddings(s, d))),
+    "ann_ivf_pq_rr_ad_mp" -> ((s, d) =>
+      ProductQuant.ivfPqRerankAdaptive(Tables.embeddings(s, d), nProbeCells = 4)),
     // --- graph ---
     "graph_stats" -> ((s, d) => GraphOps.stats(Tables.orders(s, d), Tables.lineitem(s, d))),
     "graph_degree" -> ((s, d) => GraphOps.degrees(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -484,6 +486,7 @@ object SparkEntry {
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
     "ann_ivf_pq_rr" -> ProductQuant.ivfPqRerankSql(),
     "ann_ivf_pq_rr_ad" -> ProductQuant.ivfPqRerankAdaptiveSql(),
+    "ann_ivf_pq_rr_ad_mp" -> ProductQuant.ivfPqRerankAdaptiveSql(nProbeCells = 4),
     "bpe_train" -> Bpe.bpeTrainSql(),
     "bpe_encode" -> Bpe.bpeEncodeSql(),
     "dedup_exact" -> Dedup.exactSql,

@@ -447,6 +447,24 @@ object ProductQuant extends Serializable {
     Array.tabulate(Dim)(i => v(i).toDouble - c(i).toDouble)
   }
 
+  /** Top-`p` cells by argmax cosine (ties by lower cell index) — the
+    * multiprobe generalization of [[cellOf]] (FAISS nprobe): same ordering
+    * the oracle's ROW_NUMBER(ORDER BY cos DESC, cell_id) produces. */
+  private def cellsOf(cs: Array[(Long, Array[Float])], v: Array[Float],
+                      p: Int): Array[Int] = {
+    val scored = Array.tabulate(cs.length) { ci =>
+      val c = cs(ci)._2
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < v.length) {
+        val x = v(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      (dot / (math.sqrt(na) * math.sqrt(nb)), ci)
+    }
+    scored.sortBy { case (cos, ci) => (-cos, ci) }.take(p).map(_._2)
+  }
+
   /** IVF-PQ — the composition every billion-vector index actually ships
     * (FAISS IndexIVFPQ): the IVF coarse quantizer routes each probe to ONE
     * cell, and candidates are scored from PQ codes of their RESIDUAL
@@ -545,16 +563,24 @@ object ProductQuant extends Serializable {
     * LUTs + kth-lb, O(pool) raw-vector fetches, TopKAgg O(probes·k). */
   def ivfPqRerankAdaptive(embeddings: DataFrame, nCells: Int = 16, m: Int = 32,
                           nCodes: Int = 128, nProbes: Int = 10, k: Int = 3,
-                          probes: Option[DataFrame] = None): DataFrame =
+                          probes: Option[DataFrame] = None,
+                          nProbeCells: Int = 1): DataFrame =
     rerankTail(embeddings,
-      ivfPqAdaptivePool(embeddings, nCells, m, nCodes, nProbes, k, probes),
+      ivfPqAdaptivePool(embeddings, nCells, m, nCodes, nProbes, k, probes,
+        nProbeCells),
       nProbes, k, probes)
 
-  /** The within-cell margin pool (probe_id, neighbor_id) — package-level so
-    * the spec can assert same-cell exact-top-k containment on it. */
+  /** The within-probed-cells margin pool (probe_id, neighbor_id) —
+    * package-level so the spec can assert probed-cell exact-top-k
+    * containment on it. `nProbeCells` > 1 is FAISS's nprobe: each probe
+    * fans out to its top-n cells by centroid cosine, raising the routing
+    * ceiling at a linear (not quadratic) candidate-cost increase — the
+    * candidate's base term uses ITS OWN cell's centroid, so the ADC
+    * identity and the ε bound are unchanged per candidate. */
   private[graft] def ivfPqAdaptivePool(embeddings: DataFrame, nCells: Int, m: Int,
                                        nCodes: Int, nProbes: Int, k: Int,
-                                       probeDf: Option[DataFrame] = None): DataFrame = {
+                                       probeDf: Option[DataFrame] = None,
+                                       nProbeCells: Int = 1): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val w = Dim / m
@@ -569,22 +595,24 @@ object ProductQuant extends Serializable {
     val probeArr: Array[(Long, Array[Float])] =
       Probes.resolve(embeddings, probeDf, nProbes)
         .as[(Long, Array[Float])].collect().sortBy(_._1)
-    // per-probe: routed cell, base term dot(p, cent(pcell)), residual ADC
-    // LUT, per-subspace norms ‖p_s‖ of the FULL probe vector (the bound is
-    // against the candidate's residual-encode error), and the full probe
-    // norm ‖p‖ for the cosine-scale brackets
-    val lut: Array[(Long, Int, Double, Array[Array[Double]], Array[Double], Double)] =
+    // per-probe: probed cells (top-nProbeCells by centroid cosine) with
+    // the base term dot(p, cent(cell)) PER probed cell (a candidate's base
+    // uses its own cell's centroid), residual ADC LUT, per-subspace norms
+    // ‖p_s‖ of the FULL probe vector (the bound is against the candidate's
+    // residual-encode error), and the full probe norm ‖p‖ for the
+    // cosine-scale brackets
+    val lut: Array[(Long, Array[Int], Array[Double], Array[Array[Double]], Array[Double], Double)] =
       probeArr.map { case (pid, pv) =>
         val pd = toD(pv)
-        val pcell = cellOf(cents, pv)
-        val base = dotD(pd, toD(cents(pcell)._2))
+        val pcells = cellsOf(cents, pv, nProbeCells)
+        val bases = pcells.map(c => dotD(pd, toD(cents(c)._2)))
         val t = Array.tabulate(m)(s => Array.tabulate(cbs(s).length)(c =>
           dotD(pd.slice(s * w, s * w + w), cbs(s)(c))))
         val pn = Array.tabulate(m) { s =>
           val sub = pd.slice(s * w, s * w + w)
           math.sqrt(dotD(sub, sub))
         }
-        (pid, pcell, base, t, pn, math.sqrt(dotD(pd, pd)))
+        (pid, pcells, bases, t, pn, math.sqrt(dotD(pd, pd)))
       }
     val bcCents = spark.sparkContext.broadcast(cents)
     val bcCbs = spark.sparkContext.broadcast(cbs)
@@ -622,9 +650,11 @@ object ProductQuant extends Serializable {
             resN(s) = math.sqrt(bestD)
             s += 1
           }
-          lutL.iterator.collect {
-            case (pid, pcell, base, t, pn, pnf) if pcell == cell && pid != nid =>
-              var score = base
+          lutL.iterator.flatMap { case (pid, pcells, bases, t, pn, pnf) =>
+            val ci = pcells.indexOf(cell)
+            if (ci < 0 || pid == nid) Iterator.empty
+            else {
+              var score = bases(ci)
               var eps = 0.0
               var i = 0
               while (i < mL) {
@@ -632,7 +662,9 @@ object ProductQuant extends Serializable {
                 eps += pn(i) * resN(i)
                 i += 1
               }
-              (pid, nid, (score - eps) / (pnf * nv), (score + eps) / (pnf * nv))
+              Iterator.single(
+                (pid, nid, (score - eps) / (pnf * nv), (score + eps) / (pnf * nv)))
+            }
           }
         }
       }
@@ -930,9 +962,13 @@ object ProductQuant extends Serializable {
   /** Adaptive-pool IVF-PQ oracle: ivfPqSearchSql's cell/residual/encode
     * preamble + pqRerankAdaptiveSql's residual-norm, s-ordered ε fold,
     * k-th-lb and branch-and-bound prune (every float op in the Scala
-    * order), then the exact-cosine rerank tail. */
+    * order), then the exact-cosine rerank tail. `nProbeCells` replays the
+    * multiprobe routing: top-n cells per probe via the same
+    * cosine-DESC/cell-id ordering as cellsOf, and a candidate's base term
+    * uses its OWN cell's centroid. */
   def ivfPqRerankAdaptiveSql(nCells: Int = 16, m: Int = 32, nCodes: Int = 128,
-                             nProbes: Int = 10, k: Int = 3): String = {
+                             nProbes: Int = 10, k: Int = 3,
+                             nProbeCells: Int = 1): String = {
     val w = Dim / m
     val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
     val encL2 = VectorOps.l2Sql("sv.sub_e", "c.emb_sub", w)
@@ -969,7 +1005,13 @@ object ProductQuant extends Serializable {
        |    ${(0 until m).map(s => s"MAX(CASE WHEN s = $s THEN code END) AS c$s").mkString(", ")}
        |  FROM enc GROUP BY 1),
        |probes AS (
-       |  SELECT vec_id AS probe_id, embedding AS pv, cell FROM assigned WHERE vec_id < $nProbes),
+       |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < $nProbes),
+       |pcl AS MATERIALIZED (
+       |  SELECT p.probe_id, c.cell_id AS cell
+       |  FROM probes p CROSS JOIN cents c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |    ORDER BY ${VectorOps.cosineSql("p.pv", "c.embedding")} DESC, c.cell_id)
+       |    <= $nProbeCells),
        |rv AS MATERIALIZED (
        |  SELECT sv.vec_id, sv.s, sqrt(MIN($encL2)) AS r
        |  FROM sv JOIN cb c ON c.s = sv.s GROUP BY 1, 2),
@@ -995,8 +1037,9 @@ object ProductQuant extends Serializable {
        |  FROM encp n
        |  JOIN assigned na ON na.vec_id = n.vec_id
        |  ${(0 until m).map(s => s"JOIN cb cb$s ON cb$s.s = $s AND cb$s.code = n.c$s").mkString("\n  ")}
-       |  JOIN probes p ON p.cell = na.cell AND n.vec_id <> p.probe_id
-       |  JOIN cents pc ON pc.cell_id = p.cell),
+       |  JOIN pcl ON pcl.cell = na.cell
+       |  JOIN probes p ON p.probe_id = pcl.probe_id AND n.vec_id <> p.probe_id
+       |  JOIN cents pc ON pc.cell_id = na.cell),
        |se AS MATERIALIZED (
        |  SELECT s.probe_id, s.neighbor_id,
        |    (s.approx_score - e.eps) / (pf.pnf * nr.nv) AS lb,

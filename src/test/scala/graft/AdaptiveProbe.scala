@@ -51,6 +51,9 @@ object AdaptiveProbe {
         Some(() => ProductQuant.pqAdaptivePool(emb, 32, 64, 10, 3))),
       ("ann_ivf_pq_rr_ad", () => ProductQuant.ivfPqRerankAdaptive(emb),
         Some(() => ProductQuant.ivfPqAdaptivePool(emb, 16, 32, 128, 10, 3))),
+      ("ann_ivf_pq_rr_ad_mp", () => ProductQuant.ivfPqRerankAdaptive(emb, nProbeCells = 4),
+        Some(() => ProductQuant.ivfPqAdaptivePool(emb, 16, 32, 128, 10, 3,
+          nProbeCells = 4))),
       ("ann_sq8_rr", () => ScalarQuant.sq8RerankAdaptive(emb),
         Some(() => ScalarQuant.sq8AdaptivePool(emb, 10, 3))),
       ("ann_ivf_pq_rr_d30", () => ProductQuant.ivfPqRerank(emb), None),
