@@ -934,9 +934,22 @@ object GraphOps {
     // authority table — zero iterations has no such table (and no defined
     // HITS result), so fail fast instead of NPE-ing at plan build
     require(iters >= 1, s"hits needs at least one iteration, got $iters")
-    val e = lineitem.select(
+    val e0 = lineitem.select(
       (col("l_suppkey") + SuppBase).as("src"),
-      (col("l_partkey") + PartBase).as("dst")).distinct().materialize
+      (col("l_partkey") + PartBase).as("dst")).distinct()
+    // The two half-rounds join the edge set on ALTERNATING keys (src for
+    // the auth update, dst for the hub update), so keep one
+    // hash-distributed PERSISTED copy per key — every one of the 2·iters
+    // joins then reuses its side's single edge shuffle, exchanging only
+    // the node-sized rank vector per round. persist(), NOT materialize:
+    // a localCheckpoint scan reports UnknownPartitioning (measured —
+    // HitsPlanProbe), which silently re-exchanges the full edge set
+    // every half-round; a persisted frame keeps outputPartitioning =
+    // hashpartitioning(key) in the plan, so ENSURE_REQUIREMENTS adds no
+    // edge-side Exchange. Lineage stays shallow (scan+distinct), so no
+    // checkpoint is needed.
+    val eBySrc = e0.repartition(col("src")).persist()
+    val eByDst = e0.repartition(col("dst")).persist()
     // decimal→double goes through a string cast: DuckDB's direct
     // decimal→double (int128/1e18 in FP) can land 1 ulp off Spark's
     // BigDecimal.doubleValue; both engines' decimal→string and
@@ -955,16 +968,21 @@ object GraphOps {
       raw.crossJoin(broadcast(m))
         .select(col(key).as("node"), (col("raw") / col("m")).as(out))
     }
-    var hub = e.select(col("src").as("node")).distinct()
+    var hub = eBySrc.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("hub")).materialize
     var authRaw: DataFrame = null
     var prevHr: DataFrame = null
     for (_ <- 1 to iters) {
-      // the rank vectors are bounded by the node sets — broadcast them so
-      // the edge table is never re-shuffled for the join; the only
-      // exchange per half-round is the map-side-combined groupBy
+      // The rank vectors are node-sized and GROW WITH THE CORPUS — they
+      // must never be broadcast: the r09-era broadcast spelling measured
+      // 188 s at the 100× tier (per-round multi-MB broadcasts of a
+      // corpus-scaled frame; on a real cluster it walks into the 8 GB
+      // broadcast ceiling and driver memory). With the per-key
+      // pre-partitioned edge copies, each half-round exchanges only the
+      // node-sized rank vector; AQE still upgrades the join to broadcast
+      // at small SFs where the vector genuinely is small.
       val hubD = hub.select(col("node"), dec(col("hub")).as("d"))
-      authRaw = e.join(broadcast(hubD), col("src") === col("node"))
+      authRaw = eBySrc.join(hubD.hint("SHUFFLE_HASH"), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("d")).cast("string").cast("double").as("raw"))
       // authorities flow into the hub update UN-normalized: normalization
       // is a scalar divide and the update is linear, so the hub trajectory
@@ -974,7 +992,7 @@ object GraphOps {
       // auth ≤ in-degree and raw hub ≤ one round's degree product — far
       // inside DECIMAL(38,18)'s 20 integral digits at any realistic SF.
       val authD = authRaw.select(col("dst").as("node"), dec(col("raw")).as("d"))
-      val hr = e.join(broadcast(authD), col("dst") === col("node"))
+      val hr = eByDst.join(authD.hint("SHUFFLE_HASH"), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("d")).cast("string").cast("double").as("raw"))
         .persist()
       hub = lInfNorm(hr, "src", "hub").materialize
@@ -994,6 +1012,8 @@ object GraphOps {
     val authRawP = authRaw.persist()
     val auth = lInfNorm(authRawP, "dst", "auth").materialize
     authRawP.unpersist(blocking = false)
+    // final hub/auth are materialized — the edge copies were loop-only
+    eBySrc.unpersist(blocking = false); eByDst.unpersist(blocking = false)
     auth.select(lit("part").as("node_type"), col("node").as("node_id"),
         col("auth").as("score"))
       .unionAll(hub.select(lit("supplier").as("node_type"), col("node").as("node_id"),
