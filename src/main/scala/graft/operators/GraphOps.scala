@@ -589,19 +589,23 @@ object GraphOps {
   def labelPropagation(edgeTable: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = edgeTable.select(col("src"), col("dst")).materialize
     // undirected: propagate both ways. Pre-partition on the join key ONCE:
-    // every round joins labels against this same edge set on src, so
-    // materializing it hash-distributed by src lets all ~log(diameter)
-    // iterations reuse the one edge shuffle instead of re-exchanging the
-    // full edge set per round (the dominant per-round cost at scale).
+    // every round joins labels against this same edge set on src, so a
+    // PERSISTED hash-distributed copy lets all ~log(diameter) iterations
+    // reuse the one edge shuffle instead of re-exchanging the full edge
+    // set per round (the dominant per-round cost at scale). persist, NOT
+    // materialize: a localCheckpoint scan reports UnknownPartitioning
+    // (HitsPlanProbe) which silently resurrects the per-round exchange;
+    // the SHUFFLE_HASH hint on the node-sized labels side keeps the
+    // edge side sort-free as well.
     val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).materialize
+      .repartition(col("src")).persist()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).materialize
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val neighborMin = sym
-        .join(labels, col("src") === col("node"))
+        .join(labels.hint("SHUFFLE_HASH"), col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
       // carry the change flag through the update so convergence detection
       // is a cheap count on the materialized round, not a second join
@@ -629,7 +633,7 @@ object GraphOps {
     }
     // the returned plan scans only the final labels checkpoint — the edge
     // tables were loop-only
-    release(sym); release(edges)
+    sym.unpersist(blocking = false); release(edges)
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"connectedComponents exited at maxIters=$maxIters still " +
