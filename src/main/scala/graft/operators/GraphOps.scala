@@ -654,6 +654,10 @@ object GraphOps {
     val edges = copurchase(lineitem).materialize
     val nodes = edges.select(col("src").as("node")).distinct().materialize
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).materialize
+    // every iteration joins the edge set on src — persisted co-partition
+    // (NOT checkpoint: its scan erases the partitioning, HitsPlanProbe)
+    // so only the node-sized rank/deg sides move per round
+    val eSrc = edges.repartition(col("src")).persist()
     val nNodes = nodes.count().toDouble
     var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
     for (_ <- 1 to iters) {
@@ -662,9 +666,9 @@ object GraphOps {
       // iteration's rank vector is bit-identical across partitionings AND
       // replayable by the DuckDB oracle (same recipe as Cluster's Lloyd
       // update); a double sum here would drift with partition order
-      val contribs = edges
-        .join(ranks, col("src") === col("node"))
-        .join(outDeg, "src")
+      val contribs = eSrc
+        .join(ranks.hint("SHUFFLE_HASH"), col("src") === col("node"))
+        .join(outDeg.hint("SHUFFLE_HASH"), "src")
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c").cast("string").cast("decimal(38,18)")).cast("double").as("inflow"))
@@ -681,6 +685,7 @@ object GraphOps {
     // the returned plan reads only the final rank checkpoint — but round-0
     // ranks IS a projection of nodes, so only release once a real
     // iteration has replaced it
+    eSrc.unpersist(blocking = false)
     if (iters >= 1) { release(edges); release(nodes); release(outDeg) }
     ranks.select(col("node"), (col("rank") * nNodes).as("scaled_rank"))
   }
@@ -723,14 +728,16 @@ object GraphOps {
     val edges = copurchase(lineitem).materialize
     val nodes = edges.select(col("src").as("node")).distinct().materialize
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).materialize
+    // persisted co-partition, same reasoning as pageRank
+    val eSrc = edges.repartition(col("src")).persist()
     val srcRow = nodes.agg(min(col("node")).as("s"))
     var ranks = nodes.crossJoin(broadcast(srcRow))
       .select(col("node"),
         when(col("node") === col("s"), lit(1.0)).otherwise(lit(0.0)).as("rank"))
     for (_ <- 1 to iters) {
-      val contribs = edges
-        .join(ranks, col("src") === col("node"))
-        .join(outDeg, "src")
+      val contribs = eSrc
+        .join(ranks.hint("SHUFFLE_HASH"), col("src") === col("node"))
+        .join(outDeg.hint("SHUFFLE_HASH"), "src")
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c").cast("string").cast("decimal(38,18)"))
@@ -744,6 +751,7 @@ object GraphOps {
       release(ranks) // see pageRank: no-op on round 0, real on later rounds
       ranks = next
     }
+    eSrc.unpersist(blocking = false)
     if (iters >= 1) { release(edges); release(nodes); release(outDeg) }
     ranks.filter(col("rank") > 0.0).select(col("node"), col("rank"))
   }
