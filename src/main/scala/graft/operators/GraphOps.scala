@@ -173,7 +173,11 @@ object GraphOps {
     * (c_acctbal > 9000): iterative frontier joins with per-hop distinct.
     * Fully generic loop — works for any k; each hop is one join + distinct. */
   def khop(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: Int = 2): DataFrame = {
-    val e = edges(orders, lineitem).select(col("src"), col("dst"))
+    // persisted co-partitioned edge set: every hop joins on src, so the
+    // edge union is derived and shuffled ONCE (it was previously re-derived
+    // per hop); the frontier is the small side → SHUFFLE_HASH build
+    val eSrc = edges(orders, lineitem).select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
     val seeds = customer.filter(col("c_acctbal") > 9000)
       .select(col("c_custkey").cast("long").as("node"), lit(0L).as("hops"))
     var all = seeds
@@ -182,11 +186,12 @@ object GraphOps {
       // materialize each level: without it the lineage re-derives every
       // earlier hop per downstream use (exponential recompute in iterative
       // DataFrame graph algorithms)
-      frontier = frontier.join(e, col("node") === col("src"))
+      frontier = frontier.hint("SHUFFLE_HASH").join(eSrc, col("node") === col("src"))
         .select(col("dst").as("node"), lit(h.toLong).as("hops"))
         .distinct().materialize
       all = all.unionAll(frontier)
     }
+    eSrc.unpersist(blocking = false)
     all.groupBy("node").agg(min(col("hops")).as("hops"))
   }
 
@@ -225,19 +230,24 @@ object GraphOps {
     * loop, every step fully distributed. */
   def shortestPaths(lineitem: DataFrame, maxDepth: Int = 3): DataFrame = {
     // materialize the projected edge set and every BFS level: iterative
-    // DataFrame algorithms otherwise re-derive the whole lineage per level
+    // DataFrame algorithms otherwise re-derive the whole lineage per level.
+    // The per-level joins ride a persisted src-partitioned copy (checkpoint
+    // scans erase partitioning — HitsPlanProbe) so each level exchanges
+    // only the frontier, never the edge set.
     val cp = copurchase(lineitem).materialize
+    val cpSrc = cp.repartition(col("src")).persist()
     val start = cp.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
     var all = start
     var frontier = start
     for (d <- 1 to maxDepth) {
-      frontier = frontier.join(cp, col("node") === col("src"))
+      frontier = frontier.hint("SHUFFLE_HASH").join(cpSrc, col("node") === col("src"))
         .select(col("dst").as("node"), lit(d.toLong).as("dist"))
         .distinct()
         .join(all.select(col("node").as("seen")), col("node") === col("seen"), "left_anti").materialize
       all = all.unionAll(frontier)
     }
+    cpSrc.unpersist(blocking = false)
     all.groupBy("node").agg(min(col("dist")).as("dist"))
   }
 
@@ -251,12 +261,13 @@ object GraphOps {
     * bounded string (≤ maxDepth ids). */
   def shortestPathTrace(lineitem: DataFrame, maxDepth: Int = 3): DataFrame = {
     val cp = copurchase(lineitem).materialize
+    val cpSrc = cp.repartition(col("src")).persist() // see shortestPaths
     val start = cp.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"), col("node").cast("string").as("path"))
     var all = start
     var frontier = start
     for (d <- 1 to maxDepth) {
-      frontier = frontier.join(cp, col("node") === col("src"))
+      frontier = frontier.hint("SHUFFLE_HASH").join(cpSrc, col("node") === col("src"))
         .select(col("dst"), col("node").as("pred"),
           concat(col("path"), lit("->"), col("dst").cast("string")).as("npath"))
         .join(all.select(col("node").as("seen")), col("dst") === col("seen"), "left_anti")
@@ -264,6 +275,7 @@ object GraphOps {
         .select(col("dst").as("node"), lit(d.toLong).as("dist"), col("path")).materialize
       all = all.unionAll(frontier)
     }
+    cpSrc.unpersist(blocking = false)
     all
   }
 
@@ -342,12 +354,14 @@ object GraphOps {
   def closeness(lineitem: DataFrame, seedMod: Long = 20L): DataFrame = {
     require(seedMod > 0L, s"seedMod must be positive: $seedMod")
     val cp = copurchase(lineitem).materialize
+    val cpSrc = cp.repartition(col("src")).persist() // see shortestPaths
     val seeds = cp.select(col("src").as("s")).distinct()
       .filter(pmod(col("s"), lit(seedMod)) === 0L)
     var all = seeds.select(col("s"), col("s").as("node"), lit(0L).as("dist"))
     var frontier = all
     for (d <- 1 to 3) {
-      frontier = frontier.as("f").join(cp.as("e"), col("f.node") === col("e.src"))
+      frontier = frontier.hint("SHUFFLE_HASH").as("f")
+        .join(cpSrc.as("e"), col("f.node") === col("e.src"))
         .select(col("f.s").as("s"), col("e.dst").as("node"), lit(d.toLong).as("dist"))
         .distinct()
         .join(all.select(col("s").as("s2"), col("node").as("seen")),
@@ -355,6 +369,7 @@ object GraphOps {
         .materialize
       all = all.unionAll(frontier)
     }
+    cpSrc.unpersist(blocking = false)
     all.filter(col("dist") > 0L)
       .groupBy(col("s").as("node"))
       .agg(
@@ -475,13 +490,14 @@ object GraphOps {
   def betweenness(lineitem: DataFrame, maxDepth: Int = 3, seedMod: Long = 50L): DataFrame = {
     require(seedMod > 0L, s"seedMod must be positive: $seedMod")
     val cp = copurchase(lineitem).materialize
+    val cpSrc = cp.repartition(col("src")).persist() // see shortestPaths
     val s0 = cp.select(col("src")).distinct()
       .filter(pmod(col("src"), lit(seedMod)) === 0L)
       .select(col("src").as("seed"), col("src").as("node"), lit(1L).as("sigma")).materialize
     val levels = scala.collection.mutable.ArrayBuffer(s0)
     var seen = s0.select(col("seed"), col("node"))
     for (_ <- 1 to maxDepth) {
-      val next = levels.last.join(cp, col("node") === col("src"))
+      val next = levels.last.hint("SHUFFLE_HASH").join(cpSrc, col("node") === col("src"))
         .join(seen.select(col("seed").as("s2"), col("node").as("sn")),
           col("seed") === col("s2") && col("dst") === col("sn"), "left_anti")
         .groupBy(col("seed"), col("dst"))
@@ -499,7 +515,7 @@ object GraphOps {
       col("sigma"), col("delta"))
     for (d <- maxDepth - 1 to 1 by -1) {
       val cur = levels(d)
-      val contrib = cur.join(cp, col("node") === col("src"))
+      val contrib = cur.hint("SHUFFLE_HASH").join(cpSrc, col("node") === col("src"))
         .join(delta.select(col("seed").as("ws"), col("node").as("w"),
             col("sigma").as("sw"), col("delta").as("dw")),
           col("seed") === col("ws") && col("dst") === col("w"))
@@ -515,6 +531,9 @@ object GraphOps {
       out = out.unionAll(delta.select(col("seed"), col("node"), lit(d.toLong).as("dist"),
         col("sigma"), col("delta")))
     }
+    // out unions only materialized level/delta frames — the edge copy was
+    // loop-only
+    cpSrc.unpersist(blocking = false)
     out
   }
 
