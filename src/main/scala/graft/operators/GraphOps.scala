@@ -1125,8 +1125,12 @@ object GraphOps {
   private[operators] def labelPropEdges(e: DataFrame, rounds: Int): DataFrame = {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")).materialize
+    // every round joins the static edge set on src — persisted co-partition
+    // (NOT checkpoint: its scan erases the partitioning, HitsPlanProbe) so
+    // only the node-sized label side moves per round
+    val eSrc = e.repartition(col("src")).persist()
     for (_ <- 1 to rounds) {
-      val best = e.join(labels, col("src") === col("node"))
+      val best = eSrc.join(labels.hint("SHUFFLE_HASH"), col("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
         .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
@@ -1137,6 +1141,7 @@ object GraphOps {
       release(labels) // superseded round — new labels are materialized
       labels = next
     }
+    eSrc.unpersist(blocking = false) // loop-only; final labels are a checkpoint scan
     labels
   }
 
