@@ -101,9 +101,13 @@ object Bench {
       // pressure landed exactly on the checkpoint-heavy family
       // (graph_components 3.6×, label_prop 5.7× in the r09 record). Every
       // rep rebuilds its DataFrame from scratch, so nothing legitimate
-      // survives a rep boundary; the unpersist is outside the timed region.
+      // survives a rep boundary. BLOCKING unpersist: the async form only
+      // enqueues removal, so GBs of checkpoint blocks from a graph-family
+      // rep would be dropped CONCURRENTLY with the next rep's timed
+      // region — paying untimed seconds here keeps the contention out of
+      // the medians the interleaved convention exists to protect.
       try {
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         spark.catalog.clearCache()
       } catch { case _: Throwable => () }
     }

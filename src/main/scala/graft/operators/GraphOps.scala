@@ -182,6 +182,7 @@ object GraphOps {
       .select(col("c_custkey").cast("long").as("node"), lit(0L).as("hops"))
     var all = seeds
     var frontier = seeds
+    try {
     for (h <- 1 to k) {
       // materialize each level: without it the lineage re-derives every
       // earlier hop per downstream use (exponential recompute in iterative
@@ -191,8 +192,8 @@ object GraphOps {
         .distinct().materialize
       all = all.unionAll(frontier)
     }
-    eSrc.unpersist(blocking = false)
     all.groupBy("node").agg(min(col("hops")).as("hops"))
+    } finally eSrc.unpersist(blocking = false) // exception-safe, loop-only
   }
 
   val khopSql: String =
@@ -240,6 +241,7 @@ object GraphOps {
       .select(col("node"), lit(0L).as("dist"))
     var all = start
     var frontier = start
+    try {
     for (d <- 1 to maxDepth) {
       frontier = frontier.hint("SHUFFLE_HASH").join(cpSrc, col("node") === col("src"))
         .select(col("dst").as("node"), lit(d.toLong).as("dist"))
@@ -247,8 +249,8 @@ object GraphOps {
         .join(all.select(col("node").as("seen")), col("node") === col("seen"), "left_anti").materialize
       all = all.unionAll(frontier)
     }
-    cpSrc.unpersist(blocking = false)
     all.groupBy("node").agg(min(col("dist")).as("dist"))
+    } finally cpSrc.unpersist(blocking = false) // exception-safe, loop-only
   }
 
   /** BFS shortest paths WITH path reconstruction (graph_service.py:268
@@ -266,6 +268,7 @@ object GraphOps {
       .select(col("node"), lit(0L).as("dist"), col("node").cast("string").as("path"))
     var all = start
     var frontier = start
+    try {
     for (d <- 1 to maxDepth) {
       frontier = frontier.hint("SHUFFLE_HASH").join(cpSrc, col("node") === col("src"))
         .select(col("dst"), col("node").as("pred"),
@@ -275,8 +278,8 @@ object GraphOps {
         .select(col("dst").as("node"), lit(d.toLong).as("dist"), col("path")).materialize
       all = all.unionAll(frontier)
     }
-    cpSrc.unpersist(blocking = false)
     all
+    } finally cpSrc.unpersist(blocking = false) // exception-safe, loop-only
   }
 
   def shortestPathTraceSql(maxDepth: Int = 3): String = {
@@ -359,6 +362,7 @@ object GraphOps {
       .filter(pmod(col("s"), lit(seedMod)) === 0L)
     var all = seeds.select(col("s"), col("s").as("node"), lit(0L).as("dist"))
     var frontier = all
+    try {
     for (d <- 1 to 3) {
       frontier = frontier.hint("SHUFFLE_HASH").as("f")
         .join(cpSrc.as("e"), col("f.node") === col("e.src"))
@@ -369,7 +373,6 @@ object GraphOps {
         .materialize
       all = all.unionAll(frontier)
     }
-    cpSrc.unpersist(blocking = false)
     all.filter(col("dist") > 0L)
       .groupBy(col("s").as("node"))
       .agg(
@@ -377,6 +380,7 @@ object GraphOps {
         sum(when(col("dist") === 2L, 1L).otherwise(0L)).as("n2"),
         sum(when(col("dist") === 3L, 1L).otherwise(0L)).as("n3"))
       .withColumn("harmonic6", col("n1") * 6L + col("n2") * 3L + col("n3") * 2L)
+    } finally cpSrc.unpersist(blocking = false) // exception-safe, loop-only
   }
 
   def closenessSql(seedMod: Long = 20L): String = {
@@ -496,6 +500,7 @@ object GraphOps {
       .select(col("src").as("seed"), col("src").as("node"), lit(1L).as("sigma")).materialize
     val levels = scala.collection.mutable.ArrayBuffer(s0)
     var seen = s0.select(col("seed"), col("node"))
+    try {
     for (_ <- 1 to maxDepth) {
       val next = levels.last.hint("SHUFFLE_HASH").join(cpSrc, col("node") === col("src"))
         .join(seen.select(col("seed").as("s2"), col("node").as("sn")),
@@ -531,10 +536,14 @@ object GraphOps {
       out = out.unionAll(delta.select(col("seed"), col("node"), lit(d.toLong).as("dist"),
         col("sigma"), col("delta")))
     }
-    // out unions only materialized level/delta frames — the edge copy was
-    // loop-only
-    cpSrc.unpersist(blocking = false)
+    // out references only the materialized delta frames plus
+    // levels(maxDepth) (through the initial delta projection): the final
+    // seen accumulation and levels(0..maxDepth-1) — s0 included — are
+    // scratch once the backward pass has materialized its deltas
+    release(seen)
+    for (d <- 0 until maxDepth) release(levels(d))
     out
+    } finally cpSrc.unpersist(blocking = false) // exception-safe, loop-only
   }
 
   def betweennessSql(maxDepth: Int = 3, seedMod: Long = 50L): String = {
@@ -622,6 +631,7 @@ object GraphOps {
       .withColumn("label", col("node")).materialize
     var changed = 1L
     var it = 0
+    try {
     while (changed > 0 && it < maxIters) {
       val neighborMin = sym
         .join(labels.hint("SHUFFLE_HASH"), col("src") === col("node"))
@@ -651,8 +661,8 @@ object GraphOps {
       it += 1
     }
     // the returned plan scans only the final labels checkpoint — the edge
-    // tables were loop-only
-    sym.unpersist(blocking = false); release(edges)
+    // tables were loop-only; finally-scoped so a failed job can't pin them
+    } finally { sym.unpersist(blocking = false); release(edges) }
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"connectedComponents exited at maxIters=$maxIters still " +
@@ -679,6 +689,7 @@ object GraphOps {
     val eSrc = edges.repartition(col("src")).persist()
     val nNodes = nodes.count().toDouble
     var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
+    try {
     for (_ <- 1 to iters) {
       // inflow summed as DECIMAL(38,18) over each contribution's shortest
       // double repr: exact and summation-order-independent, so every
@@ -701,12 +712,15 @@ object GraphOps {
       release(ranks)
       ranks = next
     }
-    // the returned plan reads only the final rank checkpoint — but round-0
-    // ranks IS a projection of nodes, so only release once a real
-    // iteration has replaced it
-    eSrc.unpersist(blocking = false)
-    if (iters >= 1) { release(edges); release(nodes); release(outDeg) }
     ranks.select(col("node"), (col("rank") * nNodes).as("scaled_rank"))
+    } finally {
+      // exception-safe: the edge cache and loop-only checkpoints must not
+      // outlive a failed job. Round-0 ranks IS a projection of nodes, so
+      // only release the inputs once a real iteration has replaced it —
+      // the returned plan then reads only the final rank checkpoint.
+      eSrc.unpersist(blocking = false)
+      if (iters >= 1) { release(edges); release(nodes); release(outDeg) }
+    }
   }
 
   /** DuckDB oracle replaying the full damped iteration: the decimal-exact
@@ -753,6 +767,7 @@ object GraphOps {
     var ranks = nodes.crossJoin(broadcast(srcRow))
       .select(col("node"),
         when(col("node") === col("s"), lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    try {
     for (_ <- 1 to iters) {
       val contribs = eSrc
         .join(ranks.hint("SHUFFLE_HASH"), col("src") === col("node"))
@@ -770,9 +785,11 @@ object GraphOps {
       release(ranks) // see pageRank: no-op on round 0, real on later rounds
       ranks = next
     }
-    eSrc.unpersist(blocking = false)
-    if (iters >= 1) { release(edges); release(nodes); release(outDeg) }
     ranks.filter(col("rank") > 0.0).select(col("node"), col("rank"))
+    } finally { // exception-safe, see pageRank
+      eSrc.unpersist(blocking = false)
+      if (iters >= 1) { release(edges); release(nodes); release(outDeg) }
+    }
   }
 
   def personalizedPageRankSql(iters: Int = 5, damping: Double = 0.85): String = {
@@ -977,10 +994,16 @@ object GraphOps {
     // HitsPlanProbe), which silently re-exchanges the full edge set
     // every half-round; a persisted frame keeps outputPartitioning =
     // hashpartitioning(key) in the plan, so ENSURE_REQUIREMENTS adds no
-    // edge-side Exchange. Lineage stays shallow (scan+distinct), so no
-    // checkpoint is needed.
+    // edge-side Exchange. The dst copy derives FROM the src cache — one
+    // scan+distinct total. Three spellings measured at the 100× tier
+    // (median-of-3, comparable loads): build both copies from e0 = 121 s
+    // but recomputes the full lineitem pass per copy (locally hidden by
+    // the page cache; at a real 100 TB a second full scan); checkpoint e0
+    // first = 153 s (an edge-sized checkpoint costs a block-manager
+    // write+read and competes with the two loop caches for storage);
+    // derive dst from the src cache = 127 s with a single base compute.
     val eBySrc = e0.repartition(col("src")).persist()
-    val eByDst = e0.repartition(col("dst")).persist()
+    val eByDst = eBySrc.repartition(col("dst")).persist()
     // decimal→double goes through a string cast: DuckDB's direct
     // decimal→double (int128/1e18 in FP) can land 1 ulp off Spark's
     // BigDecimal.doubleValue; both engines' decimal→string and
@@ -1003,7 +1026,8 @@ object GraphOps {
       .select(col("node"), lit(1.0).as("hub")).materialize
     var authRaw: DataFrame = null
     var prevHr: DataFrame = null
-    for (_ <- 1 to iters) {
+    try {
+    for (it <- 1 to iters) {
       // The rank vectors are node-sized and GROW WITH THE CORPUS — they
       // must never be broadcast: the r09-era broadcast spelling measured
       // 188 s at the 100× tier (per-round multi-MB broadcasts of a
@@ -1026,15 +1050,20 @@ object GraphOps {
       val hr = eByDst.join(authD.hint("SHUFFLE_HASH"), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("d")).cast("string").cast("double").as("raw"))
         .persist()
-      hub = lInfNorm(hr, "src", "hub").materialize
-      // hub is materialized (localCheckpoint is eager) — the round's raw
+      val newHub = lInfNorm(hr, "src", "hub").materialize
+      // newHub is materialized (localCheckpoint is eager) — the round's raw
       // table is superseded and its cache blocks can go; without this every
       // round's raw frame stayed pinned in executor memory for the life of
       // the session
       if (prevHr != null) prevHr.unpersist(blocking = false)
       prevHr = hr
+      // the superseded hub checkpoint: dead once its consumers (this
+      // round's evaluated half-rounds) have run — EXCEPT the final round's
+      // input hub, which the post-loop authRaw re-evaluation still reads
+      if (it < iters) release(hub)
+      hub = newHub
     }
-    if (prevHr != null) prevHr.unpersist(blocking = false)
+    if (prevHr != null) { prevHr.unpersist(blocking = false); prevHr = null }
     // the final (only) auth normalization: persist for the max-agg +
     // normalize double read, MATERIALIZE the normalized result (node-sized
     // table), then release the cache — returning a plan that leaned on the
@@ -1043,12 +1072,17 @@ object GraphOps {
     val authRawP = authRaw.persist()
     val auth = lInfNorm(authRawP, "dst", "auth").materialize
     authRawP.unpersist(blocking = false)
-    // final hub/auth are materialized — the edge copies were loop-only
-    eBySrc.unpersist(blocking = false); eByDst.unpersist(blocking = false)
     auth.select(lit("part").as("node_type"), col("node").as("node_id"),
         col("auth").as("score"))
       .unionAll(hub.select(lit("supplier").as("node_type"), col("node").as("node_id"),
         col("hub").as("score")))
+    } finally {
+      // exception-safe: a failed job mid-loop must not pin the edge-sized
+      // caches (or the round's persisted raw frame) for the session — the
+      // block-manager pressure mode the release() scaladoc describes
+      if (prevHr != null) prevHr.unpersist(blocking = false)
+      eBySrc.unpersist(blocking = false); eByDst.unpersist(blocking = false)
+    }
   }
 
   /** k-core decomposition (iterative peeling) over the co-purchase graph:
@@ -1129,6 +1163,7 @@ object GraphOps {
     // (NOT checkpoint: its scan erases the partitioning, HitsPlanProbe) so
     // only the node-sized label side moves per round
     val eSrc = e.repartition(col("src")).persist()
+    try {
     for (_ <- 1 to rounds) {
       val best = eSrc.join(labels.hint("SHUFFLE_HASH"), col("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
@@ -1141,8 +1176,10 @@ object GraphOps {
       release(labels) // superseded round — new labels are materialized
       labels = next
     }
-    eSrc.unpersist(blocking = false) // loop-only; final labels are a checkpoint scan
     labels
+    // loop-only; final labels are a checkpoint scan. finally-scoped so a
+    // failed round can't pin the edge cache for the session
+    } finally eSrc.unpersist(blocking = false)
   }
 
   /** DuckDB oracle: replay the same fixed-round synchronous update

@@ -442,8 +442,16 @@ object ProductQuant extends Serializable {
     bestC
   }
 
-  private def residOf(cs: Array[(Long, Array[Float])], v: Array[Float]): Array[Double] = {
-    val c = cs(cellOf(cs, v))._2
+  private def residOf(cs: Array[(Long, Array[Float])], v: Array[Float]): Array[Double] =
+    residFor(cs, cellOf(cs, v), v)
+
+  /** Residual against an ALREADY-computed cell — the hot corpus passes
+    * have the cell in hand, and re-running the argmax-cosine over all
+    * centroids (cellOf inside residOf) would double the coarse-quantizer
+    * cost of the scan. */
+  private def residFor(cs: Array[(Long, Array[Float])], cell: Int,
+                       v: Array[Float]): Array[Double] = {
+    val c = cs(cell)._2
     Array.tabulate(Dim)(i => v(i).toDouble - c(i).toDouble)
   }
 
@@ -514,7 +522,7 @@ object ProductQuant extends Serializable {
         val lutL = bcLut.value
         iter.flatMap { case (nid, v) =>
           val cell = cellOf(centsL, v)
-          val codes = encodeOne(residOf(centsL, v), cbsL, m, w)
+          val codes = encodeOne(residFor(centsL, cell, v), cbsL, m, w)
           lutL.iterator.collect { case (pid, pcell, base, t) if pcell == cell && pid != nid =>
             var score = base
             var i = 0
@@ -628,7 +636,7 @@ object ProductQuant extends Serializable {
         val lutL = bcLut.value
         iter.flatMap { case (nid, v) =>
           val cell = cellOf(centsL, v)
-          val rd = residOf(centsL, v)
+          val rd = residFor(centsL, cell, v)
           // ‖v‖ from the raw vector — the cosine-scale denominator is
           // exact even though the score is residual-quantized
           val vd = toD(v)

@@ -59,6 +59,13 @@ object Search {
     * tests — keyed on the synthetic pseudo-path `source/doc_<id>.md` or a
     * test-class source shard, mirroring the reference's path-only check).
     * All double products of exact constants — deterministic across engines. */
+  /** The corpus's deterministic pseudo-path `source/doc_<id>.md` — the
+    * single recipe behind BOTH the rankDocs test-penalty key and the
+    * fileSummaries ref:// handles (plus their SQL twins): the reference
+    * keys both on the file path, so the two must never drift apart. */
+  private val pseudoPath = concat(col("source"), lit("/doc_"), col("doc_id"), lit(".md"))
+  private val pseudoPathSql = "source || '/doc_' || doc_id || '.md'"
+
   def rankDocs(documents: DataFrame, queryTerms: Seq[String], phrase: String,
                lang: String, limit: Int = 30): DataFrame = {
     val termBoost = queryTerms
@@ -71,7 +78,6 @@ object Search {
     // plus the test-class source shards (the corpus analog of test/ dirs).
     // Keying on text halved any doc merely containing 'latest'/'inspect'
     // (ADVICE r09) — a semantic divergence from the reference, now closed.
-    val pseudoPath = concat(col("source"), lit("/doc_"), col("doc_id"), lit(".md"))
     val isTestDoc = pseudoPath.contains("test") || pseudoPath.contains("spec") ||
       col("source").isin(TestClassSources: _*)
     val penalty =
@@ -97,8 +103,8 @@ object Search {
     val testSrcs = TestClassSources.map(s => s"'$s'").mkString(",")
     val penalty =
       if (queryWantsTests) "1.0::DOUBLE"
-      else s"""(CASE WHEN contains(source || '/doc_' || doc_id || '.md', 'test')
-              |         OR contains(source || '/doc_' || doc_id || '.md', 'spec')
+      else s"""(CASE WHEN contains($pseudoPathSql, 'test')
+              |         OR contains($pseudoPathSql, 'spec')
               |         OR source IN ($testSrcs)
               |    THEN 0.5::DOUBLE ELSE 1.0::DOUBLE END)""".stripMargin
     s"""SELECT doc_id,
@@ -123,7 +129,7 @@ object Search {
     * spelled upper(first)+lower(rest) on BOTH engines, no initcap
     * (locale-dependent word splitting). */
   def fileSummaries(documents: DataFrame): DataFrame = {
-    val path = concat(col("source"), lit("/doc_"), col("doc_id"), lit(".md"))
+    val path = pseudoPath // shared recipe — see rankDocs' penalty key
     val fname = concat(lit("doc_"), col("doc_id"), lit(".md"))
     val langCap = concat(upper(substring(col("lang"), 1, 1)),
       lower(substring(col("lang"), 2, 1000)))
@@ -135,13 +141,13 @@ object Search {
   }
 
   val fileSummariesSql: String =
-    """SELECT doc_id,
-      |  upper(substr(lang, 1, 1)) || lower(substr(lang, 2))
-      |    || ' file doc_' || doc_id || '.md in ' || source || '/ directory'
-      |    AS summary,
-      |  'ref://file/' || source || '/doc_' || doc_id || '.md#L1-L1000'
-      |    AS ref_handle
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id,
+       |  upper(substr(lang, 1, 1)) || lower(substr(lang, 2))
+       |    || ' file doc_' || doc_id || '.md in ' || source || '/ directory'
+       |    AS summary,
+       |  'ref://file/' || $pseudoPathSql || '#L1-L1000'
+       |    AS ref_handle
+       |FROM documents""".stripMargin
 
   /** Brute-force cosine top-k against one query vector (the exact baseline;
     * the scale path is Dedup.annLsh). Query side is a broadcast of one row —

@@ -95,7 +95,8 @@ object StreamReplay {
     * collection in its closure. */
   private def replay[T: Encoder](spark: SparkSession, cacheKey: String,
                                  batches: => Seq[Seq[T]],
-                                 build: DataFrame => DataFrame): DataFrame = {
+                                 build: DataFrame => DataFrame,
+                                 label: String = ""): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
     // Stateful-operator cost here is dominated by per-(micro-batch ×
     // partition × store-instance) fixed overhead — a stream-stream join
@@ -113,7 +114,10 @@ object StreamReplay {
       val replayParts = math.min(prevParts.toInt, 4).toString
       val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val prevNoData = spark.conf.get(noDataKey)
-      val name = s"graft_replay_${nameCtr.incrementAndGet()}"
+      // the label (the registered query key, when the caller shares one
+      // staged source across variants) lands in the streaming query name →
+      // Spark UI / stack traces / checkpoint dir identify the variant
+      val name = s"graft_replay_${if (label.nonEmpty) label + "_" else ""}${nameCtr.incrementAndGet()}"
       // State partitioning is fixed at the query's first micro-batch planning,
       // which happens inside processAllAvailable — keep the conf scoped until
       // the replay completes, then restore.
@@ -536,7 +540,7 @@ object StreamReplay {
     // shared staged-source key with streamAsofOuter — identical
     // ts-aligned script, only the build differs
     replay[Event](spark, s"asof_aligned:$dir", quartersTsAligned(ev),
-      df => Streams.streamingAsof(df.as[Event]).toDF())
+      df => Streams.streamingAsof(df.as[Event]).toDF(), label = "stream_asof")
   }
 
   /** Shared builder for the inner as-of attribution oracle: the tolerance
@@ -587,10 +591,9 @@ object StreamReplay {
     // outer): the script above is variant-independent — only `build`
     // differs — so staging the identical parquet batches three times was
     // pure fixed cost (~1 s per extra variant per bench rep; r09 verdict
-    // item 7). `key` still names the query for readers/stack traces.
-    val _ = key
+    // item 7). `key` names the variant's streaming query (UI/stack traces).
     replay[Event](spark, s"asof_jittered:$dir",
-      quarters(jittered) :+ Seq(flush) :+ Seq(flush), build)
+      quarters(jittered) :+ Seq(flush) :+ Seq(flush), build, label = key)
   }
 
   def streamAsofOoo(spark: SparkSession, dir: String): DataFrame = {
@@ -642,7 +645,7 @@ object StreamReplay {
     import spark.implicits._
     val ev = eventScript(spark, dir)
     replay[Event](spark, s"asof_aligned:$dir", quartersTsAligned(ev),
-      df => Streams.streamingAsofOuter(df.as[Event]).toDF())
+      df => Streams.streamingAsofOuter(df.as[Event]).toDF(), label = "stream_asof_outer")
   }
 
   val streamAsofOuterSql: String =
