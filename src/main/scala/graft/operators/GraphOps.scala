@@ -19,39 +19,10 @@ object GraphOps {
   val PartBase  = 2000000L
   val SuppBase  = 3000000L
 
-  /** Materialize an iteration step of an iterative graph algorithm
-    * (truncates the otherwise-exponential lineage). `localCheckpoint()`
-    * stores blocks in executor memory — the right call single-node, but
-    * NOT fault-tolerant: on a 1000-executor run a lost executor kills the
-    * query. Set `spark.graft.reliableCheckpoint=true` (and a
-    * `sparkContext.setCheckpointDir`) to switch every per-round
-    * materialization to reliable `checkpoint()` on cluster storage. */
-  private implicit class Materialize(df: DataFrame) {
-    def materialize: DataFrame =
-      if (df.sparkSession.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean)
-        df.checkpoint()
-      else df.localCheckpoint()
-  }
-
-  /** Release the storage behind a SUPERSEDED materialized frame. A
-    * localCheckpoint's cached blocks ARE its data (the lineage is
-    * truncated — there is nothing to recompute from), so this must only be
-    * called on frames that are provably never read again: the previous
-    * round of an iterative loop, once the round that replaces it is itself
-    * materialized. Without it every round's frame stays pinned in the
-    * block manager for the session lifetime — on a real cluster that is
-    * executor-memory pressure growing with iteration count, and in the
-    * interleaved bench it was the r09 3–6× level shift on this family.
-    * Structurally a no-op on anything that is not a bare checkpoint scan
-    * (the match only fires on a top-level LogicalRDD), and on reliable
-    * checkpoints (their data lives on cluster storage, not the block
-    * manager — the unpersist call is then harmless). */
-  private def release(df: DataFrame): Unit =
-    if (df != null)
-      try df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-        case _ => ()
-      } catch { case _: Throwable => () }
+  // per-round materialize + superseded-round release: shared with Pca's
+  // power iteration — see Iterative's scaladoc for the checkpoint/release
+  // contract
+  import Iterative._
 
   /** Derived edge table: customer −PLACED→ order −CONTAINS→ part,
     *                                  order −SUPPLIED_BY→ supplier. */

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared helpers for iterative DataFrame algorithms (GraphOps' graph
+  * loops, Pca's power iteration): per-round materialization that truncates
+  * the otherwise-exponential lineage, and storage release for superseded
+  * rounds. */
+private[operators] object Iterative {
+
+  /** Materialize an iteration step. `localCheckpoint()` stores blocks in
+    * executor memory — the right call single-node, but NOT fault-tolerant:
+    * on a 1000-executor run a lost executor kills the query. Set
+    * `spark.graft.reliableCheckpoint=true` (and a
+    * `sparkContext.setCheckpointDir`) to switch every per-round
+    * materialization to reliable `checkpoint()` on cluster storage. */
+  implicit class Materialize(private val df: DataFrame) extends AnyVal {
+    def materialize: DataFrame =
+      if (df.sparkSession.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean)
+        df.checkpoint()
+      else df.localCheckpoint()
+  }
+
+  /** Release the storage behind a SUPERSEDED materialized frame. A
+    * localCheckpoint's cached blocks ARE its data (the lineage is
+    * truncated — there is nothing to recompute from), so this must only be
+    * called on frames that are provably never read again: the previous
+    * round of an iterative loop, once the round that replaces it is itself
+    * materialized. Without it every round's frame stays pinned in the
+    * block manager for the session lifetime — on a real cluster that is
+    * executor-memory pressure growing with iteration count, and in the
+    * interleaved bench it was the r09 3–6× level shift on this family.
+    * Structurally a no-op on anything that is not a bare checkpoint scan
+    * (the match only fires on a top-level LogicalRDD), and on reliable
+    * checkpoints (their data lives on cluster storage, not the block
+    * manager — the unpersist call is then harmless). */
+  def release(df: DataFrame): Unit =
+    if (df != null)
+      try df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      } catch { case _: Throwable => () }
+}
