@@ -199,6 +199,7 @@ object SparkEntry {
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
     "doc_outlier" -> ((s, d) => Cluster.docOutliers(Tables.embeddings(s, d))),
     "semdedup" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
+    "semdedup_scaled" -> ((s, d) => Cluster.semdedupScaled(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
     "ann_pq_tr" -> ((s, d) => ProductQuant.pqSearchTrained(Tables.embeddings(s, d))),
     "ann_pq_rerank" -> ((s, d) => ProductQuant.pqRerank(Tables.embeddings(s, d))),
@@ -477,6 +478,7 @@ object SparkEntry {
     "doc_cluster" -> Cluster.kmeansSql(),
     "doc_outlier" -> Cluster.docOutliersSql(),
     "semdedup" -> Cluster.semdedupSql(),
+    "semdedup_scaled" -> Cluster.semdedupScaledSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
     "ann_pq_tr" -> ProductQuant.pqSearchTrainedSql(),
     "ann_pq_rerank" -> ProductQuant.pqRerankSql(),

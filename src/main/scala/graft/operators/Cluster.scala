@@ -164,13 +164,38 @@ object Cluster {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** SemDeDup with the cluster count SCALED TO THE CORPUS instead of fixed:
+    * k = clamp(kMin, kMax, ceil(n / targetCell)). The natural-density
+    * measurement (SCALING.md r10) showed the candidate bound Σ n_c²/2 is
+    * set by CLUSTER COUNT, not by the threshold — fixed k=8 leaves 13.4%
+    * of all-pairs inside blocks at every corpus size (so wall time grows
+    * quadratically with occupancy), while k matched to n keeps mean cell
+    * occupancy ≈ targetCell and the within-cell join linear in n. This is
+    * the registered form of that knob: the clamp keeps the centroid model
+    * a bounded driver-side literal (the `best()` argmax inlines k
+    * expressions; beyond ~10² cells the spelling switches to the
+    * broadcast-model mapPartitions argmax — RagRefresh.scala's kernel).
+    * The oracle computes the SAME k via a scalar subquery, so the trained
+    * partition — and the pair set — hash-compares cross-engine. */
+  def semdedupScaled(embeddings: DataFrame, targetCell: Int = 64,
+                     kMin: Int = 8, kMax: Int = 64, iters: Int = 1,
+                     threshold: Double = 0.3): DataFrame = {
+    val n = embeddings.count()
+    val k = math.min(kMax, math.max(kMin, math.ceil(n.toDouble / targetCell).toInt))
+    semdedup(embeddings, k, iters, threshold)
+  }
+
   // ---- DuckDB oracle ----
 
-  private def centsSql(k: Int, iters: Int): String = {
+  private def centsSql(k: Int, iters: Int): String =
+    centsSqlExpr(k.toString, iters)
+
+  private def centsSqlExpr(kExpr: String, iters: Int): String = {
     // cents_0 = first-k init; cents_{i+1} = decimal-exact per-dim mean of the
     // argmax-cosine assignment against cents_i (cells losing all members
-    // drop out on both engines)
-    val init = s"cents_0 AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < $k)"
+    // drop out on both engines). kExpr may be a literal or a scalar subquery
+    // (the corpus-scaled cluster count).
+    val init = s"cents_0 AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < $kExpr)"
     val steps = (0 until iters).map { i =>
       val cos = VectorOps.cosineSql("e.embedding", "c.embedding")
       s"""a_$i AS (
@@ -206,6 +231,26 @@ object Cluster {
     val cosC = VectorOps.cosineSql("e.embedding", "c.embedding")
     val cos = VectorOps.cosineSql("a.embedding", "b.embedding")
     s"""WITH ${centsSql(k, iters)},
+       |clustered AS (
+       |  SELECT e.vec_id, e.embedding, c.cell AS cluster
+       |  FROM embeddings e CROSS JOIN cents_$iters c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosC DESC, c.cell) = 1)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos
+       |FROM clustered a JOIN clustered b
+       |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE $cos >= $threshold""".stripMargin
+  }
+
+  /** Oracle for [[semdedupScaled]]: identical to semdedupSql except the
+    * init cell count is the same clamp(ceil(n/targetCell)) formula as a
+    * scalar subquery, so both engines train the same k-way partition. */
+  def semdedupScaledSql(targetCell: Int = 64, kMin: Int = 8, kMax: Int = 64,
+                        iters: Int = 1, threshold: Double = 0.3): String = {
+    val kExpr = s"(SELECT LEAST($kMax, GREATEST($kMin, " +
+      s"CAST(CEIL(COUNT(*) / $targetCell.0) AS BIGINT))) FROM embeddings)"
+    val cosC = VectorOps.cosineSql("e.embedding", "c.embedding")
+    val cos = VectorOps.cosineSql("a.embedding", "b.embedding")
+    s"""WITH ${centsSqlExpr(kExpr, iters)},
        |clustered AS (
        |  SELECT e.vec_id, e.embedding, c.cell AS cluster
        |  FROM embeddings e CROSS JOIN cents_$iters c

@@ -66,6 +66,31 @@ class CurationSpec extends SparkSpec {
     assert(after > 0.1, f"suspiciously low cohesion: $after%.3f")
   }
 
+  test("semdedup_scaled: clamped k at small n, scaled k + tighter candidate bound at larger n") {
+    // n=500 → ceil(500/64)=8 clamps to kMin: the scaled variant IS the
+    // fixed-k semdedup at this size (pair-set identical)
+    val base = Cluster.semdedup(emb).collect().map(_.toSeq).toSet
+    val scaled = Cluster.semdedupScaled(emb).collect().map(_.toSeq).toSet
+    assert(scaled == base, "at n=500 the clamp must reproduce fixed k=8")
+
+    // n=2000 → k=ceil(2000/64)=32: the output matches semdedup(k=32) and
+    // the candidate bound Σ n_c·(n_c−1)/2 over the learned partition is
+    // strictly tighter than fixed k=8's — the cluster-count knob the
+    // natural-density measurement identified (SCALING.md r10)
+    val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val s01 = Cluster.semdedupScaled(emb01)
+    val k32 = Cluster.semdedup(emb01, k = 32)
+    assert(s01.collect().map(_.toSeq).toSet == k32.collect().map(_.toSeq).toSet,
+      "at n=2000 the scaled variant must train a 32-way partition")
+    def candidates(k: Int): Long = Cluster.kmeans(emb01, k = k)
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(sum((col("n") * (col("n") - 1) / lit(2)).cast("long"))).head.getLong(0)
+    val c8 = candidates(8)
+    val c32 = candidates(32)
+    info(s"within-cell candidate pairs at n=2000: k=8 -> $c8, k=32 -> $c32")
+    assert(c32 < c8, s"scaled k must tighten the candidate bound: k=8=$c8 k=32=$c32")
+  }
+
   test("farthest-point seeding holds or beats first-k cohesion") {
     val cohFirst = Cluster.kmeans(emb, k = 8, iters = 1)
       .agg(avg("cos_to_centroid")).head.getDouble(0)
