@@ -175,6 +175,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "minhash_portable" -> ((s, d) => MinhashPortable.minhashPortable(Tables.documents(s, d))),
     "minhash_lsh_portable" -> ((s, d) => MinhashPortable.minhashLshPortable(Tables.documents(s, d))),
+    "minhash_lsh_upsert" -> ((s, d) => MinhashPortable.minhashLshUpsert(Tables.documents(s, d))),
     "simhash_portable" -> ((s, d) => MinhashPortable.simhashPortable(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
@@ -305,6 +306,7 @@ object SparkEntry {
     "stream_window" -> ((s, d) => graft.streaming.StreamReplay.streamWindow(s, d)),
     "stream_histogram" -> ((s, d) => graft.streaming.StreamReplay.streamHistogram(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.StreamReplay.streamDedup(s, d)),
+    "stream_near_dedup" -> ((s, d) => graft.streaming.StreamReplay.streamNearDedup(s, d)),
     "stream_session" -> ((s, d) => graft.streaming.StreamReplay.streamSession(s, d)),
     "stream_upsert" -> ((s, d) => graft.streaming.StreamReplay.streamUpsert(s, d)),
     "stream_trending" -> ((s, d) => graft.streaming.StreamReplay.streamTrending(s, d)),
@@ -505,6 +507,7 @@ object SparkEntry {
     "cms_freq" -> CountMin.cmsFreqSql(),
     "minhash_portable" -> MinhashPortable.minhashPortableSql(),
     "minhash_lsh_portable" -> MinhashPortable.minhashLshPortableSql(),
+    "minhash_lsh_upsert" -> MinhashPortable.minhashLshUpsertSql(),
     "simhash_portable" -> MinhashPortable.simhashPortableSql(),
     "dedup_resolve" -> Dedup.resolveSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
@@ -588,6 +591,7 @@ object SparkEntry {
     "stream_window" -> graft.streaming.StreamReplay.streamWindowSql,
     "stream_histogram" -> graft.streaming.StreamReplay.streamHistogramSql(),
     "stream_dedup" -> graft.streaming.StreamReplay.streamDedupSql,
+    "stream_near_dedup" -> graft.streaming.StreamReplay.streamNearDedupSql,
     "stream_session" -> graft.streaming.StreamReplay.streamSessionSql(),
     "stream_upsert" -> graft.streaming.StreamReplay.streamUpsertSql,
     "stream_trending" -> graft.streaming.StreamReplay.streamTrendingSql,

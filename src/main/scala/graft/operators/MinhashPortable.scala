@@ -23,41 +23,53 @@ object MinhashPortable {
 
   val Mod = 1000000007L
 
+  /** The per-doc signature kernel — ONE definition shared by the batch
+    * exploded layout below and the streaming near-dedup
+    * (Streams.streamingNearDedup), so the two paths cannot drift. Returns
+    * null when the doc has no 3-token shingle (dropped on both engines). */
+  private[graft] def signature(text: String, nPerms: Int = 16): Array[Long] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < 3) return null
+    val xs = new Array[Long](toks.length - 2)
+    var i = 0
+    while (i < toks.length - 2) {
+      val s = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      var h = 0L
+      var j = 0
+      while (j < s.length) {
+        h = (h * 31L + s.charAt(j)) % Mod
+        j += 1
+      }
+      xs(i) = h
+      i += 1
+    }
+    val sig = new Array[Long](nPerms)
+    var perm = 0
+    while (perm < nPerms) {
+      val a = ((perm + 1).toLong * 2654435761L) % Mod
+      val b = ((perm + 1).toLong * 40503L) % Mod
+      var mn = Long.MaxValue
+      var t = 0
+      while (t < xs.length) {
+        val v = (a * xs(t) + b) % Mod
+        if (v < mn) mn = v
+        t += 1
+      }
+      sig(perm) = mn
+      perm += 1
+    }
+    sig
+  }
+
   def minhashPortable(documents: DataFrame, nPerms: Int = 16): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (docId, text) =>
-        val toks = text.trim.split("\\s+")
-        if (toks.length < 3) Iterator.empty
-        else {
-          val xs = new Array[Long](toks.length - 2)
-          var i = 0
-          while (i < toks.length - 2) {
-            val s = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-            var h = 0L
-            var j = 0
-            while (j < s.length) {
-              h = (h * 31L + s.charAt(j)) % Mod
-              j += 1
-            }
-            xs(i) = h
-            i += 1
-          }
-          (0 until nPerms).iterator.map { perm =>
-            val a = ((perm + 1).toLong * 2654435761L) % Mod
-            val b = ((perm + 1).toLong * 40503L) % Mod
-            var mn = Long.MaxValue
-            var t = 0
-            while (t < xs.length) {
-              val v = (a * xs(t) + b) % Mod
-              if (v < mn) mn = v
-              t += 1
-            }
-            (docId, perm.toLong, mn)
-          }
-        }
+        val sig = signature(text, nPerms)
+        if (sig == null) Iterator.empty
+        else (0 until nPerms).iterator.map(p => (docId, p.toLong, sig(p)))
       }
       .toDF("doc_id", "perm", "minh")
   }
@@ -76,17 +88,25 @@ object MinhashPortable {
     require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
     val rows = nPerms / bands
     val sig = minhashPortable(documents, nPerms)
-    val keys = sig
-      .groupBy(col("doc_id"), (col("perm") / rows).cast("long").as("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("perm"), col("minh")))),
-          x => x.getField("minh").cast("string")), ",").as("bkey"))
+    val keys = bandKeys(sig, rows)
     val cand = keys.as("a")
       .join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    estJaccard(cand, sig, nPerms)
+  }
+
+  /** Per-(doc, band) LSH bucket keys over a signature table. */
+  private[graft] def bandKeys(sig: DataFrame, rows: Int): DataFrame = sig
+    .groupBy(col("doc_id"), (col("perm") / rows).cast("long").as("band"))
+    .agg(array_join(
+      transform(array_sort(collect_list(struct(col("perm"), col("minh")))),
+        x => x.getField("minh").cast("string")), ",").as("bkey"))
+
+  /** Signature-estimated Jaccard (matching perms / k) for candidate pairs. */
+  private def estJaccard(cand: DataFrame, sig: DataFrame, nPerms: Int): DataFrame = {
     val sa = sig.select(col("doc_id").as("doc_a"), col("perm"), col("minh").as("ma"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("perm"), col("minh").as("mb"))
     cand.join(sa, "doc_a").join(sb, Seq("doc_b", "perm"))
@@ -94,6 +114,78 @@ object MinhashPortable {
       .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).cast("double") / nPerms)
         .as("est_jaccard"))
   }
+
+  /** Incremental LSH-index maintenance — the dedup-index analog of
+    * ivf_upsert/kmv_merge: the indexed corpus (base = doc_id%10 != 0,
+    * the deterministic stand-in for "already indexed") keeps its persisted
+    * band-key + signature tables untouched; an arrival batch (delta =
+    * doc_id%10 == 0) is SKETCHED ALONE and its band keys equi-joined
+    * against the standing index ∪ its own keys, emitting exactly the
+    * near-dup pairs that involve a new doc, tagged delta_base /
+    * delta_delta.
+    *
+    * Unlike IVF (whose cells are data-dependent, so upsert needs a drift/
+    * retrain verdict), a minhash signature is a PURE PER-DOC function —
+    * delta-indexing is exactly lossless, and this operator's oracle PROVES
+    * that cross-engine: Spark computes the incremental form (only delta
+    * docs sketched, joined to the standing index), DuckDB computes the
+    * FULL corpus recompute restricted to pairs touching a delta doc; the
+    * hash gate asserts they are identical.
+    *
+    * At 100 TB this is the difference between re-sketching the corpus per
+    * arrival batch and O(Δ) sketch work + one equi-join against a
+    * bucketed band-key table (co-partition by (band, bkey) at scale);
+    * candidates still only materialize through shared buckets. */
+  def minhashLshUpsert(documents: DataFrame, nPerms: Int = 16,
+                       bands: Int = 4): DataFrame = {
+    require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
+    val isDelta = pmod(col("doc_id"), lit(10L)) === 0L
+    // standing index: band keys + signatures of the already-indexed corpus
+    // (computed here from the base slice; persisted tables in production —
+    // UpsertProbe measures that form against loaded parquet)
+    val sigBase = minhashPortable(documents.filter(!isDelta), nPerms)
+    minhashLshUpsertFrom(sigBase, bandKeys(sigBase, nPerms / bands),
+        documents.filter(isDelta), nPerms, bands)
+      .withColumn("kind",
+        when(pmod(col("doc_a"), lit(10L)) === 0L && pmod(col("doc_b"), lit(10L)) === 0L,
+          lit("delta_delta")).otherwise(lit("delta_base")))
+  }
+
+  /** Production-shaped core of [[minhashLshUpsert]]: given the PERSISTED
+    * standing index (signature + band-key tables, loaded from storage) and
+    * an arrival batch, emit the near-dup pairs the batch introduces —
+    * (doc_a, doc_b, est_jaccard). Only the batch is sketched (the O(text)
+    * shingling work); the standing tables are consumed as-is through one
+    * (band, bkey) equi-join + the bounded scoring join. */
+  def minhashLshUpsertFrom(sigBase: DataFrame, keysBase: DataFrame,
+                           deltaDocs: DataFrame, nPerms: Int = 16,
+                           bands: Int = 4): DataFrame = {
+    require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
+    val rows = nPerms / bands
+    // the arrival batch is the only thing newly sketched
+    val sigDelta = minhashPortable(deltaDocs, nPerms)
+    val keysDelta = bandKeys(sigDelta, rows)
+    val cand = keysDelta.as("d")
+      .join(keysBase.union(keysDelta).as("x"),
+        col("d.band") === col("x.band") && col("d.bkey") === col("x.bkey") &&
+          col("d.doc_id") =!= col("x.doc_id"))
+      .select(
+        least(col("d.doc_id"), col("x.doc_id")).as("doc_a"),
+        greatest(col("d.doc_id"), col("x.doc_id")).as("doc_b"))
+      .distinct()
+    estJaccard(cand, sigBase.union(sigDelta), nPerms)
+  }
+
+  /** Oracle for [[minhashLshUpsert]]: the FULL-corpus LSH pairs restricted
+    * to pairs involving a delta doc — identical output iff incremental
+    * indexing loses (and invents) nothing. */
+  def minhashLshUpsertSql(nPerms: Int = 16, bands: Int = 4): String =
+    s"""WITH full_pairs AS MATERIALIZED (${minhashLshPortableSql(nPerms, bands)})
+       |SELECT doc_a, doc_b, est_jaccard,
+       |  CASE WHEN doc_a % 10 = 0 AND doc_b % 10 = 0 THEN 'delta_delta'
+       |       ELSE 'delta_base' END AS kind
+       |FROM full_pairs
+       |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin
 
   def minhashLshPortableSql(nPerms: Int = 16, bands: Int = 4): String = {
     val rows = nPerms / bands

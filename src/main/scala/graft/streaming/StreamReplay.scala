@@ -349,15 +349,42 @@ object StreamReplay {
     * quartiles — first arrival (= global min doc_id) wins, later content
     * replays are flagged, including ACROSS batch boundaries (the state
     * path a single-batch run would never touch). */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared doc_id-sorted document script for the two stream-dedup
+    * replays (exact + near): identical batches, so the staged source is
+    * cached once under the `stream_dedup` key. */
+  private def docScript(spark: SparkSession, dir: String): Seq[Doc] = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .collect().toSeq.sortBy(_._1).map { case (id, t) => Doc(id, t) }
-    replay[Doc](spark, s"stream_dedup:$dir", quarters(docs),
-      df => Streams.streamingDedup(df.as[Doc]).toDF())
+  }
+
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    replay[Doc](spark, s"stream_dedup:$dir", quarters(docScript(spark, dir)),
+      df => Streams.streamingDedup(df.as[Doc]).toDF(), label = "stream_dedup")
       .select(col("doc_id"), col("is_duplicate"))
   }
+
+  /** Streaming minhash-LSH near-dedup replayed over the document feed —
+    * bucket state accumulates signatures ACROSS batch boundaries (a pair
+    * whose two docs arrive in different quarters only exists via state).
+    * Cross-band re-discoveries are exact row duplicates (est is a pure
+    * signature function), dropped by one distinct at the sink. The oracle
+    * is the BATCH LSH pipeline verbatim (minhashLshPortableSql) — the
+    * hash match proves the incremental bucket-state execution converges
+    * to the declarative batch answer, the same unification claim the
+    * as-of family states. */
+  def streamNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    replay[Doc](spark, s"stream_dedup:$dir", quarters(docScript(spark, dir)),
+      df => Streams.streamingNearDedup(df.as[Doc]).toDF(),
+      label = "stream_near_dedup")
+      .distinct()
+  }
+
+  val streamNearDedupSql: String =
+    graft.operators.MinhashPortable.minhashLshPortableSql()
 
   /** The oracle groups by TEXT where Spark groups by its 64-bit content
     * hash — they differ only if two distinct texts collide (≈ n²/2⁶⁵, the

@@ -177,6 +177,65 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
+  case class BucketDoc(doc_id: Long, sig: Array[Long])
+  case class BucketState(docs: Seq[BucketDoc])
+  case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** Streaming NEAR-dup detection — minhash-LSH over an unbounded document
+    * feed. Each arriving doc is sketched once (the SAME portable kernel as
+    * the batch operator, MinhashPortable.signature — one definition, no
+    * drift), fanned out to its `bands` bucket rows, and each bucket keeps
+    * the signatures of the docs it has seen: a new arrival emits one scored
+    * pair per bucket-mate (signature-estimated Jaccard, matching perms / k).
+    * The state store IS the LSH index, sharded by (band, bkey) — exactly the
+    * standing table minhash_lsh_upsert maintains in batch form, so this is
+    * the same index expressed as streaming state. A pair shared by several
+    * bands re-emits identically (est is a pure signature function); the
+    * sink dedups with a distinct. At 100 TB/day buckets shard across
+    * executors (RocksDB state); degenerate hot buckets are the same skew
+    * the batch join has, bounded by banding itself. Emission is
+    * data-driven — no watermark or flush needed; replays converge to the
+    * batch LSH answer, which the oracle states as a hash
+    * (stream_near_dedup's oracle IS minhashLshPortableSql). */
+  def streamingNearDedup(docs: Dataset[Doc], nPerms: Int = 16,
+                         bands: Int = 4): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
+    val rows = nPerms / bands
+
+    def fn(key: String, batch: Iterator[(Long, String, Array[Long])],
+           state: GroupState[BucketState]): Iterator[NearDupPair] = {
+      val sorted = batch.toSeq.sortBy(_._1)
+      var seen = state.getOption.map(_.docs).getOrElse(Seq.empty)
+      val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+      sorted.foreach { case (docId, _, sig) =>
+        seen.foreach { prev =>
+          if (prev.doc_id != docId) {
+            var eq = 0
+            var i = 0
+            while (i < sig.length) { if (sig(i) == prev.sig(i)) eq += 1; i += 1 }
+            out += NearDupPair(math.min(prev.doc_id, docId),
+              math.max(prev.doc_id, docId), eq.toDouble / sig.length)
+          }
+        }
+        seen = seen :+ BucketDoc(docId, sig)
+      }
+      state.update(BucketState(seen))
+      out.iterator
+    }
+
+    docs
+      .flatMap { d =>
+        val sig = graft.operators.MinhashPortable.signature(d.text, nPerms)
+        if (sig == null) Iterator.empty
+        else (0 until bands).iterator.map { b =>
+          (d.doc_id, s"$b:" + sig.slice(b * rows, (b + 1) * rows).mkString(","), sig)
+        }
+      }
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Streaming sessionization: gap > gapMinutes starts a new session.
     * One state object per user (ProcessingTimeTimeout not needed for the
     * deterministic test path; event-time gap logic only). Emits a session

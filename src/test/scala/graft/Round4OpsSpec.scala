@@ -253,6 +253,33 @@ class Round4OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0))
   }
 
+  test("minhash_lsh_upsert: incremental == full-restricted, base-base pairs excluded") {
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (50 to 80).map(i => s"b$i").mkString(" ")
+    val c = (200 to 230).map(i => s"c$i").mkString(" ")
+    // 10 is delta (%10==0), 11 base → delta_base twin pair; 20/30 both
+    // delta → delta_delta; 1/2 both base → indexed long ago, must NOT
+    // re-emit
+    val d = docs(Seq((10L, a), (11L, a), (20L, b), (30L, b), (1L, c), (2L, c)))
+    val inc = MinhashPortable.minhashLshUpsert(d)
+      .select("doc_a", "doc_b", "est_jaccard", "kind")
+      .as[(Long, Long, Double, String)].collect().toSet
+    // engine-internal identity: the incremental form must equal the full
+    // recompute restricted to delta-touching pairs (the oracle proves the
+    // same cross-engine)
+    val full = MinhashPortable.minhashLshPortable(d)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+      .map(p => (p._1, p._2, p._3,
+        if (p._1 % 10 == 0 && p._2 % 10 == 0) "delta_delta" else "delta_base"))
+      .toSet
+    assert(inc == full, s"incremental != full-restricted: $inc vs $full")
+    assert(inc.exists(p => p._1 == 10L && p._2 == 11L && p._4 == "delta_base"))
+    assert(inc.exists(p => p._1 == 20L && p._2 == 30L && p._4 == "delta_delta"))
+    assert(!inc.exists(p => p._1 % 10 != 0 && p._2 % 10 != 0),
+      "a base-base pair leaked into the incremental output")
+  }
+
   test("modularity: two planted 3-cliques give the exact integer Q contributions") {
     // order 0 → clique {10,20,30}; order 100 → clique {40,50,60}
     val li = Seq((0L, 10L), (0L, 20L), (0L, 30L), (100L, 40L), (100L, 50L), (100L, 60L))

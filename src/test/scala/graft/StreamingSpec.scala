@@ -72,6 +72,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true, 5L -> false))
   }
 
+  test("streaming near-dedup finds cross-batch LSH pairs and converges to batch LSH") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val aNear = ((1 to 29).map(i => s"w$i") :+ "zzz").mkString(" ")
+    val c = (100 to 130).map(i => s"x$i").mkString(" ")
+    val input = MemoryStream[Streams.Doc]
+    val q = Streams.streamingNearDedup(input.toDS())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Streams.Doc(1, a), Streams.Doc(2, c))
+    q.processAllAvailable()
+    // exact dup (4≡1) and near dup (3≈1) arrive in a LATER batch: both
+    // pairs only exist through bucket state
+    input.addData(Streams.Doc(3, aNear), Streams.Doc(4, a))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.MinhashPortable.minhashLshPortable(
+        Seq((1L, a), (2L, c), (3L, aNear), (4L, a)).toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch, s"stream != batch LSH: $streamed vs $batch")
+    assert(streamed.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0),
+      "cross-batch exact-dup pair (1,4) not discovered")
+    assert(!streamed.exists(p => p._2 == 2L || p._1 == 2L),
+      "unrelated doc paired")
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]

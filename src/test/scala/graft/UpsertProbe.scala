@@ -1,0 +1,66 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the O(Δ) claim of minhash_lsh_upsert: incremental index
+  * maintenance against a PERSISTED standing index (the production form,
+  * MinhashPortable.minhashLshUpsertFrom over loaded parquet) vs the full
+  * corpus recompute a non-incremental pipeline pays per arrival batch.
+  * Usage: Test/runMain graft.UpsertProbe <dataDir> [idxDir]
+  * Prints one-time index-build time, then incremental vs full wall time
+  * and asserts the pair counts agree. */
+object UpsertProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val idxDir = if (args.length > 1) args(1) else "/tmp/upsert_idx"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.MinhashPortable
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val isDelta = pmod(col("doc_id"), lit(10L)) === 0L
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    // one-time standing-index build (amortized across all arrival batches)
+    time("index build (one-time)") {
+      val sigBase = MinhashPortable.minhashPortable(docs.filter(!isDelta))
+      sigBase.write.mode("overwrite").parquet(s"$idxDir/sig")
+      MinhashPortable.bandKeys(spark.read.parquet(s"$idxDir/sig"), 4)
+        .write.mode("overwrite").parquet(s"$idxDir/keys")
+    }
+    // phase decomposition: the component incremental maintenance saves is
+    // the O(text) sketch (full corpus vs arrival batch alone)
+    val nSigFull = time("sketch full corpus") {
+      MinhashPortable.minhashPortable(docs).count()
+    }
+    val nSigDelta = time("sketch delta only") {
+      MinhashPortable.minhashPortable(docs.filter(isDelta)).count()
+    }
+    println(s"[probe] sig_rows full=$nSigFull delta=$nSigDelta")
+    // per-batch incremental cost: sketch only the batch, join standing tables
+    val nInc = time("incremental (delta batch vs persisted index)") {
+      MinhashPortable.minhashLshUpsertFrom(
+        spark.read.parquet(s"$idxDir/sig"), spark.read.parquet(s"$idxDir/keys"),
+        docs.filter(isDelta)).count()
+    }
+    // per-batch cost without incremental maintenance: full corpus recompute
+    val nFull = time("full recompute (restricted to delta-touching pairs)") {
+      MinhashPortable.minhashLshPortable(docs)
+        .filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0).count()
+    }
+    println(s"[probe] n_inc=$nInc n_full=$nFull agree=${nInc == nFull}")
+    // what a non-incremental dedup pass actually scores: ALL pairs, not
+    // just the delta-touching restriction Catalyst pushed down above
+    if (args.contains("--all-pairs")) {
+      val nAll = time("full recompute (unrestricted, all pairs)") {
+        MinhashPortable.minhashLshPortable(docs).count()
+      }
+      println(s"[probe] n_all=$nAll")
+    }
+    spark.stop()
+  }
+}
