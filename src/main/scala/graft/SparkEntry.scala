@@ -113,6 +113,7 @@ object SparkEntry {
     "hybrid_search" -> ((s, d) =>
       Search.hybrid(Tables.documents(s, d), Tables.embeddings(s, d), kwTerms)),
     "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d), kwTerms)),
+    "bm25_upsert" -> ((s, d) => Search.bm25Upsert(Tables.documents(s, d), kwTerms)),
     "rag_eval_mrr" -> ((s, d) => Search.mrrEval(Tables.embeddings(s, d))),
     "hard_negatives" -> ((s, d) => Search.hardNegatives(Tables.embeddings(s, d))),
     "topic_terms" -> ((s, d) =>
@@ -250,6 +251,7 @@ object SparkEntry {
     "graph_label_prop" -> ((s, d) => GraphOps.labelProp(Tables.lineitem(s, d))),
     "graph_kcore" -> ((s, d) => GraphOps.kCore(Tables.lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.connectedComponents(Tables.lineitem(s, d))),
+    "graph_components_inc" -> ((s, d) => GraphOps.componentsUpsert(Tables.lineitem(s, d))),
     "impact_analysis" -> ((s, d) =>
       GraphOps.impactAnalysis(Tables.orders(s, d), Tables.lineitem(s, d))),
     // --- code intelligence (CodeTransformer analog over a derived corpus) ---
@@ -435,6 +437,7 @@ object SparkEntry {
     "knn_join" -> Search.knnJoinSql(),
     "hybrid_search" -> Search.hybridSql(kwTerms),
     "bm25_search" -> Search.bm25Sql(kwTerms),
+    "bm25_upsert" -> Search.bm25UpsertSql(kwTerms),
     "rag_eval_mrr" -> Search.mrrEvalSql(),
     "hard_negatives" -> Search.hardNegativesSql(),
     "topic_terms" -> Cluster.topicTermsSql(),
@@ -564,6 +567,7 @@ object SparkEntry {
     "graph_label_prop" -> GraphOps.labelPropSql(),
     "graph_kcore" -> GraphOps.kCoreSql(),
     "graph_components" -> GraphOps.componentsSql(),
+    "graph_components_inc" -> GraphOps.componentsSql(),
     "graph_path_trace" -> GraphOps.shortestPathTraceSql(),
     "graph_nodes_by_label" -> GraphOps.nodesByLabelSql(),
     "graph_rels_by_type" -> GraphOps.relsByTypeSql(),

@@ -748,4 +748,147 @@ object Search {
        |SELECT doc_id, score FROM sc
        |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
   }
+
+  /** Tokenized index artifacts for one corpus slice: full postings
+    * (term, doc_id, n_occ) and per-doc lengths — the two raw tables a
+    * Lucene-family index persists. One explode + one (term, doc_id)
+    * groupBy; everything else derives or maintains additively. */
+  private[graft] def bm25IndexParts(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val postings = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val doclens = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("len"))
+    (postings, doclens)
+  }
+
+  /** Incremental BM25 search-index maintenance — the SEARCH-side member of
+    * the index-maintenance family (ivf_upsert / kmv_merge /
+    * minhash_lsh_upsert): the standing index is the four artifacts a
+    * fulltext engine persists — postings, doc lengths, per-term document
+    * frequency, and the corpus scalars (N, Σlen) — and every one is
+    * ADDITIVE under corpus growth, so an arrival batch (delta =
+    * doc_id%10 == 0, the deterministic stand-in for "newly committed")
+    * maintains the index with O(Δ text) tokenize work: postings/doclens
+    * append, df and the scalars add. No base text is ever re-read.
+    *
+    * The registered query then scores the fixed query terms FROM the
+    * maintained index — tf from postings (filtered to the query terms:
+    * bucketed-by-term postings make that a partition prune at scale),
+    * len from doclens, df/N/avgdl from the maintained stats — while the
+    * oracle recomputes BM25 over the FULL corpus from scratch. The hash
+    * gate therefore proves the additive maintenance lossless: a
+    * double-counted df, a missed delta posting, or a stale scalar breaks
+    * the hash. This is the contract behind the reference's fulltext index
+    * (graph_service.py:474 fulltext_search — Neo4j maintains its index
+    * incrementally on entity upsert). tf here is exact-token count (the
+    * index's definition), not bm25_search's substring count, hence the
+    * separate oracle. */
+  def bm25Upsert(documents: DataFrame, terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75, limit: Int = 30): DataFrame = {
+    val isDelta = pmod(col("doc_id"), lit(10L)) === 0L
+    // standing index (computed here from the base slice; persisted tables
+    // in production — bm25UpsertFrom consumes them as-is)
+    val (postBase, dlBase) = bm25IndexParts(documents.filter(!isDelta))
+    val dfBase = postBase.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scBase = dlBase.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    bm25UpsertFrom(postBase, dlBase, dfBase, scBase,
+      documents.filter(isDelta), terms, k1, b, limit)
+  }
+
+  /** Production-shaped core of [[bm25Upsert]]: given the PERSISTED standing
+    * index (postings, doclens, per-term df, corpus scalars — loaded from
+    * storage) and an arrival batch, tokenize ONLY the batch, maintain all
+    * four artifacts additively, and score the query terms from the result.
+    * At 100 TB the postings table is bucketed by term so the query-term
+    * restriction prunes, the df/scalar tables are tiny broadcasts, and the
+    * per-batch cost is O(Δ tokens) — never O(corpus). */
+  def bm25UpsertFrom(postBase: DataFrame, dlBase: DataFrame, dfBase: DataFrame,
+                     scBase: DataFrame, deltaDocs: DataFrame, terms: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75, limit: Int = 30): DataFrame = {
+    val (postD, dlD) = bm25IndexParts(deltaDocs)
+    // additive maintenance: postings/doclens append; df outer-adds; scalars add
+    val dfD = postD.groupBy(col("term")).agg(count(lit(1)).as("df_d"))
+    val dfM = dfBase.join(dfD, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"))
+    val scD = dlD.agg(count(lit(1)).as("n_docs_d"), sum(col("len")).as("sum_len_d"))
+    val scM = scBase.crossJoin(scD).select(
+      (col("n_docs") + col("n_docs_d")).as("n_docs"),
+      (col("sum_len") + coalesce(col("sum_len_d"), lit(0L))).as("sum_len"))
+    // score from the maintained index: tf via a query-term pivot over the
+    // postings (at scale: a pushed term filter), stats via one broadcast row
+    val qpost = postBase.union(postD).filter(col("term").isin(terms: _*))
+    val tfs = qpost.groupBy(col("doc_id")).agg(
+      terms.indices.map(i =>
+        coalesce(sum(when(col("term") === terms(i), col("n_occ"))), lit(0L))
+          .as(s"tf_$i")).head,
+      terms.indices.map(i =>
+        coalesce(sum(when(col("term") === terms(i), col("n_occ"))), lit(0L))
+          .as(s"tf_$i")).tail: _*)
+    val dfRow = dfM.filter(col("term").isin(terms: _*)).agg(
+      terms.indices.map(i =>
+        coalesce(sum(when(col("term") === terms(i), col("df"))), lit(0L))
+          .as(s"df_$i")).head,
+      terms.indices.map(i =>
+        coalesce(sum(when(col("term") === terms(i), col("df"))), lit(0L))
+          .as(s"df_$i")).tail: _*)
+    val stats = dfRow.crossJoin(scM)
+    val avgdl = col("sum_len").cast("double") / col("n_docs").cast("double")
+    def tscore(i: Int): Column = {
+      val tf = col(s"tf_$i").cast("double")
+      val idf = ((col("n_docs") - col(s"df_$i")).cast("double") + lit(0.5)) /
+        (col(s"df_$i").cast("double") + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len").cast("double") / avgdl)))
+    }
+    val score = terms.indices.map(tscore).reduce(_ + _)
+    tfs.join(dlBase.union(dlD), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(limit)
+  }
+
+  /** Oracle for [[bm25Upsert]]: full-corpus from-scratch BM25 over the
+    * SAME tokenized-tf definition — identical output iff the additive
+    * index maintenance loses (and invents) nothing. */
+  def bm25UpsertSql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                    limit: Int = 30): String = {
+    val tfJoins = terms.indices.map(i =>
+      s"LEFT JOIN post p$i ON p$i.doc_id = dl.doc_id AND p$i.term = '${terms(i)}'")
+      .mkString("\n       |  ")
+    val tfCols = terms.indices.map(i =>
+      s"COALESCE(p$i.n_occ, 0) AS tf_$i").mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(COALESCE((SELECT df FROM dfs WHERE term = '${terms(i)}'), 0) AS BIGINT) AS df_$i")
+      .mkString(", ")
+    val avgdl = "(CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val score = terms.indices.map { i =>
+      val idf = s"((CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))"
+      s"$idf * (CAST(tf_$i AS DOUBLE) * ${k1 + 1.0}) / " +
+        s"(CAST(tf_$i AS DOUBLE) + $k1 * (${1.0 - b} + $b * (CAST(len AS DOUBLE) / $avgdl)))"
+    }.reduce((a, c) => s"($a + $c)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |post AS MATERIALIZED (
+       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+       |  FROM toks GROUP BY 1, 2),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS len
+       |  FROM documents),
+       |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM dl),
+       |f AS (
+       |  SELECT dl.doc_id, dl.len, $tfCols
+       |  FROM dl
+       |  $tfJoins),
+       |sc AS (
+       |  SELECT doc_id, $score AS score FROM f CROSS JOIN st CROSS JOIN (SELECT $dfCols FROM st) d)
+       |SELECT doc_id, score FROM sc
+       |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
+  }
 }

@@ -30,4 +30,31 @@ class ComponentsSpec extends SparkSpec {
     assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
     assert(labels(8L) == 8L && labels(9L) == 8L)
   }
+
+  test("componentsUpsert: delta merge == full recompute; untouched components keep labels") {
+    // base orders: {1,2,3} via orders 100/200, {8,9} via 300, {20,21} via 400.
+    // delta order 1000 introduces NEW node 50 bridging part 3 and part 8 —
+    // merging {1,2,3} with {8,9} through it; {20,21} untouched.
+    // orderkeys must be %100==0 (copurchase sample); base ones %1000!=0,
+    // the delta one %1000==0 (componentsUpsert's arrival-batch convention)
+    val mk = (rows: Seq[(Long, Long)]) => rows.toDF("l_orderkey", "l_partkey")
+    val base = mk(Seq((1100L, 1L), (1100L, 2L), (2100L, 2L), (2100L, 3L),
+      (3100L, 9L), (3100L, 8L), (4100L, 20L), (4100L, 21L)))
+    val delta = mk(Seq((5000L, 3L), (5000L, 50L), (5000L, 8L)))
+    val full = base.unionByName(delta)
+    val inc = GraphOps.componentsUpsert(full).as[(Long, Long)].collect().toMap
+    val scratch = GraphOps.connectedComponents(full).as[(Long, Long)].collect().toMap
+    assert(inc == scratch, s"incremental != full recompute: $inc vs $scratch")
+    assert(Seq(1L, 2L, 3L, 8L, 9L, 50L).forall(inc(_) == 1L),
+      "delta bridge did not merge the two base components")
+    assert(inc(20L) == 20L && inc(21L) == 20L, "untouched component relabeled")
+  }
+
+  test("componentsUpsertFrom: empty delta is the identity on the standing labeling") {
+    val labelsBase = Seq((1L, 1L), (2L, 1L), (9L, 8L), (8L, 8L)).toDF("node", "label")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = GraphOps.componentsUpsertFrom(labelsBase, noEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 9L -> 8L, 8L -> 8L))
+  }
 }

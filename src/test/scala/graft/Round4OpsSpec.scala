@@ -253,6 +253,30 @@ class Round4OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0))
   }
 
+  test("bm25_upsert: additive maintenance == from-scratch, incl. a delta-only term") {
+    import org.apache.spark.sql.functions.{count, lit, sum, col}
+    val terms = Seq("alpha", "beta")
+    // base: 1 (alpha ×2), 2 (no query terms), 3 (alpha); delta (%10==0):
+    // 10 (beta only — the term ENTERS the index via the delta, the
+    // full_outer df-merge path), 20 (both terms)
+    val d = docs(Seq(
+      (1L, "alpha x y alpha z"), (2L, "x y z w"), (3L, "alpha q r"),
+      (10L, "beta beta n m"), (20L, "alpha beta k")))
+    val inc = Search.bm25Upsert(d, terms).as[(Long, Double)].collect().toSeq
+    // from-scratch reference: the full-corpus index scored with an EMPTY
+    // arrival batch — additive maintenance must be exactly lossless
+    val (post, dl) = Search.bm25IndexParts(d)
+    val dfF = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scF = dl.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    val scratch = Search.bm25UpsertFrom(post, dl, dfF, scF,
+      docs(Seq.empty[(Long, String)]), terms).as[(Long, Double)].collect().toSeq
+    assert(inc == scratch, s"incremental != from-scratch: $inc vs $scratch")
+    val ids = inc.map(_._1)
+    assert(ids.contains(10L), "delta-only term never scored")
+    assert(!ids.contains(2L), "a zero-tf doc leaked through the score>0 gate")
+    assert(ids.toSet == Set(1L, 3L, 10L, 20L))
+  }
+
   test("minhash_lsh_upsert: incremental == full-restricted, base-base pairs excluded") {
     val a = (1 to 30).map(i => s"a$i").mkString(" ")
     val b = (50 to 80).map(i => s"b$i").mkString(" ")

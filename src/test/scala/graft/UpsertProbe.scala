@@ -64,3 +64,53 @@ object UpsertProbe {
     spark.stop()
   }
 }
+
+/** Same claim for bm25_upsert: per-arrival-batch cost of maintaining the
+  * persisted fulltext index (postings/doclens/df/scalars — all additive)
+  * + scoring from it, vs rebuilding the index from the full corpus.
+  * Usage: Test/runMain graft.Bm25UpsertProbe <dataDir> [idxDir] */
+object Bm25UpsertProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val idxDir = if (args.length > 1) args(1) else "/tmp/bm25_idx"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Search
+    val terms = SparkEntry.kwTerms
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val isDelta = pmod(col("doc_id"), lit(10L)) === 0L
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    time("index build (one-time)") {
+      val (post, dl) = Search.bm25IndexParts(docs.filter(!isDelta))
+      post.write.mode("overwrite").parquet(s"$idxDir/post")
+      dl.write.mode("overwrite").parquet(s"$idxDir/dl")
+      spark.read.parquet(s"$idxDir/post").groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$idxDir/df")
+      spark.read.parquet(s"$idxDir/dl")
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+        .write.mode("overwrite").parquet(s"$idxDir/sc")
+    }
+    val inc = time("incremental (delta batch vs persisted index)") {
+      Search.bm25UpsertFrom(
+        spark.read.parquet(s"$idxDir/post"), spark.read.parquet(s"$idxDir/dl"),
+        spark.read.parquet(s"$idxDir/df"), spark.read.parquet(s"$idxDir/sc"),
+        docs.filter(isDelta), terms).collect()
+    }
+    val full = time("full rebuild (tokenize whole corpus) + score") {
+      val (post, dl) = Search.bm25IndexParts(docs)
+      val dfF = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scF = dl.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+      Search.bm25UpsertFrom(post, dl, dfF, scF,
+        docs.filter(lit(false)), terms).collect()
+    }
+    println(s"[probe] top=${inc.length} agree=${inc.toSeq == full.toSeq}")
+    spark.stop()
+  }
+}
