@@ -182,7 +182,7 @@ object GraphOps {
   /** Undirected co-purchase edges between parts sharing a sampled order
     * (o_orderkey % 100 == 0 keeps the projection sparse enough for exact
     * BFS verification; at scale the sample rate is the knob). */
-  private def copurchase(lineitem: DataFrame): DataFrame = {
+  private[graft] def copurchase(lineitem: DataFrame): DataFrame = {
     val li = lineitem.filter(pmod(col("l_orderkey"), lit(100L)) === 0L)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     li.as("a").join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))

@@ -88,7 +88,11 @@ object Bm25UpsertProbe {
     }
     time("index build (one-time)") {
       val (post, dl) = Search.bm25IndexParts(docs.filter(!isDelta))
-      post.write.mode("overwrite").parquet(s"$idxDir/post")
+      // TERM-CLUSTERED layout — the 100 TB shape: each file covers a term
+      // range, so the query-term restriction prunes via min/max stats
+      // instead of decoding the whole postings table
+      post.repartition(32, col("term")).sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(s"$idxDir/post")
       dl.write.mode("overwrite").parquet(s"$idxDir/dl")
       spark.read.parquet(s"$idxDir/post").groupBy(col("term"))
         .agg(count(lit(1)).as("df"))
@@ -103,6 +107,22 @@ object Bm25UpsertProbe {
         spark.read.parquet(s"$idxDir/df"), spark.read.parquet(s"$idxDir/sc"),
         docs.filter(isDelta), terms).collect()
     }
+    // decomposition: (a) pure maintenance — tokenize the batch and land the
+    // additive updates (what every arrival pays); (b) pure scoring from the
+    // standing index (what a query pays, amortized over arrivals) — at
+    // scale (a) is O(Δ tokens) and (b) is O(query-term postings), while
+    // full rebuild pays O(corpus text) per refresh
+    time("maintain only (delta tokenize + additive updates landed)") {
+      val (postD, dlD) = Search.bm25IndexParts(docs.filter(isDelta))
+      postD.write.mode("append").parquet(s"$idxDir/post_delta")
+      dlD.write.mode("append").parquet(s"$idxDir/dl_delta")
+    }
+    time("score only (persisted index, empty batch)") {
+      Search.bm25UpsertFrom(
+        spark.read.parquet(s"$idxDir/post"), spark.read.parquet(s"$idxDir/dl"),
+        spark.read.parquet(s"$idxDir/df"), spark.read.parquet(s"$idxDir/sc"),
+        docs.filter(isDelta).filter(lit(false)), terms).collect()
+    }
     val full = time("full rebuild (tokenize whole corpus) + score") {
       val (post, dl) = Search.bm25IndexParts(docs)
       val dfF = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -111,6 +131,50 @@ object Bm25UpsertProbe {
         docs.filter(lit(false)), terms).collect()
     }
     println(s"[probe] top=${inc.length} agree=${inc.toSeq == full.toSeq}")
+    spark.stop()
+  }
+}
+
+/** Same claim for graph_components_inc: per-arrival-batch cost of
+  * maintaining a PERSISTED component labeling (delta label lookup +
+  * label-graph CC + broadcast relabel) vs re-running label propagation
+  * over the whole graph. Usage:
+  * Test/runMain graft.ComponentsUpsertProbe <dataDir> [idxDir] */
+object ComponentsUpsertProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val idxDir = if (args.length > 1) args(1) else "/tmp/comp_idx"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.GraphOps
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val isDeltaOrder = pmod(col("l_orderkey"), lit(1000L)) === 0L
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    time("standing labeling build (one-time)") {
+      GraphOps.connectedComponents(li.filter(!isDeltaOrder))
+        .write.mode("overwrite").parquet(s"$idxDir/labels")
+    }
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      // order-independent, ANSI-safe (node·4000037+label stays < 2^63)
+      val r = df.agg(count(lit(1)), sum(col("label")),
+        expr("bit_xor(node * 4000037 + label)")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val inc = time("incremental (delta batch vs persisted labeling)") {
+      checksum(GraphOps.componentsUpsertFrom(
+        spark.read.parquet(s"$idxDir/labels"),
+        GraphOps.copurchase(li.filter(isDeltaOrder))))
+    }
+    val full = time("full recompute (label propagation over whole graph)") {
+      checksum(GraphOps.connectedComponents(li))
+    }
+    println(s"[probe] inc=$inc full=$full agree=${inc == full}")
     spark.stop()
   }
 }
