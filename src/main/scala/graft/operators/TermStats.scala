@@ -145,31 +145,43 @@ object TermStats {
       .as[(Long, Seq[(String, Double)])]
       .mapPartitions(_.map { case (d, p) => (d, p.sortBy(_._1)) })
       .toDF("doc_id", "post")
-    val prods = cand
+    // The dot is accumulated INSIDE the kernel with java.math.BigDecimal at
+    // the same scale-18 HALF_UP semantics as the dec38 SQL recipe: each
+    // addend is the shortest-repr string of the double product re-read as
+    // DECIMAL(38,18) (bit-identical to cast(cast(prod as string) as
+    // decimal(38,18))), decimal addition is exact and order-independent,
+    // and the final parseDouble of the exact decimal string is the same
+    // correctly-rounded double the decimal→string→double cast produces.
+    // This removes the per-shared-term product row stream entirely —
+    // candidates × ~|shared terms| rows (≈270M at the 10× tier) no longer
+    // shuffle into a decimal hash aggregate; the kernel emits ONE row per
+    // candidate pair. A zero-shared-terms pair emits dot=0 and is dropped
+    // by the cos ≥ minCos filter exactly as its absent-row spelling was.
+    val dots = cand
       .join(packed.select(col("doc_id").as("doc_a"), col("post").as("pa")), "doc_a")
       .join(packed.select(col("doc_id").as("doc_b"), col("post").as("pb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
       .as[(Long, Long, Seq[(String, Double)], Seq[(String, Double)])]
       .mapPartitions { it =>
-        it.flatMap { case (a, b, pa, pb) =>
+        it.map { case (a, b, pa, pb) =>
           val sa = pa.toArray // pre-sorted by term at pack time
           val sb = pb.toArray
-          val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
-            math.min(sa.length, sb.length))
+          var acc = java.math.BigDecimal.ZERO
           var i = 0; var j = 0
           while (i < sa.length && j < sb.length) {
             val c = sa(i)._1.compareTo(sb(j)._1)
-            if (c == 0) { buf += ((a, b, sa(i)._2 * sb(j)._2)); i += 1; j += 1 }
-            else if (c < 0) i += 1
+            if (c == 0) {
+              acc = acc.add(new java.math.BigDecimal(
+                  java.lang.Double.toString(sa(i)._2 * sb(j)._2))
+                .setScale(18, java.math.RoundingMode.HALF_UP))
+              i += 1; j += 1
+            } else if (c < 0) i += 1
             else j += 1
           }
-          buf
+          (a, b, java.lang.Double.parseDouble(acc.toPlainString))
         }
       }
-      .toDF("doc_a", "doc_b", "prod")
-    val dots = prods
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(dec38(col("prod"))).cast("string").cast("double").as("dot"))
+      .toDF("doc_a", "doc_b", "dot")
     dots
       .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
