@@ -598,7 +598,12 @@ object GraphOps {
     *
     * The oracle is componentsSql() VERBATIM — the full-graph recompute —
     * so the hash gate proves incremental maintenance lossless the same
-    * way the stream family states stream ≡ batch. */
+    * way the stream family states stream ≡ batch.
+    *
+    * Contract: edge ADDITIONS only (the monotone direction — components
+    * only merge). Deletions can split a component and are not additively
+    * maintainable; the standard answer at scale is recompute-on-delete or
+    * per-component recompute scoped by the deleted edge's label. */
   def componentsUpsert(lineitem: DataFrame, maxIters: Int = 30): DataFrame = {
     val isDeltaOrder = pmod(col("l_orderkey"), lit(1000L)) === 0L
     // standing labeling over the already-ingested graph (persisted table

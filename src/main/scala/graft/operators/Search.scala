@@ -784,7 +784,13 @@ object Search {
     * (graph_service.py:474 fulltext_search — Neo4j maintains its index
     * incrementally on entity upsert). tf here is exact-token count (the
     * index's definition), not bm25_search's substring count, hence the
-    * separate oracle. */
+    * separate oracle.
+    *
+    * Contract: the arrival batch contains NEW doc_ids (insert semantics —
+    * guaranteed here by the doc_id%10 split). Replacing an existing doc
+    * would first retract its contributions, which the same additive
+    * artifacts support with negated counts; that retract path is not
+    * registered. */
   def bm25Upsert(documents: DataFrame, terms: Seq[String], k1: Double = 1.2,
                  b: Double = 0.75, limit: Int = 30): DataFrame = {
     val isDelta = pmod(col("doc_id"), lit(10L)) === 0L
@@ -819,21 +825,15 @@ object Search {
       (col("sum_len") + coalesce(col("sum_len_d"), lit(0L))).as("sum_len"))
     // score from the maintained index: tf via a query-term pivot over the
     // postings (at scale: a pushed term filter), stats via one broadcast row
+    def pivot(value: Column, prefix: String): Seq[Column] = terms.indices.map(i =>
+      coalesce(sum(when(col("term") === terms(i), value)), lit(0L))
+        .as(s"$prefix$i"))
     val qpost = postBase.union(postD).filter(col("term").isin(terms: _*))
-    val tfs = qpost.groupBy(col("doc_id")).agg(
-      terms.indices.map(i =>
-        coalesce(sum(when(col("term") === terms(i), col("n_occ"))), lit(0L))
-          .as(s"tf_$i")).head,
-      terms.indices.map(i =>
-        coalesce(sum(when(col("term") === terms(i), col("n_occ"))), lit(0L))
-          .as(s"tf_$i")).tail: _*)
-    val dfRow = dfM.filter(col("term").isin(terms: _*)).agg(
-      terms.indices.map(i =>
-        coalesce(sum(when(col("term") === terms(i), col("df"))), lit(0L))
-          .as(s"df_$i")).head,
-      terms.indices.map(i =>
-        coalesce(sum(when(col("term") === terms(i), col("df"))), lit(0L))
-          .as(s"df_$i")).tail: _*)
+    val tfCols = pivot(col("n_occ"), "tf_")
+    val tfs = qpost.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+    val dfColsP = pivot(col("df"), "df_")
+    val dfRow = dfM.filter(col("term").isin(terms: _*))
+      .agg(dfColsP.head, dfColsP.tail: _*)
     val stats = dfRow.crossJoin(scM)
     val avgdl = col("sum_len").cast("double") / col("n_docs").cast("double")
     def tscore(i: Int): Column = {
