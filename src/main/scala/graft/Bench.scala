@@ -84,6 +84,14 @@ object Bench {
       n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
     val loadsByQ = qlist.map { case (n, _) =>
       n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
+    // Stream-replay phase decomposition (r10 verdict item 3): per rep of a
+    // stream query, the replay harness records staging / exec / sink
+    // seconds; the per-rep EXECUTION series is the cross-round-comparable
+    // number, the fixed-cost columns absorb the driver-latency variance.
+    val phaseNames = Seq("staging", "exec", "sink")
+    val phasesByQ = scala.collection.mutable.Map
+      .empty[String, Map[String, scala.collection.mutable.ArrayBuffer[Double]]]
+    graft.streaming.StreamReplay.drainTimings() // discard pre-loop leftovers
     for (_ <- 0 until reps; (name, fn) <- qlist if !errors.contains(name)) {
       val l = loadAvg()
       val t0 = System.nanoTime()
@@ -91,8 +99,17 @@ object Bench {
         fn(spark, sfDir).count()
         timesByQ(name) += (System.nanoTime() - t0) / 1e9
         loadsByQ(name) += l
+        val ph = graft.streaming.StreamReplay.drainTimings()
+        if (ph.nonEmpty) {
+          val m = phasesByQ.getOrElseUpdate(name,
+            phaseNames.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap)
+          // one entry per rep per phase (a query running several replays
+          // per call sums them — the rep's total cost in that phase)
+          phaseNames.foreach(p => m(p) += ph.filter(_._1 == p).map(_._2).sum)
+        }
       } catch { case e: Throwable =>
         errors += name -> esc(String.valueOf(e.getMessage))
+        graft.streaming.StreamReplay.drainTimings() // don't leak into next query
       }
       // Drop leftover storage between queries (r09 verdict item 1a): the
       // iterative graph family localCheckpoints per-round frames whose
@@ -106,10 +123,18 @@ object Bench {
       // rep would be dropped CONCURRENTLY with the next rep's timed
       // region — paying untimed seconds here keeps the contention out of
       // the medians the interleaved convention exists to protect.
+      //
+      // INVARIANT (ADVICE r10): this sweep unpersists ALL persistent RDDs,
+      // and a release()d/unpersisted localCheckpoint is UNRECOVERABLE
+      // (lineage truncated) — so no SparkEntry.queries entry may return a
+      // plan that leans on a cached/checkpointed frame surviving a rep
+      // boundary. Every registered query today builds its frames from
+      // scratch per call (the registry convention); anything stateful
+      // (upsert families) re-derives its standing index inside the call.
       try {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         spark.catalog.clearCache()
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     val runs = qlist.map { case (name, _) => name -> timesByQ(name).toSeq }
     def median(xs: Seq[Double]): Double =
@@ -184,8 +209,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val repCounts = runs.map { case (k, ts) => "\"" + k + "\":" + ts.size }
       .mkString("{", ",", "}")
+    // stream-replay decomposition: per-rep seconds per phase plus the
+    // execution median — the number comparable across rounds (staging is
+    // paid on the first rep only; sink/checkpoint churn is harness cost)
+    val streamPhases = phasesByQ.toSeq.sortBy(_._1).map { case (k, m) =>
+      val cols = phaseNames.map(p =>
+        "\"" + p + "\":[" + m(p).map(f3).mkString(",") + "]").mkString(",")
+      "\"" + k + "\":{" + cols + ",\"exec_median\":" + f3(median(m("exec").toSeq)) + "}"
+    }.mkString("{", ",", "}")
     val stamp = s""""reps":$reps,"rep_order":"interleaved","load_1m_before":${f2(loadBefore)},"load_1m_after":${f2(loadAfter)},"machine_cpus":${Runtime.getRuntime.availableProcessors}"""
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,$stamp,"queries":$fullQs,"runs":$fullRuns,"rep_loads":$fullLoads,"rep_counts":$repCounts,"recall":$rs,"errors":$es,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"cpus":$cpus,$stamp,"queries":$fullQs,"runs":$fullRuns,"rep_loads":$fullLoads,"rep_counts":$repCounts,"stream_phases":$streamPhases,"recall":$rs,"errors":$es,"sf":"$sfDir"}"""
     // subset (scale-stress) runs must not clobber the round's full record;
     // they get their own complete per-query record via SPARK_GRAFT_OUT
     // (stress sweeps need every ratio, not the printed 15-slowest slice)

@@ -114,6 +114,7 @@ object SparkEntry {
       Search.hybrid(Tables.documents(s, d), Tables.embeddings(s, d), kwTerms)),
     "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d), kwTerms)),
     "bm25_upsert" -> ((s, d) => Search.bm25Upsert(Tables.documents(s, d), kwTerms)),
+    "bm25_delete" -> ((s, d) => Search.bm25Delete(Tables.documents(s, d), kwTerms)),
     "rag_eval_mrr" -> ((s, d) => Search.mrrEval(Tables.embeddings(s, d))),
     "hard_negatives" -> ((s, d) => Search.hardNegatives(Tables.embeddings(s, d))),
     "topic_terms" -> ((s, d) =>
@@ -177,6 +178,7 @@ object SparkEntry {
     "minhash_portable" -> ((s, d) => MinhashPortable.minhashPortable(Tables.documents(s, d))),
     "minhash_lsh_portable" -> ((s, d) => MinhashPortable.minhashLshPortable(Tables.documents(s, d))),
     "minhash_lsh_upsert" -> ((s, d) => MinhashPortable.minhashLshUpsert(Tables.documents(s, d))),
+    "minhash_lsh_delete" -> ((s, d) => MinhashPortable.minhashLshDelete(Tables.documents(s, d))),
     "simhash_portable" -> ((s, d) => MinhashPortable.simhashPortable(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
@@ -200,12 +202,16 @@ object SparkEntry {
     "ann_ivf_tr" -> ((s, d) => Cluster.annIvfTrained(Tables.embeddings(s, d))),
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
     "doc_outlier" -> ((s, d) => Cluster.docOutliers(Tables.embeddings(s, d))),
-    "semdedup" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
-    "semdedup_scaled" -> ((s, d) => Cluster.semdedupScaled(Tables.embeddings(s, d))),
+    // semdedup default = corpus-scaled cluster count (k = clamp(8,64,ceil(n/64)));
+    // the fixed-k=8 form stays as an explicitly-labeled ablation (quadratic in
+    // cell occupancy at organic density — measured r10, SCALING.md).
+    "semdedup" -> ((s, d) => Cluster.semdedupScaled(Tables.embeddings(s, d))),
+    "semdedup_fixed" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
     "ann_pq_tr" -> ((s, d) => ProductQuant.pqSearchTrained(Tables.embeddings(s, d))),
     "ann_pq_rerank" -> ((s, d) => ProductQuant.pqRerank(Tables.embeddings(s, d))),
     "ann_pq_rr_ad" -> ((s, d) => ProductQuant.pqRerankAdaptive(Tables.embeddings(s, d))),
+    "ann_pq_rr_ad_sq8" -> ((s, d) => ScalarQuant.pqSq8RerankAdaptive(Tables.embeddings(s, d))),
     "ann_sq8" -> ((s, d) => ScalarQuant.sq8Search(Tables.embeddings(s, d))),
     "ann_sq8_rr" -> ((s, d) => ScalarQuant.sq8RerankAdaptive(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => ProductQuant.ivfPqSearch(Tables.embeddings(s, d))),
@@ -252,6 +258,7 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => GraphOps.kCore(Tables.lineitem(s, d))),
     "graph_components" -> ((s, d) => GraphOps.connectedComponents(Tables.lineitem(s, d))),
     "graph_components_inc" -> ((s, d) => GraphOps.componentsUpsert(Tables.lineitem(s, d))),
+    "graph_components_del" -> ((s, d) => GraphOps.componentsDelete(Tables.lineitem(s, d))),
     "impact_analysis" -> ((s, d) =>
       GraphOps.impactAnalysis(Tables.orders(s, d), Tables.lineitem(s, d))),
     // --- code intelligence (CodeTransformer analog over a derived corpus) ---
@@ -438,6 +445,7 @@ object SparkEntry {
     "hybrid_search" -> Search.hybridSql(kwTerms),
     "bm25_search" -> Search.bm25Sql(kwTerms),
     "bm25_upsert" -> Search.bm25UpsertSql(kwTerms),
+    "bm25_delete" -> Search.bm25DeleteSql(kwTerms),
     "rag_eval_mrr" -> Search.mrrEvalSql(),
     "hard_negatives" -> Search.hardNegativesSql(),
     "topic_terms" -> Cluster.topicTermsSql(),
@@ -482,12 +490,13 @@ object SparkEntry {
     "budget_sample" -> DomainMix.budgetSampleSql(),
     "doc_cluster" -> Cluster.kmeansSql(),
     "doc_outlier" -> Cluster.docOutliersSql(),
-    "semdedup" -> Cluster.semdedupSql(),
-    "semdedup_scaled" -> Cluster.semdedupScaledSql(),
+    "semdedup" -> Cluster.semdedupScaledSql(),
+    "semdedup_fixed" -> Cluster.semdedupSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
     "ann_pq_tr" -> ProductQuant.pqSearchTrainedSql(),
     "ann_pq_rerank" -> ProductQuant.pqRerankSql(),
     "ann_pq_rr_ad" -> ProductQuant.pqRerankAdaptiveSql(),
+    "ann_pq_rr_ad_sq8" -> ScalarQuant.pqSq8RerankAdaptiveSql(),
     "ann_sq8" -> ScalarQuant.sq8SearchSql(),
     "ann_sq8_rr" -> ScalarQuant.sq8RerankAdaptiveSql(),
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
@@ -511,6 +520,7 @@ object SparkEntry {
     "minhash_portable" -> MinhashPortable.minhashPortableSql(),
     "minhash_lsh_portable" -> MinhashPortable.minhashLshPortableSql(),
     "minhash_lsh_upsert" -> MinhashPortable.minhashLshUpsertSql(),
+    "minhash_lsh_delete" -> MinhashPortable.minhashLshDeleteSql(),
     "simhash_portable" -> MinhashPortable.simhashPortableSql(),
     "dedup_resolve" -> Dedup.resolveSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
@@ -568,6 +578,7 @@ object SparkEntry {
     "graph_kcore" -> GraphOps.kCoreSql(),
     "graph_components" -> GraphOps.componentsSql(),
     "graph_components_inc" -> GraphOps.componentsSql(),
+    "graph_components_del" -> GraphOps.componentsDeleteSql(),
     "graph_path_trace" -> GraphOps.shortestPathTraceSql(),
     "graph_nodes_by_label" -> GraphOps.nodesByLabelSql(),
     "graph_rels_by_type" -> GraphOps.relsByTypeSql(),

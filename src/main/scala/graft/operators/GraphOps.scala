@@ -190,11 +190,13 @@ object GraphOps {
       .distinct()
   }
 
-  private val copurchaseSql: String =
-    """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  private val copurchaseSql: String = copurchaseSqlWhere("")
+
+  private def copurchaseSqlWhere(extra: String): String =
+    s"""SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |FROM lineitem a JOIN lineitem b
       |ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-      |WHERE a.l_orderkey % 100 = 0""".stripMargin
+      |WHERE a.l_orderkey % 100 = 0$extra""".stripMargin
 
   /** BFS shortest-path distances (find_shortest_path analog) from the
     * minimum part id in the co-purchase graph, capped depth. Iterative
@@ -654,6 +656,74 @@ object GraphOps {
     relabel(labelsBase).unionByName(relabel(newNodes))
   }
 
+  /** DELETE direction of connected-components maintenance — the
+    * per-component-scoped recompute the upsert contract documents (edge
+    * deletions can SPLIT a component, so they are not additively
+    * maintainable; the standard answer is recompute scoped by the deleted
+    * edges' labels). Reference analog: graph_service.py:241 delete_node —
+    * Neo4j maintains graph structure through node/relationship deletes.
+    *
+    * A departure batch of orders (delta = l_orderkey%1000 == 0) removes
+    * its within-order part edges. Only components TOUCHED by a deleted
+    * edge can change, and no surviving edge leaves an original component
+    * (components only split under deletion) — so the recompute runs CC on
+    * exactly the touched components' surviving subgraph: O(touched), never
+    * O(graph). Untouched rows of the standing labeling pass through; a
+    * touched-component node that lost all its edges drops out (matching
+    * the full recompute, whose node set is edge-incident nodes). Min-id
+    * labels re-canonicalize per split part for free — labelPropagation
+    * returns the min reachable node id, exactly what the from-scratch
+    * labeling assigns.
+    *
+    * The oracle is the componentsSql full recompute over the POST-DELETE
+    * graph, so the hash gate proves the scoped recompute equals the
+    * global one. */
+  def componentsDelete(lineitem: DataFrame, maxIters: Int = 30): DataFrame = {
+    val isDelOrder = pmod(col("l_orderkey"), lit(1000L)) === 0L
+    // standing labeling over the full graph (persisted table in production)
+    val labelsBase = connectedComponents(lineitem, maxIters)
+    componentsDeleteFrom(labelsBase,
+      copurchase(lineitem.filter(!isDelOrder)),
+      copurchase(lineitem.filter(isDelOrder)), maxIters)
+  }
+
+  /** Production-shaped core of [[componentsDelete]]: given the PERSISTED
+    * standing labeling, the maintained post-delete edge store (an edge
+    * survives iff a surviving order still generates it — the store owns
+    * that multiplicity), and the deleted orders' edge set, emit the
+    * maintained full labeling. Cost at scale: one delta-sized label
+    * lookup, one broadcast semi/anti split of the labeling, CC over the
+    * touched components' subgraph only. */
+  def componentsDeleteFrom(labelsBase: DataFrame, survivingEdges: DataFrame,
+                           delEdges: DataFrame, maxIters: Int = 30): DataFrame = {
+    // component labels touched by a deleted edge — delta-bounded, broadcast
+    val delNodes = delEdges
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+    val touched = delNodes.join(labelsBase, "node").select(col("label")).distinct()
+    // surviving subgraph of the touched components: src-side semi-join is
+    // enough — an edge's endpoints share a component, so dst follows
+    val touchedNodes = labelsBase.join(broadcast(touched), Seq("label"), "left_semi")
+      .select(col("node").as("src"))
+    val subEdges = survivingEdges.join(touchedNodes, Seq("src"), "left_semi")
+    // scoped recompute, merged back WITHOUT a Union: Spark 4.1's
+    // UnionBase.rewriteConstraints throws when anything above a Union
+    // (including localCheckpoint's own execution) pushes constraints into
+    // children that share the labelsBase lineage — so the merge is one
+    // pass over the standing labeling instead: untouched rows keep their
+    // label, touched rows take their recomputed label, touched rows the
+    // recompute no longer covers (all edges gone) drop out. relab is
+    // touched-bounded and materialized (labelPropagation checkpoints its
+    // result), so the node-keyed join is against a small clean scan.
+    val relab = labelPropagation(subEdges, maxIters)
+      .withColumnRenamed("label", "new_label")
+    labelsBase
+      .join(broadcast(touched.withColumn("touched", lit(true))),
+        Seq("label"), "left_outer")
+      .join(relab, Seq("node"), "left_outer")
+      .filter(col("touched").isNull || col("new_label").isNotNull)
+      .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+  }
+
   /** Generic min-label propagation over ANY `(src, dst)` edge table —
     * reused by connectedComponents (co-purchase graph) and by dedup
     * cluster resolution (near-dup pair graph). Returns (node, label)
@@ -899,7 +969,15 @@ object GraphOps {
     * 11 rounds at sf0.01 and 22 at sf0.1; 24 leaves margin. If Spark ever
     * exits unconverged (it warns), the oracle may legitimately differ —
     * that is a real defect worth failing on. */
-  def componentsSql(rounds: Int = 24): String = {
+  def componentsSql(rounds: Int = 24): String =
+    componentsSqlFrom(copurchaseSql, rounds)
+
+  /** Oracle for [[componentsDelete]]: the componentsSql full recompute over
+    * the post-delete co-purchase graph. */
+  def componentsDeleteSql(rounds: Int = 24): String =
+    componentsSqlFrom(copurchaseSqlWhere(" AND a.l_orderkey % 1000 <> 0"), rounds)
+
+  private def componentsSqlFrom(cpSql: String, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""l_$i AS MATERIALIZED (
          |  SELECT l.node, LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
@@ -908,7 +986,7 @@ object GraphOps {
          |  LEFT JOIN l_${i - 1} nl ON e.dst = nl.node
          |  GROUP BY l.node, l.label)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cp AS MATERIALIZED ($copurchaseSql),
+    s"""WITH cp AS MATERIALIZED ($cpSql),
        |l_0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM cp),
        |$steps
        |SELECT node, label FROM l_$rounds""".stripMargin
@@ -1071,6 +1149,7 @@ object GraphOps {
       .select(col("node"), lit(1.0).as("hub")).materialize
     var authRaw: DataFrame = null
     var prevHr: DataFrame = null
+    var finalInputHub: DataFrame = null
     try {
     for (it <- 1 to iters) {
       // The rank vectors are node-sized and GROW WITH THE CORPUS — they
@@ -1105,7 +1184,8 @@ object GraphOps {
       // the superseded hub checkpoint: dead once its consumers (this
       // round's evaluated half-rounds) have run — EXCEPT the final round's
       // input hub, which the post-loop authRaw re-evaluation still reads
-      if (it < iters) release(hub)
+      // (released below once auth is materialized)
+      if (it < iters) release(hub) else finalInputHub = hub
       hub = newHub
     }
     if (prevHr != null) { prevHr.unpersist(blocking = false); prevHr = null }
@@ -1117,6 +1197,9 @@ object GraphOps {
     val authRawP = authRaw.persist()
     val auth = lInfNorm(authRawP, "dst", "auth").materialize
     authRawP.unpersist(blocking = false)
+    // auth is materialized — the final round's input hub checkpoint has no
+    // remaining consumer and can release its node-sized blocks
+    release(finalInputHub)
     auth.select(lit("part").as("node_type"), col("node").as("node_id"),
         col("auth").as("score"))
       .unionAll(hub.select(lit("supplier").as("node_type"), col("node").as("node_id"),

@@ -39,5 +39,5 @@ private[operators] object Iterative {
       try df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
         case _ => ()
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
 }

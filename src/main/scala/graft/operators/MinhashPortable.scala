@@ -187,9 +187,99 @@ object MinhashPortable {
        |FROM full_pairs
        |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin
 
-  def minhashLshPortableSql(nPerms: Int = 16, bands: Int = 4): String = {
+  /** DELETE direction of LSH index maintenance — the retract half of
+    * [[minhashLshUpsert]] (reference analog: graph_service.py:241
+    * delete_node, where Neo4j maintains its indexes through deletes). A
+    * minhash signature is a PURE PER-DOC function, so deletion is exactly
+    * lossless by construction: remove the departing doc_ids' rows from
+    * the persisted signature + band-key tables (a broadcast anti-join
+    * against the tiny delete list; in a doc_id-keyed store, a keyed
+    * delete) — nothing is re-sketched, no surviving doc is touched. The
+    * registered query then emits the surviving near-dup pair set FROM the
+    * maintained index, while the oracle re-sketches the post-delete
+    * corpus from scratch: the hash gate proves the maintained tables are
+    * exactly the from-scratch ones. */
+  def minhashLshDelete(documents: DataFrame, nPerms: Int = 16,
+                       bands: Int = 4): DataFrame = {
+    require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
+    val isDel = pmod(col("doc_id"), lit(10L)) === 0L
+    // standing index over the full corpus (persisted tables in production)
+    val sigBase = minhashPortable(documents, nPerms)
+    minhashLshDeleteFrom(sigBase, bandKeys(sigBase, nPerms / bands),
+      documents.filter(isDel).select(col("doc_id")), nPerms)
+  }
+
+  /** Production-shaped core of [[minhashLshDelete]]: given the PERSISTED
+    * standing index and the delete list (ids only — signatures being pure
+    * per-doc functions, the text is not needed), drop the departing rows
+    * from both tables and emit the surviving candidate pairs. */
+  def minhashLshDeleteFrom(sigBase: DataFrame, keysBase: DataFrame,
+                           delIds: DataFrame, nPerms: Int = 16): DataFrame = {
+    val (sigM, keysM) = lshDeleteArtifacts(sigBase, keysBase, delIds)
+    val cand = keysM.as("a")
+      .join(keysM.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    estJaccard(cand, sigM, nPerms)
+  }
+
+  /** The maintained (signature, band-key) tables after the delete —
+    * package-level so the delete-then-reinsert identity spec can compose
+    * them back through [[minhashLshUpsertFrom]]. */
+  private[graft] def lshDeleteArtifacts(sigBase: DataFrame, keysBase: DataFrame,
+                                        delIds: DataFrame): (DataFrame, DataFrame) =
+    (sigBase.join(delIds, Seq("doc_id"), "left_anti"),
+      keysBase.join(delIds, Seq("doc_id"), "left_anti"))
+
+  /** Oracle for [[minhashLshDelete]]: full from-scratch LSH over the
+    * post-delete corpus. */
+  def minhashLshDeleteSql(nPerms: Int = 16, bands: Int = 4): String =
+    minhashLshPortableSqlFrom("(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
+      nPerms, bands)
+
+  def minhashLshPortableSql(nPerms: Int = 16, bands: Int = 4): String =
+    minhashLshPortableSqlFrom("documents", nPerms, bands)
+
+  /** Batch statement of the HOT-BUCKET-CAPPED streaming near-dedup
+    * contract (Streams.streamingNearDedup maxBucket): pair (a,b), a < b
+    * in arrival (= doc_id) order, is a candidate iff a is among the first
+    * `cap` arrivals of a shared (band, bkey) bucket — the retained set
+    * the capped state compares b against. Scoring is unchanged (est is a
+    * pure signature function), so the capped streaming replay hash-equals
+    * THIS query exactly: the gate proves the bounded form's contract, not
+    * an approximation. */
+  def minhashLshCappedSql(nPerms: Int = 16, bands: Int = 4,
+                          cap: Int = 32): String = {
     val rows = nPerms / bands
     s"""WITH sig AS MATERIALIZED (${minhashPortableSql(nPerms)}),
+       |keys AS (
+       |  SELECT doc_id, CAST(perm // $rows AS BIGINT) AS band,
+       |    STRING_AGG(CAST(minh AS VARCHAR), ',' ORDER BY perm) AS bkey
+       |  FROM sig GROUP BY doc_id, perm // $rows),
+       |rk AS (
+       |  SELECT doc_id, band, bkey,
+       |    ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+       |  FROM keys),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rk a JOIN rk b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  WHERE a.rn <= $cap)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / $nPerms
+       |    AS est_jaccard
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.doc_a
+       |JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+       |GROUP BY c.doc_a, c.doc_b""".stripMargin
+  }
+
+  private def minhashLshPortableSqlFrom(docsRel: String, nPerms: Int,
+                                        bands: Int): String = {
+    val rows = nPerms / bands
+    s"""WITH sig AS MATERIALIZED (${minhashPortableSqlFrom(docsRel, nPerms)}),
        |keys AS (
        |  SELECT doc_id, CAST(perm // $rows AS BIGINT) AS band,
        |    STRING_AGG(CAST(minh AS VARCHAR), ',' ORDER BY perm) AS bkey
@@ -302,8 +392,11 @@ object MinhashPortable {
        |WHERE bit_count(xor(a.fp, b.fp)) <= $maxDist""".stripMargin
 
   def minhashPortableSql(nPerms: Int = 16): String =
+    minhashPortableSqlFrom("documents", nPerms)
+
+  private def minhashPortableSqlFrom(docsRel: String, nPerms: Int): String =
     s"""WITH tk AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM $docsRel),
        |sh AS (
        |  SELECT doc_id,
        |    unnest(list_transform(range(1, len(t) - 1),

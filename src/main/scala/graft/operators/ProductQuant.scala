@@ -751,83 +751,98 @@ object ProductQuant extends Serializable {
     * order as the Scala side, so the pool membership boundary is
     * bit-deterministic cross-engine. */
   def pqRerankAdaptiveSql(m: Int = 32, nCodes: Int = 64, nProbes: Int = 10,
-                          k: Int = 3): String = {
+                          k: Int = 3): String =
+    s"""WITH ${pqPoolCtes(m, nCodes, nProbes, k, "")}
+       |${rerankTailSql("cand", k)}""".stripMargin
+
+  /** Shared exact-cosine rerank tail over a pool CTE — the SQL twin of
+    * [[rerankTail]]. */
+  private[operators] def rerankTailSql(candCte: String, k: Int): String = {
+    val cos = VectorOps.cosineSql("pe.embedding", "ne.embedding")
+    s"""SELECT c.probe_id, c.neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
+       |    ORDER BY $cos DESC, c.neighbor_id) AS BIGINT) AS rn,
+       |  $cos AS score
+       |FROM $candCte c
+       |JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |JOIN embeddings pe ON pe.vec_id = c.probe_id
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
+  /** The PQ adaptive-pool CTE chain, every CTE name prefixed with `pfx`
+    * (final pool CTE = `${pfx}cand` with columns probe_id, neighbor_id) —
+    * so a composed oracle can carry this pool AND the SQ8 pool in one
+    * WITH clause and intersect them. Use sites alias the prefixed names
+    * back to their short forms, keeping the body stable. */
+  private[operators] def pqPoolCtes(m: Int, nCodes: Int, nProbes: Int, k: Int,
+                                    pfx: String): String = {
     val w = Dim / m
     val encL2 = VectorOps.l2Sql("sv.sub_e", "c.emb_sub", w)
-    val cos = VectorOps.cosineSql("pe.embedding", "ne.embedding")
     val pSub = s"(p.pv[ss.s*$w+1 : ss.s*$w+$w])"
     val pNorm = s"sqrt(${VectorOps.dotSql(pSub, pSub, w)})"
-    s"""WITH ss AS (SELECT unnest(range(0, $m)) AS s),
-       |cb AS MATERIALIZED (
+    s"""${pfx}ss AS (SELECT unnest(range(0, $m)) AS s),
+       |${pfx}cb AS MATERIALIZED (
        |  SELECT ss.s, e.vec_id AS code, e.embedding[ss.s*$w+1 : ss.s*$w+$w] AS emb_sub
-       |  FROM embeddings e CROSS JOIN ss
+       |  FROM embeddings e CROSS JOIN ${pfx}ss ss
        |  WHERE e.vec_id < $nCodes),
-       |sv AS MATERIALIZED (
+       |${pfx}sv AS MATERIALIZED (
        |  SELECT e.vec_id, ss.s, e.embedding[ss.s*$w+1 : ss.s*$w+$w] AS sub_e
-       |  FROM embeddings e CROSS JOIN ss),
-       |enc AS MATERIALIZED (
+       |  FROM embeddings e CROSS JOIN ${pfx}ss ss),
+       |${pfx}enc AS MATERIALIZED (
        |  SELECT sv.vec_id, sv.s, c.code
-       |  FROM sv JOIN cb c ON c.s = sv.s
+       |  FROM ${pfx}sv sv JOIN ${pfx}cb c ON c.s = sv.s
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
        |    ORDER BY $encL2 ASC, c.code) = 1),
-       |encp AS MATERIALIZED (
+       |${pfx}encp AS MATERIALIZED (
        |  SELECT vec_id,
        |    ${(0 until m).map(s => s"MAX(CASE WHEN s = $s THEN code END) AS c$s").mkString(", ")}
-       |  FROM enc GROUP BY 1),
-       |probes AS (
+       |  FROM ${pfx}enc GROUP BY 1),
+       |${pfx}probes AS (
        |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < $nProbes),
-       |rv AS MATERIALIZED (
+       |${pfx}rv AS MATERIALIZED (
        |  SELECT sv.vec_id, sv.s, sqrt(MIN($encL2)) AS r
-       |  FROM sv JOIN cb c ON c.s = sv.s GROUP BY 1, 2),
-       |pn AS MATERIALIZED (
+       |  FROM ${pfx}sv sv JOIN ${pfx}cb c ON c.s = sv.s GROUP BY 1, 2),
+       |${pfx}pn AS MATERIALIZED (
        |  SELECT p.probe_id, ss.s, $pNorm AS pnorm
-       |  FROM probes p CROSS JOIN ss),
-       |epsv AS MATERIALIZED (
+       |  FROM ${pfx}probes p CROSS JOIN ${pfx}ss ss),
+       |${pfx}epsv AS MATERIALIZED (
        |  SELECT pn.probe_id, rv.vec_id AS neighbor_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list(pn.pnorm * rv.r ORDER BY rv.s)), (a, b) -> a + b) AS eps
-       |  FROM pn JOIN rv ON pn.s = rv.s GROUP BY 1, 2),
-       |pf AS MATERIALIZED (
+       |  FROM ${pfx}pn pn JOIN ${pfx}rv rv ON pn.s = rv.s GROUP BY 1, 2),
+       |${pfx}pf AS MATERIALIZED (
        |  SELECT p.probe_id, sqrt(${VectorOps.dotSql("p.pv", "p.pv")}) AS pnf
-       |  FROM probes p),
-       |nrm AS MATERIALIZED (
+       |  FROM ${pfx}probes p),
+       |${pfx}nrm AS MATERIALIZED (
        |  SELECT e.vec_id, sqrt(${VectorOps.dotSql("e.embedding", "e.embedding")}) AS nv
        |  FROM embeddings e),
-       |scored AS MATERIALIZED (
+       |${pfx}scored AS MATERIALIZED (
        |  SELECT p.probe_id, n.vec_id AS neighbor_id,
        |    ${(0 until m).map(s =>
              VectorOps.dotSql(s"(p.pv[$s*$w+1 : $s*$w+$w])", s"cb$s.emb_sub", w))
              .reduce((a, b) => s"($a + $b)")} AS approx_score
-       |  FROM encp n
-       |  ${(0 until m).map(s => s"JOIN cb cb$s ON cb$s.s = $s AND cb$s.code = n.c$s").mkString("\n  ")}
-       |  CROSS JOIN probes p
+       |  FROM ${pfx}encp n
+       |  ${(0 until m).map(s => s"JOIN ${pfx}cb cb$s ON cb$s.s = $s AND cb$s.code = n.c$s").mkString("\n  ")}
+       |  CROSS JOIN ${pfx}probes p
        |  WHERE n.vec_id <> p.probe_id),
-       |se AS MATERIALIZED (
+       |${pfx}se AS MATERIALIZED (
        |  SELECT s.probe_id, s.neighbor_id,
        |    (s.approx_score - e.eps) / (pf.pnf * nr.nv) AS lb,
        |    (s.approx_score + e.eps) / (pf.pnf * nr.nv) AS ub
-       |  FROM scored s
-       |  JOIN epsv e ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id
-       |  JOIN pf ON pf.probe_id = s.probe_id
-       |  JOIN nrm nr ON nr.vec_id = s.neighbor_id),
-       |kth AS (
+       |  FROM ${pfx}scored s
+       |  JOIN ${pfx}epsv e ON e.probe_id = s.probe_id AND e.neighbor_id = s.neighbor_id
+       |  JOIN ${pfx}pf pf ON pf.probe_id = s.probe_id
+       |  JOIN ${pfx}nrm nr ON nr.vec_id = s.neighbor_id),
+       |${pfx}kth AS (
        |  SELECT probe_id, lb AS kth_lb FROM (
        |    SELECT probe_id, lb,
        |      ROW_NUMBER() OVER (PARTITION BY probe_id
        |        ORDER BY lb DESC, neighbor_id) AS rn
-       |    FROM se) WHERE rn = $k),
-       |cand AS MATERIALIZED (
-       |  SELECT s.probe_id, s.neighbor_id FROM se s
-       |  LEFT JOIN kth t ON t.probe_id = s.probe_id
-       |  WHERE s.ub >= COALESCE(t.kth_lb, -1e308))
-       |SELECT c.probe_id, c.neighbor_id,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id
-       |    ORDER BY $cos DESC, c.neighbor_id) AS BIGINT) AS rn,
-       |  $cos AS score
-       |FROM cand c
-       |JOIN embeddings ne ON ne.vec_id = c.neighbor_id
-       |JOIN embeddings pe ON pe.vec_id = c.probe_id
-       |QUALIFY rn <= $k""".stripMargin
+       |    FROM ${pfx}se) WHERE rn = $k),
+       |${pfx}cand AS MATERIALIZED (
+       |  SELECT s.probe_id, s.neighbor_id FROM ${pfx}se s
+       |  LEFT JOIN ${pfx}kth t ON t.probe_id = s.probe_id
+       |  WHERE s.ub >= COALESCE(t.kth_lb, -1e308))""".stripMargin
   }
 
   /** Trained-PQ oracle: the per-subspace Lloyd loop replayed generically —

@@ -823,12 +823,22 @@ object Search {
     val scM = scBase.crossJoin(scD).select(
       (col("n_docs") + col("n_docs_d")).as("n_docs"),
       (col("sum_len") + coalesce(col("sum_len_d"), lit(0L))).as("sum_len"))
-    // score from the maintained index: tf via a query-term pivot over the
-    // postings (at scale: a pushed term filter), stats via one broadcast row
+    bm25ScoreFromIndex(postBase.union(postD), dlBase.union(dlD), dfM, scM,
+      terms, k1, b, limit)
+  }
+
+  /** Score fixed query terms FROM maintained index artifacts — the tail
+    * shared by the upsert and delete directions of BM25 index
+    * maintenance: tf via a query-term pivot over the postings (at scale:
+    * a pushed term filter over term-bucketed postings), df/N/avgdl via
+    * one broadcast stats row, doclens joined per scoring row. */
+  private def bm25ScoreFromIndex(postings: DataFrame, doclens: DataFrame,
+                                 dfM: DataFrame, scM: DataFrame, terms: Seq[String],
+                                 k1: Double, b: Double, limit: Int): DataFrame = {
     def pivot(value: Column, prefix: String): Seq[Column] = terms.indices.map(i =>
       coalesce(sum(when(col("term") === terms(i), value)), lit(0L))
         .as(s"$prefix$i"))
-    val qpost = postBase.union(postD).filter(col("term").isin(terms: _*))
+    val qpost = postings.filter(col("term").isin(terms: _*))
     val tfCols = pivot(col("n_occ"), "tf_")
     val tfs = qpost.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
     val dfColsP = pivot(col("df"), "df_")
@@ -844,7 +854,7 @@ object Search {
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len").cast("double") / avgdl)))
     }
     val score = terms.indices.map(tscore).reduce(_ + _)
-    tfs.join(dlBase.union(dlD), Seq("doc_id"))
+    tfs.join(doclens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), score.as("score"))
       .filter(col("score") > 0.0)
@@ -852,11 +862,95 @@ object Search {
       .limit(limit)
   }
 
+  /** DELETE direction of BM25 index maintenance — the retract half the
+    * upsert scaladoc declares possible: every index artifact is ADDITIVE,
+    * so a departure batch (delta = doc_id%10 == 0, the deterministic
+    * stand-in for "just deleted") maintains the standing index with
+    * O(Δ text) tokenize work and exact SUBTRACTION — postings/doclens
+    * drop the deleted doc_ids (per-(term,doc) rows make that an anti-join
+    * against the delete list; at scale a broadcast anti-join over the
+    * query-term-pruned slice), df decrements by the deleted docs that
+    * contained each term, the corpus scalars subtract. No surviving text
+    * is ever re-read. Reference analog: graph_service.py:241 delete_node —
+    * Neo4j maintains its fulltext index through entity deletes.
+    *
+    * The oracle recomputes BM25 from scratch over the POST-DELETE corpus,
+    * so the hash gate proves subtractive maintenance exact: a stale df, a
+    * surviving posting of a deleted doc, or an unsubtracted scalar breaks
+    * the hash. Exactness is structural, not approximate: counts subtract
+    * to precisely the survivor-only values (unlike sketch families where
+    * deletes need turnstile variants). */
+  def bm25Delete(documents: DataFrame, terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75, limit: Int = 30): DataFrame = {
+    val isDel = pmod(col("doc_id"), lit(10L)) === 0L
+    // standing index over the full corpus (persisted tables in production)
+    val (postBase, dlBase) = bm25IndexParts(documents)
+    val dfBase = postBase.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scBase = dlBase.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    bm25DeleteFrom(postBase, dlBase, dfBase, scBase,
+      documents.filter(isDel), terms, k1, b, limit)
+  }
+
+  /** Production-shaped core of [[bm25Delete]]: given the PERSISTED
+    * standing index and the departing docs (id + text — in an engine that
+    * stores postings doc-keyed, the text re-tokenize is replaced by a
+    * doc-keyed postings fetch; both are O(Δ)), subtract their
+    * contributions from all four artifacts and score the query terms from
+    * the result. */
+  def bm25DeleteFrom(postBase: DataFrame, dlBase: DataFrame, dfBase: DataFrame,
+                     scBase: DataFrame, delDocs: DataFrame, terms: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75, limit: Int = 30): DataFrame = {
+    val (postM, dlM, dfM, scM) =
+      bm25DeleteArtifacts(postBase, dlBase, dfBase, scBase, delDocs)
+    bm25ScoreFromIndex(postM, dlM, dfM, scM, terms, k1, b, limit)
+  }
+
+  /** The maintained (postings, doclens, df, scalars) after the delete —
+    * package-level so the delete-then-reinsert identity spec can compose
+    * them back through [[bm25UpsertFrom]]. */
+  private[graft] def bm25DeleteArtifacts(
+      postBase: DataFrame, dlBase: DataFrame, dfBase: DataFrame,
+      scBase: DataFrame, delDocs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (postD, dlD) = bm25IndexParts(delDocs)
+    val delIds = delDocs.select(col("doc_id"))
+    // subtractive maintenance: df decrements (terms reaching 0 drop out of
+    // the dictionary), scalars subtract, postings/doclens anti-join the
+    // delete list (broadcast at scale — the delete batch is tiny)
+    val dfD = postD.groupBy(col("term")).agg(count(lit(1)).as("df_d"))
+    val dfM = dfBase.join(dfD, Seq("term"), "left_outer")
+      .select(col("term"),
+        (col("df") - coalesce(col("df_d"), lit(0L))).as("df"))
+      .filter(col("df") > 0L)
+    val scD = dlD.agg(count(lit(1)).as("n_docs_d"), sum(col("len")).as("sum_len_d"))
+    val scM = scBase.crossJoin(scD).select(
+      (col("n_docs") - col("n_docs_d")).as("n_docs"),
+      (col("sum_len") - coalesce(col("sum_len_d"), lit(0L))).as("sum_len"))
+    // re-select canonical column order: the USING anti-join fronts the key
+    // column, and downstream unions (bm25UpsertFrom's positional
+    // postBase.union(postD)) align by position
+    val postM = postBase.join(delIds, Seq("doc_id"), "left_anti")
+      .select(col("term"), col("doc_id"), col("n_occ"))
+    val dlM = dlBase.join(delIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("len"))
+    (postM, dlM, dfM, scM)
+  }
+
   /** Oracle for [[bm25Upsert]]: full-corpus from-scratch BM25 over the
     * SAME tokenized-tf definition — identical output iff the additive
     * index maintenance loses (and invents) nothing. */
   def bm25UpsertSql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-                    limit: Int = 30): String = {
+                    limit: Int = 30): String =
+    bm25TokenizedSql("documents", terms, k1, b, limit)
+
+  /** Oracle for [[bm25Delete]]: from-scratch BM25 over the POST-DELETE
+    * corpus — identical output iff subtractive maintenance is exact. */
+  def bm25DeleteSql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                    limit: Int = 30): String =
+    bm25TokenizedSql("(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
+      terms, k1, b, limit)
+
+  private def bm25TokenizedSql(docsRel: String, terms: Seq[String], k1: Double,
+                               b: Double, limit: Int): String = {
     val tfJoins = terms.indices.map(i =>
       s"LEFT JOIN post p$i ON p$i.doc_id = dl.doc_id AND p$i.term = '${terms(i)}'")
       .mkString("\n       |  ")
@@ -873,13 +967,13 @@ object Search {
     }.reduce((a, c) => s"($a + $c)")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
-       |  FROM documents),
+       |  FROM $docsRel),
        |post AS MATERIALIZED (
        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
        |  FROM toks GROUP BY 1, 2),
        |dl AS (
        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS len
-       |  FROM documents),
+       |  FROM $docsRel),
        |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len FROM dl),
        |f AS (

@@ -93,11 +93,15 @@ object SqlAnalyze {
   // requires the AS-paren, so INSERT's `(id, v) VALUES (n, 1)` commas
   // cannot false-positive
   private val CtePat = """(?i)(?:\bWITH|,)\s*(\w+)\s+AS\s*\("""
-  // statement type of a WITH query = the keyword after the CTE close-paren
-  // (sqlglot reports the MAIN statement's class, not 'with'); the lazy
-  // `.*?\)` is correct while CTE bodies are paren-free — the corpus
-  // guarantees that, and the spec pins it as the rule's documented scope
-  private val WithTypePat = """(?is)^\s*WITH\b.*?\)\s*(\w+)"""
+  // statement type of a WITH query = the statement keyword after a CTE
+  // close-paren (sqlglot reports the MAIN statement's class, not 'with').
+  // Anchored on the statement keywords (ADVICE r10): a paren inside a CTE
+  // body — `f(x)`, a subquery — closes into FROM/ON/operators, never into
+  // a bare statement keyword, so the lazy scan skips it; only `) SELECT`
+  // etc. terminates. Still not a full paren-balance parse (a CTE body
+  // containing a literal `) SELECT` sequence would misclassify) — the
+  // spec pins that as out of scope.
+  private val WithTypePat = """(?is)^\s*WITH\b.*?\)\s*(SELECT|INSERT|UPDATE|DELETE)\b"""
 
   /** Per query: statement type (first keyword; for WITH queries the main
     * statement's keyword — the sql_type analog of
@@ -147,7 +151,7 @@ object SqlAnalyze {
        |  FROM q)
        |SELECT query_id,
        |  CASE WHEN kw1 = 'with'
-       |       THEN lower(regexp_extract(sql, '(?is)^\\s*WITH\\b.*?\\)\\s*(\\w+)', 1))
+       |       THEN lower(regexp_extract(sql, '(?is)^\\s*WITH\\b.*?\\)\\s*(SELECT|INSERT|UPDATE|DELETE)\\b', 1))
        |       ELSE kw1 END AS sql_type,
        |  coalesce(array_to_string(list_sort(ctes), ','), '') AS ctes,
        |  coalesce(array_to_string(list_sort(list_filter(tabs,

@@ -34,6 +34,33 @@ object StreamReplay {
   private val nameCtr = new AtomicLong(0L)
   private val FlushGapMs = 7200000L // 2 h past the last event: closes every window
 
+  /** Per-replay phase decomposition (r10 verdict item 3): the replay's
+    * wall time is EXECUTION (stream start → processAllAvailable → stop —
+    * the part that measures the operators) plus harness fixed costs —
+    * STAGING (batch-file build; cached, so reps past the first pay ~0)
+    * and SINK round-trip (parquet sink read-back + localCheckpoint +
+    * teardown). The fixed costs are driver-latency-bound and swing
+    * ±20–30% with ambient load, which made cross-round stream medians
+    * incomparable; recording the phases separately lets the bench publish
+    * an execution median the fixed-cost column absorbs the variance of.
+    * Entries are (phase, seconds); drained by the bench after each rep. */
+  private val timingLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+
+  /** Drain and return all phase timings recorded since the last drain. */
+  def drainTimings(): Seq[(String, Double)] = {
+    val b = Seq.newBuilder[(String, Double)]
+    var e = timingLog.poll()
+    while (e != null) { b += e; e = timingLog.poll() }
+    b.result()
+  }
+
+  private def timed[A](phase: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    try body
+    finally timingLog.add((phase, (System.nanoTime() - t0) / 1e9))
+  }
+
   /** One checkpoint root shared by every replay, created once and placed on
     * tmpfs when available: the per-replay fixed cost is dominated by the
     * offset/commit/state-file writes of ~5 micro-batches × 4 partitions per
@@ -137,7 +164,7 @@ object StreamReplay {
       val ckpt = ckptRoot.resolve(name)
       val enc = implicitly[Encoder[T]]
       try {
-        val srcDir = stagedSrc.getOrElseUpdate(cacheKey, {
+        val srcDir = timed("staging") { stagedSrc.getOrElseUpdate(cacheKey, {
           val dir = ckptRoot.resolve(name + "_src")
           java.nio.file.Files.createDirectories(dir)
           batches.filter(_.nonEmpty).zipWithIndex.foreach { case (b, i) =>
@@ -166,7 +193,7 @@ object StreamReplay {
             dest.toFile.setLastModified(1000000000000L + i * 60000L)
           }
           dir
-        })
+        }) }
         val input = spark.readStream.schema(enc.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir.toString)
@@ -179,16 +206,20 @@ object StreamReplay {
         val outDir = ckptRoot.resolve(name + "_out")
         val built = build(input)
         val outSchema = built.schema
-        val q = built.writeStream.format("parquet")
-          .option("path", outDir.toString)
-          .option("checkpointLocation", ckpt.toString)
-          .outputMode(OutputMode.Append()).start()
-        try q.processAllAvailable()
-        finally q.stop()
-        val out = spark.read.schema(outSchema).parquet(outDir.toString)
-          .localCheckpoint() // eager: materialized before outDir is deleted
-        deleteRecursively(outDir)
-        out
+        timed("exec") {
+          val q = built.writeStream.format("parquet")
+            .option("path", outDir.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode(OutputMode.Append()).start()
+          try q.processAllAvailable()
+          finally q.stop()
+        }
+        timed("sink") {
+          val out = spark.read.schema(outSchema).parquet(outDir.toString)
+            .localCheckpoint() // eager: materialized before outDir is deleted
+          deleteRecursively(outDir)
+          out
+        }
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.conf.set(noDataKey, prevNoData)
@@ -383,8 +414,11 @@ object StreamReplay {
       .distinct()
   }
 
+  /** Oracle = the capped-contract batch statement (rank-qualified bucket
+    * membership), matching streamingNearDedup's maxBucket=32 default —
+    * the gate proves the BOUNDED form's exact contract. */
   val streamNearDedupSql: String =
-    graft.operators.MinhashPortable.minhashLshPortableSql()
+    graft.operators.MinhashPortable.minhashLshCappedSql(cap = 32)
 
   /** The oracle groups by TEXT where Spark groups by its 64-bit content
     * hash — they differ only if two distinct texts collide (≈ n²/2⁶⁵, the

@@ -192,13 +192,28 @@ object Streams {
     * the same index expressed as streaming state. A pair shared by several
     * bands re-emits identically (est is a pure signature function); the
     * sink dedups with a distinct. At 100 TB/day buckets shard across
-    * executors (RocksDB state); degenerate hot buckets are the same skew
-    * the batch join has, bounded by banding itself. Emission is
-    * data-driven — no watermark or flush needed; replays converge to the
-    * batch LSH answer, which the oracle states as a hash
-    * (stream_near_dedup's oracle IS minhashLshPortableSql). */
+    * executors (RocksDB state).
+    *
+    * HOT-BUCKET BOUND (r10 verdict item 4): unbounded, a degenerate
+    * bucket (boilerplate near-identical docs) grows its state row and its
+    * per-arrival emission linearly with corpus redundancy — the one
+    * streaming operator whose state lacked the family's usual bound
+    * (dedup_containment caps via maxDf). `maxBucket` caps both: a bucket
+    * retains only its FIRST `maxBucket` signatures (arrival order — the
+    * replay feeds doc_id order), so state is ≤ maxBucket rows per bucket
+    * and an arrival emits ≤ maxBucket pairs per band. The bounded
+    * contract stays EXACT and oracle-checkable: pair (a,b), a earlier, is
+    * emitted iff a is among the first maxBucket arrivals of a shared
+    * bucket — minhashLshCappedSql states precisely that (rank qualifier
+    * over the bucket membership), so the hash gate proves the bounded
+    * form, not an approximation of the unbounded one. Recall loss only
+    * touches pairs BOTH inside a hot bucket's tail — within-tail
+    * duplicates of already-reported content (measured on the 10× replay;
+    * SCALING.md). Emission is data-driven — no watermark or flush needed;
+    * replays converge to the capped batch answer. */
   def streamingNearDedup(docs: Dataset[Doc], nPerms: Int = 16,
-                         bands: Int = 4): Dataset[NearDupPair] = {
+                         bands: Int = 4,
+                         maxBucket: Int = 32): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
     require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
     val rows = nPerms / bands
@@ -218,7 +233,11 @@ object Streams {
               math.max(prev.doc_id, docId), eq.toDouble / sig.length)
           }
         }
-        seen = seen :+ BucketDoc(docId, sig)
+        // retain-first cap: the bucket keeps its first maxBucket
+        // signatures; later arrivals still compare against the retained
+        // set (and emit) but are not added — state and per-arrival
+        // emission both bounded by maxBucket
+        if (seen.size < maxBucket) seen = seen :+ BucketDoc(docId, sig)
       }
       state.update(BucketState(seen))
       out.iterator

@@ -56,6 +56,12 @@ object AdaptiveProbe {
           nProbeCells = 4))),
       ("ann_sq8_rr", () => ScalarQuant.sq8RerankAdaptive(emb),
         Some(() => ScalarQuant.sq8AdaptivePool(emb, 10, 3))),
+      // r11: PQ pool ∩ SQ8 pool — both contain the exact top-k, the
+      // intersection fetches the fewest raw vectors
+      ("ann_pq_rr_ad_sq8", () => ScalarQuant.pqSq8RerankAdaptive(emb),
+        Some(() => ProductQuant.pqAdaptivePool(emb, 32, 64, 10, 3)
+          .join(ScalarQuant.sq8AdaptivePool(emb, 10, 3),
+            Seq("probe_id", "neighbor_id"), "left_semi"))),
       ("ann_ivf_pq_rr_d30", () => ProductQuant.ivfPqRerank(emb), None),
       ("ann_ivf_pq_rr_d300", () => ProductQuant.ivfPqRerank(emb, depth = 300), None),
       ("ann_pq_rr_d300", () => ProductQuant.pqRerank(emb, depth = 300), None),

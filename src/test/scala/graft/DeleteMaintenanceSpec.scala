@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphOps, MinhashPortable, Search}
+
+/** The DELETE direction of the index-maintenance family (bm25_delete /
+  * minhash_lsh_delete / graph_components_del): subtractive maintenance must
+  * equal the from-scratch recompute on the post-delete corpus, and
+  * delete-then-reinsert of the same batch must be the identity on the
+  * index (composed through the public upsert surfaces). */
+class DeleteMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("bm25_delete: subtractive maintenance == from-scratch survivor index") {
+    val terms = Seq("alpha", "beta")
+    // 10 and 20 are deleted (%10==0). 10 is the ONLY doc with 'beta' among
+    // the survivors' complement — its df must reach 0 and drop out; 20
+    // carries both terms so both df columns decrement.
+    val all = docs(Seq(
+      (1L, "alpha x y alpha z"), (2L, "x y z w"), (3L, "alpha q r"),
+      (10L, "beta beta n m"), (20L, "alpha beta k")))
+    val del = Search.bm25Delete(all, terms).as[(Long, Double)].collect().toSeq
+    // from-scratch reference: index built over survivors only, scored with
+    // an empty delete batch
+    val survivors = all.filter(col("doc_id") % 10 =!= 0)
+    val (post, dl) = Search.bm25IndexParts(survivors)
+    val dfF = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scF = dl.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    val scratch = Search.bm25DeleteFrom(post, dl, dfF, scF,
+      docs(Seq.empty[(Long, String)]), terms).as[(Long, Double)].collect().toSeq
+    assert(del == scratch, s"subtractive != from-scratch: $del vs $scratch")
+    val ids = del.map(_._1)
+    assert(ids.toSet == Set(1L, 3L), "deleted docs leaked or survivors lost")
+  }
+
+  test("bm25 delete-then-reinsert is the identity (composed via upsert)") {
+    val terms = Seq("alpha", "beta")
+    val all = docs(Seq(
+      (1L, "alpha x y alpha z"), (2L, "x y z w"), (3L, "alpha q r"),
+      (10L, "beta beta n m"), (20L, "alpha beta k")))
+    val batch = all.filter(col("doc_id") % 10 === 0)
+    // full standing index → delete the batch → reinsert the same batch
+    val (post, dl) = Search.bm25IndexParts(all)
+    val dfF = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scF = dl.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    val (postM, dlM, dfM, scM) = Search.bm25DeleteArtifacts(post, dl, dfF, scF, batch)
+    val roundTrip = Search.bm25UpsertFrom(postM, dlM, dfM, scM, batch, terms)
+      .as[(Long, Double)].collect().toSeq
+    // identity reference: the untouched full index scored directly
+    val direct = Search.bm25UpsertFrom(post, dl, dfF, scF,
+      docs(Seq.empty[(Long, String)]), terms).as[(Long, Double)].collect().toSeq
+    assert(roundTrip == direct, s"delete+reinsert != identity: $roundTrip vs $direct")
+  }
+
+  test("minhash_lsh_delete: maintained index == from-scratch survivor sketch") {
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (50 to 80).map(i => s"b$i").mkString(" ")
+    // pair (10,11) dies with deleted 10; pair (1,2) survives untouched;
+    // deleted 20 pairs with nothing after the delete
+    val all = docs(Seq((10L, a), (11L, a), (1L, b), (2L, b), (20L, a)))
+    val del = MinhashPortable.minhashLshDelete(all)
+      .as[(Long, Long, Double)].collect().toSet
+    val scratch = MinhashPortable.minhashLshPortable(
+        all.filter(col("doc_id") % 10 =!= 0))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(del == scratch, s"maintained != from-scratch: $del vs $scratch")
+    assert(del.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
+  test("minhash_lsh delete-then-reinsert is the identity (composed via upsert)") {
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val all = docs(Seq((10L, a), (11L, a), (20L, a)))
+    val batch = all.filter(col("doc_id") % 10 === 0)
+    val sig = MinhashPortable.minhashPortable(all)
+    val keys = MinhashPortable.bandKeys(sig, 4)
+    val (sigM, keysM) = MinhashPortable.lshDeleteArtifacts(
+      sig, keys, batch.select(col("doc_id")))
+    // reinsert through the upsert path: pairs touching the batch
+    val roundTrip = MinhashPortable.minhashLshUpsertFrom(sigM, keysM, batch)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = MinhashPortable.minhashLshPortable(all)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0).toSet
+    assert(roundTrip == direct, s"delete+reinsert != identity: $roundTrip vs $direct")
+  }
+
+  test("graph_components_del: scoped recompute splits only touched components") {
+    // base orders (all %100==0, %1000!=0): {1,2,3} chained via orders
+    // 1100/2100, {8,9} via 3100, {20,21} via 4100. Deleted order 5000
+    // (%1000==0) is the ONLY bridge 3—8: deleting it splits the merged
+    // {1,2,3,8,9} back into {1,2,3} and {8,9}; {20,21} untouched.
+    val mk = (rows: Seq[(Long, Long)]) => rows.toDF("l_orderkey", "l_partkey")
+    val li = mk(Seq((1100L, 1L), (1100L, 2L), (2100L, 2L), (2100L, 3L),
+      (3100L, 9L), (3100L, 8L), (4100L, 20L), (4100L, 21L),
+      (5000L, 3L), (5000L, 8L)))
+    val out = GraphOps.componentsDelete(li).as[(Long, Long)].collect().toMap
+    val scratch = GraphOps.connectedComponents(
+        li.filter(col("l_orderkey") % 1000 =!= 0))
+      .as[(Long, Long)].collect().toMap
+    assert(out == scratch, s"scoped != full recompute: $out vs $scratch")
+    assert(Seq(1L, 2L, 3L).forall(out(_) == 1L) && Seq(8L, 9L).forall(out(_) == 8L),
+      "split did not re-canonicalize the two parts")
+    assert(out(20L) == 20L && out(21L) == 20L, "untouched component relabeled")
+  }
+
+  test("graph_components_del: node losing all edges drops out; " +
+       "delete-then-reinsert is the identity") {
+    // order 5000 is the only order containing part 50 → after deletion 50
+    // must vanish from the labeling (full recompute has no such node)
+    val mk = (rows: Seq[(Long, Long)]) => rows.toDF("l_orderkey", "l_partkey")
+    val li = mk(Seq((1100L, 1L), (1100L, 2L), (3100L, 9L), (3100L, 8L),
+      (5000L, 2L), (5000L, 50L), (5000L, 8L)))
+    val afterDel = GraphOps.componentsDelete(li).as[(Long, Long)].collect().toMap
+    assert(!afterDel.contains(50L), "orphaned node survived the delete")
+    assert(afterDel == Map(1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
+    // reinsert the deleted order's edges through the upsert path: the
+    // standing labeling must return to the full-graph labeling
+    val delEdges = GraphOps.copurchase(li.filter(col("l_orderkey") % 1000 === 0))
+    val labelsAfterDel = GraphOps.componentsDelete(li)
+    val roundTrip = GraphOps.componentsUpsertFrom(labelsAfterDel, delEdges)
+      .as[(Long, Long)].collect().toMap
+    val full = GraphOps.connectedComponents(li).as[(Long, Long)].collect().toMap
+    assert(roundTrip == full, s"delete+reinsert != identity: $roundTrip vs $full")
+  }
+}

@@ -100,6 +100,36 @@ class StreamingSpec extends SparkSpec {
       "unrelated doc paired")
   }
 
+  test("streaming near-dedup hot-bucket cap bounds state and matches the capped contract") {
+    implicit val sqlCtx = spark.sqlContext
+    // planted hot bucket: 8 IDENTICAL docs — same signature, so every band
+    // lands them in one bucket. cap=3: the bucket retains only the first 3
+    // arrivals, so doc b pairs exactly with {a ∈ first 3 : a < b} —
+    // 7+6+5 = 18 pairs, not the unbounded 8·7/2 = 28. Retention capped ⇒
+    // state ≤ cap signatures per bucket and ≤ cap emissions per arrival.
+    val hot = (1 to 30).map(i => s"h$i").mkString(" ")
+    val input = MemoryStream[Streams.Doc]
+    val q = Streams.streamingNearDedup(input.toDS(), maxBucket = 3)
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode(OutputMode.Append()).start()
+    // split across batches: the cap must hold through state, not batch-local
+    input.addData((1 to 4).map(i => Streams.Doc(i.toLong, hot)): _*)
+    q.processAllAvailable()
+    input.addData((5 to 8).map(i => Streams.Doc(i.toLong, hot)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup_cap").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = (for { a <- 1L to 3L; b <- (a + 1) to 8L } yield (a, b, 1.0)).toSet
+    assert(streamed == expected,
+      s"capped stream != capped contract: $streamed vs $expected")
+    // and the capped contract is what the registered oracle states: the
+    // rank-qualified batch SQL emits the same pair set by construction
+    // (rank(a) <= cap in the shared bucket) — pinned here in Scala
+    assert(streamed.size == 18 && !streamed.exists(_._1 > 3L),
+      "a beyond-cap doc was retained and paired as the earlier side")
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
