@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Extra -D flags for forked JVMs (e.g. the reliable-checkpoint gate run:
+// GRAFT_EXTRA_JAVA_OPTS="-Dspark.graft.reliableCheckpoint=true
+// -Dspark.checkpoint.dir=/tmp/graft-ckpt" — spark.* system properties
+// flow into every SparkConf the suite builds).
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq).getOrElse(Nil)
