@@ -179,6 +179,8 @@ object SparkEntry {
     "minhash_lsh_portable" -> ((s, d) => MinhashPortable.minhashLshPortable(Tables.documents(s, d))),
     "minhash_lsh_upsert" -> ((s, d) => MinhashPortable.minhashLshUpsert(Tables.documents(s, d))),
     "minhash_lsh_delete" -> ((s, d) => MinhashPortable.minhashLshDelete(Tables.documents(s, d))),
+    "minhash_lsh_delete_retired" -> ((s, d) =>
+      MinhashPortable.minhashLshDeleteRetired(Tables.documents(s, d))),
     "simhash_portable" -> ((s, d) => MinhashPortable.simhashPortable(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
@@ -521,6 +523,7 @@ object SparkEntry {
     "minhash_lsh_portable" -> MinhashPortable.minhashLshPortableSql(),
     "minhash_lsh_upsert" -> MinhashPortable.minhashLshUpsertSql(),
     "minhash_lsh_delete" -> MinhashPortable.minhashLshDeleteSql(),
+    "minhash_lsh_delete_retired" -> MinhashPortable.minhashLshDeleteRetiredSql(),
     "simhash_portable" -> MinhashPortable.simhashPortableSql(),
     "dedup_resolve" -> Dedup.resolveSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only

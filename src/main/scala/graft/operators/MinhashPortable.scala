@@ -239,6 +239,47 @@ object MinhashPortable {
     minhashLshPortableSqlFrom("(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
       nPerms, bands)
 
+  /** The DELTA-BOUNDED output of LSH deletion — the pairs the delete
+    * RETIRES (every standing near-dup pair touching a departing doc):
+    * what a maintained pair/cluster table subtracts, mirroring
+    * minhash_lsh_upsert's delta-bounded insert output. The 100× A/B
+    * (SCALING.md r11) showed the full-surviving-pair emission of
+    * [[minhashLshDelete]] is O(index) regardless of maintenance cost;
+    * THIS is the production query shape — the departing docs' band keys
+    * equi-join the standing index, output O(Δ·bucket), nothing
+    * re-sketched. Tagged del_del / del_base like the upsert twin. */
+  def minhashLshDeleteRetired(documents: DataFrame, nPerms: Int = 16,
+                              bands: Int = 4): DataFrame = {
+    require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
+    val isDel = pmod(col("doc_id"), lit(10L)) === 0L
+    val sigBase = minhashPortable(documents, nPerms)
+    val keysBase = bandKeys(sigBase, nPerms / bands)
+    val delIds = documents.filter(isDel).select(col("doc_id"))
+    val keysDel = keysBase.join(delIds, Seq("doc_id"), "left_semi")
+    val cand = keysDel.as("d")
+      .join(keysBase.as("x"),
+        col("d.band") === col("x.band") && col("d.bkey") === col("x.bkey") &&
+          col("d.doc_id") =!= col("x.doc_id"))
+      .select(
+        least(col("d.doc_id"), col("x.doc_id")).as("doc_a"),
+        greatest(col("d.doc_id"), col("x.doc_id")).as("doc_b"))
+      .distinct()
+    estJaccard(cand, sigBase, nPerms)
+      .withColumn("kind",
+        when(pmod(col("doc_a"), lit(10L)) === 0L && pmod(col("doc_b"), lit(10L)) === 0L,
+          lit("del_del")).otherwise(lit("del_base")))
+  }
+
+  /** Oracle for [[minhashLshDeleteRetired]]: the full-corpus pair set
+    * restricted to pairs touching a deleted doc. */
+  def minhashLshDeleteRetiredSql(nPerms: Int = 16, bands: Int = 4): String =
+    s"""WITH full_pairs AS MATERIALIZED (${minhashLshPortableSql(nPerms, bands)})
+       |SELECT doc_a, doc_b, est_jaccard,
+       |  CASE WHEN doc_a % 10 = 0 AND doc_b % 10 = 0 THEN 'del_del'
+       |       ELSE 'del_base' END AS kind
+       |FROM full_pairs
+       |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin
+
   def minhashLshPortableSql(nPerms: Int = 16, bands: Int = 4): String =
     minhashLshPortableSqlFrom("documents", nPerms, bands)
 

@@ -89,6 +89,25 @@ class DeleteMaintenanceSpec extends SparkSpec {
     assert(roundTrip == direct, s"delete+reinsert != identity: $roundTrip vs $direct")
   }
 
+  test("minhash_lsh_delete_retired: retired ⊎ surviving partitions the full pair set") {
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (50 to 80).map(i => s"b$i").mkString(" ")
+    val all = docs(Seq((10L, a), (11L, a), (1L, b), (2L, b), (20L, a)))
+    val retired = MinhashPortable.minhashLshDeleteRetired(all)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val surviving = MinhashPortable.minhashLshDelete(all)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = MinhashPortable.minhashLshPortable(all)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(retired.intersect(surviving).isEmpty, "a pair both retired and surviving")
+    assert(retired.union(surviving) == full,
+      s"retired ⊎ surviving != full: ${retired.union(surviving)} vs $full")
+    // pairs touching deleted 10/20: (10,11), (10,20), (11,20) retired;
+    // (1,2) survives
+    assert(retired.map(p => (p._1, p._2)) == Set((10L, 11L), (10L, 20L), (11L, 20L)))
+  }
+
   test("graph_components_del: scoped recompute splits only touched components") {
     // base orders (all %100==0, %1000!=0): {1,2,3} chained via orders
     // 1100/2100, {8,9} via 3100, {20,21} via 4100. Deleted order 5000
