@@ -146,14 +146,28 @@ object GraphOps {
   def khop(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: Int = 2): DataFrame = {
     // persisted co-partitioned edge set: every hop joins on src, so the
     // edge union is derived and shuffled ONCE (it was previously re-derived
-    // per hop); the frontier is the small side → SHUFFLE_HASH build
+    // per hop); the frontier is the small side → SHUFFLE_HASH build.
+    // KhopProbe (SCALING.md r11) decomposed the 100× wall: ~2/3 is THIS
+    // derive+distribute step, the BFS itself is ~1/3 — which is why the
+    // production form below consumes a PERSISTED edge store instead.
     val eSrc = edges(orders, lineitem).select(col("src"), col("dst"))
       .repartition(col("src")).persist()
     val seeds = customer.filter(col("c_acctbal") > 9000)
       .select(col("c_custkey").cast("long").as("node"), lit(0L).as("hops"))
+    try khopFrom(eSrc, seeds, k)
+    finally eSrc.unpersist(blocking = false) // exception-safe, loop-only
+  }
+
+  /** Production-shaped core of [[khop]]: given the PERSISTED (at scale:
+    * bucketed-by-src) edge store — derived once per corpus version and
+    * shared by every graph query, not re-derived per call — run the BFS
+    * itself. Each hop exchanges only the node-sized frontier; the edge
+    * side is partition-local. `eSrc` should be hash-distributed on src
+    * (persist keeps that partitioning in the plan; a checkpoint scan
+    * would erase it — HitsPlanProbe). */
+  def khopFrom(eSrc: DataFrame, seeds: DataFrame, k: Int = 2): DataFrame = {
     var all = seeds
     var frontier = seeds
-    try {
     for (h <- 1 to k) {
       // materialize each level: without it the lineage re-derives every
       // earlier hop per downstream use (exponential recompute in iterative
@@ -164,7 +178,6 @@ object GraphOps {
       all = all.unionAll(frontier)
     }
     all.groupBy("node").agg(min(col("hops")).as("hops"))
-    } finally eSrc.unpersist(blocking = false) // exception-safe, loop-only
   }
 
   val khopSql: String =
