@@ -35,6 +35,42 @@ object Cluster {
         lit(-id).as("negid"))
     }.toSeq: _*)
 
+  /** Above this cell count, assignment switches from the inlined-literal
+    * best() expression to the broadcast-model mapPartitions argmax: the
+    * expression spelling inlines k fused cosine kernels per row (and the
+    * greatest() tree falls out of whole-stage codegen past ~10² cells —
+    * the composed-expression blowup BitLengthLong documented), while the
+    * kernel is one tight loop over a broadcast centroid array. */
+  private val KernelAssignK = 16
+
+  /** Broadcast-model argmax assignment — the large-k spelling (RagRefresh's
+    * kernel). Fold + tie-break are BIT-IDENTICAL to best(): cosineFF is
+    * CosineSimFF's sequential double accumulation, Double.compare keeps
+    * the first (smaller) cell id on ties — so the trained partition, and
+    * every oracle hash, is unchanged by the switch. Emits the embedding
+    * through, so pair-join consumers need no join back onto the corpus. */
+  private def assignedKernel(embeddings: DataFrame,
+                             cents: Array[(Long, Array[Float])]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents.sortBy(_._1))
+    embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cs = bc.value
+        iter.map { case (id, v) =>
+          var bestId = cs(0)._1
+          var bestCos = VectorOps.cosineFF(v, cs(0)._2)
+          var ci = 1
+          while (ci < cs.length) {
+            val c = VectorOps.cosineFF(v, cs(ci)._2)
+            if (java.lang.Double.compare(c, bestCos) > 0) { bestCos = c; bestId = cs(ci)._1 }
+            ci += 1
+          }
+          (id, v, bestId, bestCos)
+        }
+      }.toDF("vec_id", "embedding", "cluster", "cos_to_centroid")
+  }
+
   /** One Lloyd update: per-(cell, dim) exact-decimal mean of the assigned
     * vectors, collected as the next k (bounded) centroid literals. */
   private def updateCentroids(assigned: DataFrame): Array[(Long, Array[Float])] = {
@@ -93,8 +129,12 @@ object Cluster {
         .filter(col("vec_id") < k)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
     for (_ <- 0 until iters) {
-      val assigned = embeddings.select(col("vec_id"), col("embedding"),
-        (-best(cents).getField("negid")).as("cell"))
+      val assigned =
+        if (cents.length > KernelAssignK)
+          assignedKernel(embeddings, cents)
+            .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
+        else embeddings.select(col("vec_id"), col("embedding"),
+          (-best(cents).getField("negid")).as("cell"))
       cents = updateCentroids(assigned)
     }
     cents
@@ -105,11 +145,17 @@ object Cluster {
     * (farthest-point seeding). Returns (vec_id, cluster, cos_to_centroid). */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
              init: String = "first"): DataFrame = {
-    val b = best(trainCentroids(embeddings, k, iters, init))
-    embeddings.select(
-      col("vec_id"),
-      (-b.getField("negid")).as("cluster"),
-      b.getField("c").as("cos_to_centroid"))
+    val cents = trainCentroids(embeddings, k, iters, init)
+    if (cents.length > KernelAssignK)
+      assignedKernel(embeddings, cents)
+        .select(col("vec_id"), col("cluster"), col("cos_to_centroid"))
+    else {
+      val b = best(cents)
+      embeddings.select(
+        col("vec_id"),
+        (-b.getField("negid")).as("cluster"),
+        b.getField("c").as("cos_to_centroid"))
+    }
   }
 
   /** IVF with a TRAINED coarse quantizer — the production FAISS recipe
@@ -152,9 +198,19 @@ object Cluster {
     * all-pairs corpus join. */
   def semdedup(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
                threshold: Double = 0.3): DataFrame = {
-    val clustered = kmeans(embeddings, k, iters)
-      .join(embeddings, "vec_id")
-      .select(col("cluster"), col("vec_id"), col("embedding"))
+    val cents = trainCentroids(embeddings, k, iters)
+    // kernel path carries the embedding through — no join back; small-k
+    // expression path keeps the literal-argmax projection + one hash join
+    val clustered =
+      if (cents.length > KernelAssignK)
+        assignedKernel(embeddings, cents)
+          .select(col("cluster"), col("vec_id"), col("embedding"))
+      else {
+        val b = best(cents)
+        embeddings.select(col("vec_id"), (-b.getField("negid")).as("cluster"),
+            col("embedding"))
+          .select(col("cluster"), col("vec_id"), col("embedding"))
+      }
     val a = clustered.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = clustered.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, Seq("cluster"))
