@@ -141,6 +141,7 @@ object SparkEntry {
     "join_card_est" -> ((s, d) =>
       Skew.joinCardEst(Tables.orders(s, d), Tables.lineitem(s, d), "o_orderkey", "l_orderkey")),
     "ivf_upsert" -> ((s, d) => Dedup.ivfUpsert(Tables.embeddings(s, d))),
+    "ivf_delete" -> ((s, d) => Dedup.ivfDelete(Tables.embeddings(s, d))),
     "tokenizer_fertility" -> ((s, d) => Bpe.fertility(Tables.documents(s, d))),
     "char_diversity" -> ((s, d) => TextAnalysis.charDiversity(Tables.documents(s, d))),
     "split_holdout" -> ((s, d) => Corpus.splitHoldout(Tables.documents(s, d))),
@@ -477,6 +478,7 @@ object SparkEntry {
     "ann_maxsim" -> Search.maxsimRetrieveSql(),
     "mmr_rerank" -> Search.mmrRerankSql(),
     "ivf_upsert" -> Dedup.ivfUpsertSql(),
+    "ivf_delete" -> Dedup.ivfDeleteSql(),
     "tokenizer_fertility" -> Bpe.fertilitySql(),
     "char_diversity" -> TextAnalysis.charDiversitySql,
     "split_holdout" -> Corpus.splitHoldoutSql(),

@@ -486,6 +486,82 @@ object Dedup {
       .withColumn("retrain", col("growth") > retrainPct / 100.0)
   }
 
+  /** DELETE direction of IVF index maintenance — completing the family's
+    * retract half across all four index types (LSH/BM25/components/IVF;
+    * ⇐ graph_service.py:241 delete_node). The standing inverted file is
+    * (vec_id, embedding, cell) under a FROZEN quantizer (production: the
+    * trained coarse centroids are a model parameter — deletion does NOT
+    * retrain them; [[ivfUpsert]]'s drift report is the retrain signal,
+    * and it covers shrinkage exactly as it covers growth). Cell
+    * assignments are pure per-vector functions of that frozen model, so
+    * deletion is exactly lossless: a keyed drop of the departing vec_ids
+    * (broadcast anti-join — nothing re-assigned, no surviving vector
+    * touched). The registered query serves ANN search FROM the maintained
+    * index with the surviving probes; the oracle recomputes cell-local
+    * search over the post-delete corpus under the SAME standing quantizer
+    * — the hash gate proves the maintained inverted file is exactly the
+    * from-scratch one. */
+  def ivfDelete(embeddings: DataFrame, nCells: Int = 16, nProbes: Int = 10,
+                k: Int = 3): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    // standing quantizer + inverted file over the full corpus (persisted
+    // in production; the quantizer keeps its original training inputs
+    // even when those vectors are later deleted — a frozen model)
+    val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val cands = cents.sortBy(_._1).map { case (id, v) =>
+      struct(VectorOps.cosine(col("embedding"), typedlit(v)).as("c"),
+        lit(-id).as("negid"))
+    }
+    val indexFull = embeddings.select(col("vec_id"), col("embedding"),
+      (-greatest(cands.toSeq: _*).getField("negid")).as("cell"))
+    val delIds = embeddings.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+      .select(col("vec_id"))
+    ivfDeleteFrom(indexFull, delIds, nProbes, k)
+  }
+
+  /** Production-shaped core of [[ivfDelete]]: given the PERSISTED inverted
+    * file and the delete list (ids only), drop the departing rows and
+    * serve search. Probes are the surviving low-id vectors (a deleted doc
+    * does not query); their cells come from their own index rows. */
+  def ivfDeleteFrom(indexFull: DataFrame, delIds: DataFrame,
+                    nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val idx = indexFull.join(delIds, Seq("vec_id"), "left_anti")
+    val probeDf = idx.filter(col("vec_id") < nProbes)
+      .select(col("cell"), col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    idx
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(probeDf), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
+  }
+
+  /** Oracle for [[ivfDelete]]: cell-local search over the post-delete
+    * corpus under the SAME standing quantizer (cents from the FULL
+    * corpus, including any later-deleted training vectors — the frozen
+    * model), with surviving probes. */
+  def ivfDeleteSql(nCells: Int = 16, nProbes: Int = 10, k: Int = 3): String = {
+    val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
+    val cos = VectorOps.cosineSql("a.embedding", "p.embedding")
+    s"""WITH cents AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $nCells),
+       |surv AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+       |assigned AS (
+       |  SELECT e.vec_id, e.embedding, c.cell_id AS cell
+       |  FROM surv e CROSS JOIN cents c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $ccos DESC, c.cell_id) = 1),
+       |probes AS (SELECT cell, vec_id AS probe_id, embedding FROM assigned WHERE vec_id < $nProbes)
+       |SELECT p.probe_id, a.vec_id AS neighbor_id,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY $cos DESC, a.vec_id) AS BIGINT) AS rn,
+       |$cos AS cos
+       |FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.probe_id
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
   def ivfUpsertSql(nCells: Int = 16, retrainPct: Int = 30): String = {
     val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
     s"""WITH cents AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $nCells),

@@ -108,6 +108,36 @@ class DeleteMaintenanceSpec extends SparkSpec {
     assert(retired.map(p => (p._1, p._2)) == Set((10L, 11L), (10L, 20L), (11L, 20L)))
   }
 
+  test("ivf_delete: keyed drop excludes deleted ids; delete-then-reinsert is the identity") {
+    import graft.operators.Dedup
+    // hand-built standing inverted file under a frozen 2-cell quantizer:
+    // cell 0 ~ (1,0), cell 1 ~ (0,1); ids 0 and 10 are the delete batch
+    def v(x: Float, y: Float) = Array(x, y)
+    val idx = Seq(
+      (0L, v(1f, 0.1f), 0L), (1L, v(1f, 0.2f), 0L), (2L, v(1f, 0.3f), 0L),
+      (3L, v(0.1f, 1f), 1L), (4L, v(0.2f, 1f), 1L), (10L, v(0.3f, 1f), 1L))
+      .toDF("vec_id", "embedding", "cell")
+    val delIds = Seq(0L, 10L).toDF("vec_id")
+    val none = Seq.empty[Long].toDF("vec_id")
+    val afterDel = Dedup.ivfDeleteFrom(idx, delIds, nProbes = 5, k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(afterDel.nonEmpty)
+    assert(afterDel.forall(r => r._1 != 0L && r._1 != 10L && r._2 != 0L && r._2 != 10L),
+      "a deleted id survived as probe or neighbor")
+    // reinsert: cell assignment is a pure function of the frozen quantizer,
+    // so re-adding the batch restores the exact index rows → search over
+    // (dropped ∪ batch) must equal search over the untouched index
+    val dropped = idx.join(delIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val batchRows = idx.join(delIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val roundTrip = Dedup.ivfDeleteFrom(dropped.unionByName(batchRows), none,
+      nProbes = 5, k = 2).as[(Long, Long, Long, Double)].collect().toSet
+    val direct = Dedup.ivfDeleteFrom(idx, none, nProbes = 5, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(roundTrip == direct, s"delete+reinsert != identity: $roundTrip vs $direct")
+  }
+
   test("graph_components_del: scoped recompute splits only touched components") {
     // base orders (all %100==0, %1000!=0): {1,2,3} chained via orders
     // 1100/2100, {8,9} via 3100, {20,21} via 4100. Deleted order 5000
