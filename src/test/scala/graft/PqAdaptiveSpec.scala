@@ -156,6 +156,29 @@ class PqAdaptiveSpec extends SparkSpec {
       s"margin never excluded anything (pool=${pool.size} of $corpusPairs)")
   }
 
+  test("composed PQ ∩ SQ8 pool still contains every exact-cosine top-k neighbor") {
+    // each pool excludes a candidate only by exhibiting k provably-better
+    // ones, so the INTERSECTION preserves containment while being at most
+    // as large as the tighter side — the r11 raw-vector-fetch cut
+    val emb0 = Tables.embeddings(spark, dir)
+    val k = 3
+    val probes = emb0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val expected = cosineTopK(emb0, probes, k)
+    val pq = ProductQuant.pqAdaptivePool(emb0, m = 32, nCodes = 64, nProbes = 10, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = graft.operators.ScalarQuant.sq8AdaptivePool(emb0, nProbes = 10, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = pq.intersect(sq)
+    val missing = expected -- composed
+    assert(missing.isEmpty, s"exact-cosine top-$k outside the composed pool: $missing")
+    assert(composed.size <= math.min(pq.size, sq.size))
+    // and the registered operator's output ranks by exact cosine over it
+    val out = graft.operators.ScalarQuant.pqSq8RerankAdaptive(emb0)
+    val perProbe = out.groupBy("probe_id").count().collect()
+    assert(perProbe.length == 10 && perProbe.forall(_.getLong(1) == 3L))
+  }
+
   test("adaptive rerank output is k rows per probe with exact cosine scores") {
     val emb = Tables.embeddings(spark, dir)
     val out = ProductQuant.pqRerankAdaptive(emb)
