@@ -227,14 +227,19 @@ object Cluster {
     * of all-pairs inside blocks at every corpus size (so wall time grows
     * quadratically with occupancy), while k matched to n keeps mean cell
     * occupancy ≈ targetCell and the within-cell join linear in n. This is
-    * the registered form of that knob: the clamp keeps the centroid model
-    * a bounded driver-side literal (the `best()` argmax inlines k
-    * expressions; beyond ~10² cells the spelling switches to the
-    * broadcast-model mapPartitions argmax — RagRefresh.scala's kernel).
-    * The oracle computes the SAME k via a scalar subquery, so the trained
-    * partition — and the pair set — hash-compares cross-engine. */
+    * the registered form of that knob. kMax was 64 while assignment
+    * inlined k literal expressions (the best() spelling); with the r11
+    * broadcast-model kernel the centroid array is just a broadcast
+    * (4096·64 floats ≈ 1 MB), so the clamp now binds at 4096 — candidate
+    * growth stays LINEAR in n up to n ≈ kMax·targetCell ≈ 262k per
+    * partition of the problem, and beyond that the knob to raise is
+    * targetCell or a hierarchical quantizer, not an all-pairs fallback.
+    * The oracle computes the SAME k via a scalar subquery (its assignment
+    * is a CROSS JOIN against the cents CTE — no per-cell inlining), so
+    * the trained partition — and the pair set — hash-compares
+    * cross-engine. */
   def semdedupScaled(embeddings: DataFrame, targetCell: Int = 64,
-                     kMin: Int = 8, kMax: Int = 64, iters: Int = 1,
+                     kMin: Int = 8, kMax: Int = 4096, iters: Int = 1,
                      threshold: Double = 0.3): DataFrame = {
     val n = embeddings.count()
     val k = math.min(kMax, math.max(kMin, math.ceil(n.toDouble / targetCell).toInt))
@@ -300,7 +305,7 @@ object Cluster {
   /** Oracle for [[semdedupScaled]]: identical to semdedupSql except the
     * init cell count is the same clamp(ceil(n/targetCell)) formula as a
     * scalar subquery, so both engines train the same k-way partition. */
-  def semdedupScaledSql(targetCell: Int = 64, kMin: Int = 8, kMax: Int = 64,
+  def semdedupScaledSql(targetCell: Int = 64, kMin: Int = 8, kMax: Int = 4096,
                         iters: Int = 1, threshold: Double = 0.3): String = {
     val kExpr = s"(SELECT LEAST($kMax, GREATEST($kMin, " +
       s"CAST(CEIL(COUNT(*) / $targetCell.0) AS BIGINT))) FROM embeddings)"

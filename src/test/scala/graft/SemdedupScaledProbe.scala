@@ -14,7 +14,7 @@ object SemdedupScaledProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val emb = graft.sources.Tables.embeddings(spark, dir).localCheckpoint()
     val n = emb.count()
-    val k = math.min(64, math.max(8, math.ceil(n.toDouble / 64).toInt))
+    val k = math.min(4096, math.max(8, math.ceil(n.toDouble / 64).toInt))
     val blocks = graft.operators.Cluster.kmeans(emb, k).groupBy("cluster")
       .agg(count(lit(1)).as("cnt"))
     val cand = blocks.agg(sum(col("cnt") * (col("cnt") - 1))).collect().head.getLong(0) / 2
