@@ -31,6 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Extra -D flags for forked JVMs (e.g. the reliable-checkpoint gate run:
 // GRAFT_EXTRA_JAVA_OPTS="-Dspark.graft.reliableCheckpoint=true
 // -Dspark.checkpoint.dir=/tmp/graft-ckpt" — spark.* system properties
-// flow into every SparkConf the suite builds).
+// flow into every SparkConf the suite builds). Whitespace-split:
+// -D VALUES MUST NOT CONTAIN SPACES; empty tokens are dropped so a
+// set-but-empty variable injects nothing.
 javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS")
-  .map(_.trim.split("\\s+").toSeq).getOrElse(Nil)
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

@@ -1219,9 +1219,13 @@ object GraphOps {
         col("hub").as("score")))
     } finally {
       // exception-safe: a failed job mid-loop must not pin the edge-sized
-      // caches (or the round's persisted raw frame) for the session — the
-      // block-manager pressure mode the release() scaladoc describes
+      // caches (or the round's persisted raw frame, or the final round's
+      // input-hub checkpoint if the post-loop auth materialize threw) for
+      // the session — the block-manager pressure mode the release()
+      // scaladoc describes. release() is null-safe and idempotent, so the
+      // success-path release above makes this a no-op.
       if (prevHr != null) prevHr.unpersist(blocking = false)
+      release(finalInputHub)
       eBySrc.unpersist(blocking = false); eByDst.unpersist(blocking = false)
     }
   }

@@ -206,7 +206,15 @@ object Streams {
     * emitted iff a is among the first maxBucket arrivals of a shared
     * bucket — minhashLshCappedSql states precisely that (rank qualifier
     * over the bucket membership), so the hash gate proves the bounded
-    * form, not an approximation of the unbounded one. Recall loss only
+    * form, not an approximation of the unbounded one. PRECONDITION for
+    * that oracle equivalence: the source must deliver doc_ids in
+    * non-decreasing order ACROSS micro-batches (the oracle ranks by
+    * doc_id; fn sorts within a batch, but a later micro-batch delivering
+    * a lower doc_id lands after the cap decision and silently diverges
+    * from the rank-ordered contract — the replay harness satisfies this
+    * by construction). Out-of-order feeds still get the arrival-order
+    * retain-first bound, just not the doc_id-ranked oracle shape.
+    * Recall loss only
     * touches pairs BOTH inside a hot bucket's tail — within-tail
     * duplicates of already-reported content (measured on the 10× replay;
     * SCALING.md). Emission is data-driven — no watermark or flush needed;
