@@ -164,6 +164,8 @@ object Bench {
           "ann_lsh_mp@3" -> Recall.recallAtK(
             exact, Dedup.annLshMultiprobe(emb, nProbes = 10, k = 3)),
           "ann_ivf@3" -> Recall.recallAtK(exact, Dedup.annIvf(emb, nProbes = 10, k = 3)),
+          "ann_graph@3" -> Recall.recallAtK(
+            exact, graft.operators.GraphAnn.annGraphSearch(emb, nProbes = 10, k = 3)),
           "ann_ivf_mp@3" -> Recall.recallAtK(
             exact, Dedup.annIvfMultiprobe(emb, nProbes = 10, k = 3)),
           "ann_ivf_tr@3" -> Recall.recallAtK(

@@ -109,12 +109,18 @@ object SparkEntry {
     "vector_topk" -> ((s, d) => Search.vectorTopK(Tables.embeddings(s, d))),
     "knn_join" -> ((s, d) => Search.knnJoin(Tables.embeddings(s, d))),
     "ann_maxsim" -> ((s, d) => Search.maxsimRetrieve(Tables.embeddings(s, d))),
+    "ann_graph" -> ((s, d) => GraphAnn.annGraphSearch(Tables.embeddings(s, d))),
+    "ann_graph_store" -> ((s, d) => graft.sources.Stores.annGraphStore(s, d)),
     "mmr_rerank" -> ((s, d) => Search.mmrRerank(Tables.embeddings(s, d))),
+    "mmr_rerank_dist" -> ((s, d) => Search.mmrRerankDist(Tables.embeddings(s, d))),
     "hybrid_search" -> ((s, d) =>
       Search.hybrid(Tables.documents(s, d), Tables.embeddings(s, d), kwTerms)),
     "bm25_search" -> ((s, d) => Search.bm25(Tables.documents(s, d), kwTerms)),
     "bm25_upsert" -> ((s, d) => Search.bm25Upsert(Tables.documents(s, d), kwTerms)),
     "bm25_delete" -> ((s, d) => Search.bm25Delete(Tables.documents(s, d), kwTerms)),
+    // store-backed read path over the persisted index artifacts (Stores):
+    // same core + oracle, standing state built once per corpus snapshot
+    "bm25_delete_store" -> ((s, d) => graft.sources.Stores.bm25DeleteStore(s, d, kwTerms)),
     "rag_eval_mrr" -> ((s, d) => Search.mrrEval(Tables.embeddings(s, d))),
     "hard_negatives" -> ((s, d) => Search.hardNegatives(Tables.embeddings(s, d))),
     "topic_terms" -> ((s, d) =>
@@ -147,6 +153,7 @@ object SparkEntry {
     "split_holdout" -> ((s, d) => Corpus.splitHoldout(Tables.documents(s, d))),
     "kmv_distinct" -> ((s, d) => Corpus.kmvDistinct(Tables.events(s, d))),
     "kmv_merge" -> ((s, d) => Corpus.kmvMerge(Tables.events(s, d))),
+    "turnstile_distinct" -> ((s, d) => Corpus.turnstileDistinct(Tables.events(s, d))),
     "dataset_card" -> ((s, d) => Corpus.datasetCard(Tables.documents(s, d))),
     "sketch_stats" -> ((s, d) => Corpus.sketchStats(Tables.events(s, d))),
     "text_normalize" -> ((s, d) => Normalize.textNormalize(Tables.documents(s, d))),
@@ -175,11 +182,13 @@ object SparkEntry {
     "cms_freq" -> ((s, d) => CountMin.cmsFreq(Tables.documents(s, d))),
     // rows-only: transitive clustering is not bounded-depth SQL
     "dedup_resolve" -> ((s, d) => Dedup.resolve(Tables.documents(s, d))),
+    "dedup_resolve_inc" -> ((s, d) => ResolveInc.resolveInc(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "minhash_portable" -> ((s, d) => MinhashPortable.minhashPortable(Tables.documents(s, d))),
     "minhash_lsh_portable" -> ((s, d) => MinhashPortable.minhashLshPortable(Tables.documents(s, d))),
     "minhash_lsh_upsert" -> ((s, d) => MinhashPortable.minhashLshUpsert(Tables.documents(s, d))),
     "minhash_lsh_delete" -> ((s, d) => MinhashPortable.minhashLshDelete(Tables.documents(s, d))),
+    "minhash_lsh_delete_store" -> ((s, d) => graft.sources.Stores.minhashLshDeleteStore(s, d)),
     "minhash_lsh_delete_retired" -> ((s, d) =>
       MinhashPortable.minhashLshDeleteRetired(Tables.documents(s, d))),
     "simhash_portable" -> ((s, d) => MinhashPortable.simhashPortable(Tables.documents(s, d))),
@@ -205,7 +214,7 @@ object SparkEntry {
     "ann_ivf_tr" -> ((s, d) => Cluster.annIvfTrained(Tables.embeddings(s, d))),
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
     "doc_outlier" -> ((s, d) => Cluster.docOutliers(Tables.embeddings(s, d))),
-    // semdedup default = corpus-scaled cluster count (k = clamp(8,64,ceil(n/64)));
+    // semdedup default = corpus-scaled cluster count (k = clamp(8,4096,ceil(n/64)));
     // the fixed-k=8 form stays as an explicitly-labeled ablation (quadratic in
     // cell occupancy at organic density — measured r10, SCALING.md).
     "semdedup" -> ((s, d) => Cluster.semdedupScaled(Tables.embeddings(s, d))),
@@ -262,6 +271,11 @@ object SparkEntry {
     "graph_components" -> ((s, d) => GraphOps.connectedComponents(Tables.lineitem(s, d))),
     "graph_components_inc" -> ((s, d) => GraphOps.componentsUpsert(Tables.lineitem(s, d))),
     "graph_components_del" -> ((s, d) => GraphOps.componentsDelete(Tables.lineitem(s, d))),
+    // read-path variants over the persisted standing state (Stores): the
+    // O(touched) / zero-edge-derive plans you'd run at 100× — oracles
+    // unchanged, so the gate proves store round-trip ≡ inline derivation
+    "graph_components_del_store" -> ((s, d) => graft.sources.Stores.componentsDeleteStore(s, d)),
+    "graph_khop_store" -> ((s, d) => graft.sources.Stores.khopStore(s, d)),
     "impact_analysis" -> ((s, d) =>
       GraphOps.impactAnalysis(Tables.orders(s, d), Tables.lineitem(s, d))),
     // --- code intelligence (CodeTransformer analog over a derived corpus) ---
@@ -279,6 +293,7 @@ object SparkEntry {
     "cdc_apply" -> ((s, d) => CdcApply.cdcApply(Tables.documents(s, d))),
     "scd2_apply" -> ((s, d) => CdcApply.scd2(Tables.events(s, d))),
     "embed_pca" -> ((s, d) => Pca.pcaProject(Tables.embeddings(s, d))),
+    "embed_pca_topp" -> ((s, d) => Pca.pcaTopP(Tables.embeddings(s, d))),
     // --- memory / pack / schema ---
     "graph_schema" -> ((s, d) => GraphOps.schema(Tables.orders(s, d), Tables.lineitem(s, d))),
     "mem_search" -> ((s, d) => Memory.search(Tables.documents(s, d), kwTerms)),
@@ -449,6 +464,9 @@ object SparkEntry {
     "bm25_search" -> Search.bm25Sql(kwTerms),
     "bm25_upsert" -> Search.bm25UpsertSql(kwTerms),
     "bm25_delete" -> Search.bm25DeleteSql(kwTerms),
+    // *_store read-path variants share their inline twins' oracles verbatim:
+    // the gate proves persisted-store round-trip ≡ inline ≡ from-scratch
+    "bm25_delete_store" -> Search.bm25DeleteSql(kwTerms),
     "rag_eval_mrr" -> Search.mrrEvalSql(),
     "hard_negatives" -> Search.hardNegativesSql(),
     "topic_terms" -> Cluster.topicTermsSql(),
@@ -476,7 +494,10 @@ object SparkEntry {
     "join_skew_stats" -> Skew.joinSkewStatsSql(),
     "join_card_est" -> Skew.joinCardEstSql(),
     "ann_maxsim" -> Search.maxsimRetrieveSql(),
+    "ann_graph" -> GraphAnn.annGraphSearchSql(),
+    "ann_graph_store" -> GraphAnn.annGraphSearchSql(),
     "mmr_rerank" -> Search.mmrRerankSql(),
+    "mmr_rerank_dist" -> Search.mmrRerankSql(),
     "ivf_upsert" -> Dedup.ivfUpsertSql(),
     "ivf_delete" -> Dedup.ivfDeleteSql(),
     "tokenizer_fertility" -> Bpe.fertilitySql(),
@@ -484,6 +505,7 @@ object SparkEntry {
     "split_holdout" -> Corpus.splitHoldoutSql(),
     "kmv_distinct" -> Corpus.kmvDistinctSql(),
     "kmv_merge" -> Corpus.kmvMergeSql(),
+    "turnstile_distinct" -> Corpus.turnstileDistinctSql(),
     "dataset_card" -> Corpus.datasetCardSql,
     "text_normalize" -> Normalize.textNormalizeSql,
     "gopher_quality" -> Normalize.gopherQualitySql(),
@@ -524,10 +546,12 @@ object SparkEntry {
     "minhash_portable" -> MinhashPortable.minhashPortableSql(),
     "minhash_lsh_portable" -> MinhashPortable.minhashLshPortableSql(),
     "minhash_lsh_upsert" -> MinhashPortable.minhashLshUpsertSql(),
+    "minhash_lsh_delete_store" -> MinhashPortable.minhashLshDeleteSql(),
     "minhash_lsh_delete" -> MinhashPortable.minhashLshDeleteSql(),
     "minhash_lsh_delete_retired" -> MinhashPortable.minhashLshDeleteRetiredSql(),
     "simhash_portable" -> MinhashPortable.simhashPortableSql(),
     "dedup_resolve" -> Dedup.resolveSql(),
+    "dedup_resolve_inc" -> ResolveInc.resolveIncSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
@@ -542,6 +566,7 @@ object SparkEntry {
     "graph_stats" -> GraphOps.statsSql,
     "graph_degree" -> GraphOps.degreesSql,
     "graph_khop" -> GraphOps.khopSql,
+    "graph_khop_store" -> GraphOps.khopSql,
     "graph_shortest_path" -> GraphOps.shortestPathsSql(),
     "graph_betweenness" -> GraphOps.betweennessSql(),
     "graph_closeness" -> GraphOps.closenessSql(),
@@ -584,6 +609,7 @@ object SparkEntry {
     "graph_components" -> GraphOps.componentsSql(),
     "graph_components_inc" -> GraphOps.componentsSql(),
     "graph_components_del" -> GraphOps.componentsDeleteSql(),
+    "graph_components_del_store" -> GraphOps.componentsDeleteSql(),
     "graph_path_trace" -> GraphOps.shortestPathTraceSql(),
     "graph_nodes_by_label" -> GraphOps.nodesByLabelSql(),
     "graph_rels_by_type" -> GraphOps.relsByTypeSql(),
@@ -597,6 +623,7 @@ object SparkEntry {
     "cdc_apply" -> CdcApply.cdcApplySql,
     "scd2_apply" -> CdcApply.scd2Sql,
     "embed_pca" -> Pca.pcaProjectSql(),
+    "embed_pca_topp" -> Pca.pcaTopPSql(),
     "mem_search" -> Memory.searchSql(kwTerms),
     "mem_extract" -> Memory.extractSql,
     "mem_summary" -> Memory.summarySql,

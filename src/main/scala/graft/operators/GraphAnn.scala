@@ -1,0 +1,296 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Graph-based ANN (the HNSW/NN-descent index family — the one production
+  * ANN layout the engine lacked): a deterministic k-NN GRAPH built by
+  * NN-descent over LSH-seeded edges, searched by greedy BEAM expansion.
+  * Reference analog: the vector-similarity retrieval surface
+  * (neo4j_knowledge_service.py:922 vector search — Neo4j's own vector
+  * index is an HNSW, i.e. exactly this family); algorithms are the public
+  * NN-descent (Dong et al., WWW'11) and greedy beam search literature.
+  *
+  * Build (all set-at-a-time DataFrame ops — the distributed NN-descent
+  * formulation):
+  *   1. SEED — S independent LSH tables (the portable hyperplane family
+  *      ann_lsh uses) bucket the corpus; within a bucket each vector takes
+  *      its C successors on the id-sorted RING (a partitioned window +
+  *      positional equi-join — never the bucket² pair join). Seed degree
+  *      ≤ S·C, cost O(N·S·C).
+  *   2. DESCENT — R rounds of the NN-descent step: candidates = my
+  *      neighbors' neighbors (one self-join of the symmetrized graph),
+  *      capped per node by a PORTABLE-hash order (the deterministic stand-in
+  *      for NN-descent's random sampling — keeps each round O(N·cap)
+  *      scored pairs at any corpus size), scored by exact cosine, kept
+  *      top-K per node (TopKAgg: score DESC, id ASC — O(N·K) state).
+  *
+  * Search: greedy beam from E fixed entry points (first-ids convention,
+  * as annIvf's first-n centroids): T rounds of expand-neighbors → exact
+  * cosine → per-probe top-B (the bounded frontier that makes graph search
+  * sub-linear); per-probe probe cost is O(T·B·K) score evaluations vs
+  * IVF-mp's O(probes·cells-probed·cell-size).
+  *
+  * Every step — bucketing, ring, hash cap, cosine, every tie-break — is
+  * engine-portable, so the DuckDB oracle replays the ENTIRE build + search
+  * and the output is hash-green (the r11 verdict's bar for this family:
+  * rows-only only with a portable twin; this IS the portable form).
+  * Recall@3 is tracked in Bench next to the other ANN rungs.
+  */
+object GraphAnn {
+
+  /** Portable pseudo-random order for the candidate cap: the kmv xor-shift
+    * recipe over a pair key — deterministic, SQL-replayable. */
+  private def pairHash(a: Column, b: Column): Column = {
+    val key = pmod(a * 2654435761L + b * 40503L, lit(4294967296L))
+    key.bitwiseXOR(shiftright(key, 16)).cast("double")
+  }
+
+  private def pairHashSql(a: String, b: String): String =
+    s"CAST(xor(($a*2654435761 + $b*40503) % 4294967296, (($a*2654435761 + $b*40503) % 4294967296) // 65536) AS DOUBLE)"
+
+  /** Score (node, nbr) pairs by exact cosine and keep top-`k` per node. */
+  private def topKScored(pairs: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
+    val en = embeddings.select(col("vec_id").as("node"), col("embedding").as("ev"))
+    val eb = embeddings.select(col("vec_id").as("nbr"), col("embedding").as("bv"))
+    pairs.join(en, "node").join(eb, "nbr")
+      .withColumn("cos", VectorOps.cosine(col("ev"), col("bv")))
+      .groupBy(col("node"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("nbr"), k).as("topk"))
+      .select(col("node"), explode(col("topk")).as("e"))
+      .select(col("node"), col("e.id").as("nbr"), col("e.score").as("cos"))
+  }
+
+  /** The deterministic k-NN graph: (node, nbr, cos), ≤ kNbrs rows per node. */
+  def knnGraph(embeddings: DataFrame, kNbrs: Int = 16, tables: Int = 4,
+               nPlanes: Int = 6, ringSpan: Int = 4, rounds: Int = 4,
+               cap: Int = 64): DataFrame = {
+    import Iterative._
+    // --- seed: per LSH table, the C id-ring successors within each bucket
+    val bucketed = (0 until tables).map { t =>
+      embeddings.select(lit(t.toLong).as("t"),
+        Dedup.lshBucket(col("embedding"), nPlanes, seed = t * 7).as("bucket"),
+        col("vec_id"))
+    }.reduce(_.unionAll(_))
+    val w = Window.partitionBy(col("t"), col("bucket")).orderBy(col("vec_id"))
+    val mem = bucketed.select(col("t"), col("bucket"), col("vec_id"),
+      (row_number().over(w) - 1).cast("long").as("pos"),
+      count(lit(1)).over(Window.partitionBy(col("t"), col("bucket"))).as("sz"))
+    val seedPairs = (1 to ringSpan).map { c =>
+      val a = mem.select(col("t"), col("bucket"), col("vec_id").as("node"),
+        pmod(col("pos") + c, col("sz")).as("tgt"))
+      val b = mem.select(col("t"), col("bucket"), col("vec_id").as("nbr"),
+        col("pos").as("tgt"))
+      a.join(b, Seq("t", "bucket", "tgt")).select(col("node"), col("nbr"))
+    }.reduce(_.unionAll(_))
+      .filter(col("node") =!= col("nbr")).distinct()
+    // per-round materialize (Iterative contract): every descent round — and
+    // every beam round downstream — re-references the CURRENT graph several
+    // times; an unmaterialized lineage replicates the whole build into each
+    // reference (measured: the first registration without these checkpoints
+    // ran 198 s at sf0.1 vs ~1 s with them — exponential plan re-derivation,
+    // the khopFrom lesson)
+    var g = topKScored(seedPairs, embeddings, kNbrs).materialize
+    // --- NN-descent rounds: neighbors-of-neighbors, hash-capped, rescored
+    for (_ <- 1 to rounds) {
+      val sym = g.select(col("node"), col("nbr"))
+        .unionAll(g.select(col("nbr").as("node"), col("node").as("nbr")))
+        .distinct()
+      val nn = sym.as("a").join(sym.as("b"), col("a.nbr") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.nbr").as("nbr"))
+        .filter(col("node") =!= col("nbr"))
+        .distinct()
+      // deterministic sampling cap on the NEW candidates ONLY (classic
+      // NN-descent keeps current neighbors and samples fresh ones): keep
+      // `cap` nn-candidates per node in portable-hash order BEFORE the
+      // cosine pass — bounds a round to O(N·(cap + 2K)) scored pairs at
+      // any corpus size. Capping the union instead silently DROPPED
+      // current best edges each round (non-monotone descent — measured
+      // edge recall stuck ≈ 0.1 until this split).
+      val nnCapped = nn
+        .groupBy(col("node"))
+        .agg(graft.functions.TopKAgg.topK(
+          pairHash(col("node"), col("nbr")) * -1, col("nbr"), cap).as("topk"))
+        .select(col("node"), explode(col("topk")).as("e"))
+        .select(col("node"), col("e.id").as("nbr"))
+      val cand = sym.unionAll(nnCapped).distinct()
+      val next = topKScored(cand, embeddings, kNbrs).materialize
+      release(g)
+      g = next
+    }
+    g
+  }
+
+  /** Beam-search ANN over the k-NN graph: (probe_id, neighbor_id, rn, cos)
+    * — the knnJoin output contract, oracle-replayable end-to-end. */
+  def annGraphSearch(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
+                     kNbrs: Int = 16, entries: Int = 4, beam: Int = 16,
+                     searchRounds: Int = 4, buildRounds: Int = 4,
+                     cap: Int = 64,
+                     probes: Option[DataFrame] = None): DataFrame =
+    annGraphSearchFrom(knnGraph(embeddings, kNbrs, rounds = buildRounds, cap = cap),
+      embeddings, nProbes, k, entries, beam, searchRounds, probes,
+      releaseGraph = true)
+
+  /** Production-shaped core: beam search over a PERSISTED k-NN graph —
+    * the index is built once at ingest (knnGraph → store), queries pay
+    * only the walk. `releaseGraph` frees the inline build's checkpoint
+    * blocks (a store-backed scan has nothing to release). */
+  def annGraphSearchFrom(g: DataFrame, embeddings: DataFrame,
+                         nProbes: Int = 10, k: Int = 3, entries: Int = 4,
+                         beam: Int = 16, searchRounds: Int = 4,
+                         probes: Option[DataFrame] = None,
+                         releaseGraph: Boolean = false): DataFrame = {
+    import Iterative._
+    // materialized: every search round joins this same frame
+    val sym = g.select(col("node"), col("nbr"))
+      .unionAll(g.select(col("nbr").as("node"), col("node").as("nbr")))
+      .distinct().materialize
+    val probeDf = Probes.resolve(embeddings, probes, nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    def score(candidates: DataFrame): DataFrame = candidates
+      .join(embeddings.select(col("vec_id").as("node"), col("embedding")), "node")
+      .join(broadcast(probeDf), "probe_id")
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .select(col("probe_id"), col("node"), col("cos"))
+    def topB(scored: DataFrame, b: Int): DataFrame = scored
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("node"), b).as("topk"))
+      .select(col("probe_id"), explode(col("topk")).as("e"))
+      .select(col("probe_id"), col("e.id").as("node"), col("e.score").as("cos"))
+    // entry points: the PROBE ITSELF (a corpus member — its own graph
+    // adjacency IS the local neighborhood, so the walk starts in-region;
+    // kNN graphs over clustered corpora are disconnected across clusters,
+    // which is what sank the fixed-entries-only variant) plus `entries`
+    // fixed first-ids (annIvf's first-n convention) as cross-component
+    // fallback for out-of-corpus probes
+    var beamDf = topB(score(probeDf.select(col("probe_id"))
+      .crossJoin(embeddings.filter(col("vec_id") < entries)
+        .select(col("vec_id").as("node")))
+      .unionAll(probeDf.select(col("probe_id"), col("probe_id").as("node")))
+      .distinct()), beam).materialize
+    for (_ <- 1 to searchRounds) {
+      val expanded = beamDf.select(col("probe_id"), col("node"))
+        .join(sym, "node")
+        .select(col("probe_id"), col("nbr").as("node"))
+        .unionAll(beamDf.select(col("probe_id"), col("node")))
+        .distinct()
+      val next = topB(score(expanded), beam).materialize
+      release(beamDf)
+      beamDf = next
+    }
+    if (releaseGraph) release(g)
+    release(sym)
+    beamDf.filter(col("node") =!= col("probe_id"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("node"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
+  }
+
+  /** DuckDB oracle replaying the WHOLE pipeline — seed buckets, ring
+    * seeds, every NN-descent round (hash cap included), beam init and
+    * every search round, final top-k — with the same tie-breaks
+    * (cos DESC, id ASC; hash ASC, id ASC) the TopKAgg contract states. */
+  def annGraphSearchSql(nProbes: Int = 10, k: Int = 3, kNbrs: Int = 16,
+                        tables: Int = 4, nPlanes: Int = 6, ringSpan: Int = 4,
+                        rounds: Int = 4, cap: Int = 64, entries: Int = 4,
+                        beam: Int = 16, searchRounds: Int = 4): String = {
+    def cos(a: String, b: String) = VectorOps.cosineSql(a, b)
+    val buckets = (0 until tables).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS t, ${Dedup.lshBucketSql("embedding", nPlanes, seed = t * 7)} AS bucket, vec_id FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    val rings = (1 to ringSpan).map { c =>
+      s"""SELECT a.vec_id AS node, b.vec_id AS nbr
+         |  FROM mem a JOIN mem b
+         |  ON a.t = b.t AND a.bucket = b.bucket AND b.pos = (a.pos + $c) % a.sz""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    def topKStep(pairsRel: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT node, nbr, cos FROM (
+         |    SELECT p.node, p.nbr, ${cos("en.embedding", "eb.embedding")} AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY p.node
+         |        ORDER BY ${cos("en.embedding", "eb.embedding")} DESC, p.nbr) AS rn
+         |    FROM $pairsRel p
+         |    JOIN embeddings en ON en.vec_id = p.node
+         |    JOIN embeddings eb ON eb.vec_id = p.nbr)
+         |  WHERE rn <= $kNbrs)""".stripMargin
+    val descent = (1 to rounds).map { r =>
+      val prev = s"g_${r - 1}"
+      s"""sym_$r AS MATERIALIZED (
+         |  SELECT DISTINCT node, nbr FROM (
+         |    SELECT node, nbr FROM $prev UNION ALL SELECT nbr, node FROM $prev)),
+         |nn_$r AS (
+         |  SELECT DISTINCT a.node, b.nbr
+         |  FROM sym_$r a JOIN sym_$r b ON a.nbr = b.node
+         |  WHERE a.node <> b.nbr),
+         |cap_$r AS (
+         |  SELECT node, nbr FROM (
+         |    SELECT node, nbr,
+         |      ROW_NUMBER() OVER (PARTITION BY node
+         |        ORDER BY ${pairHashSql("node", "nbr")}, nbr) AS rn
+         |    FROM nn_$r)
+         |  WHERE rn <= $cap),
+         |cand_$r AS (
+         |  SELECT DISTINCT node, nbr FROM (
+         |    SELECT node, nbr FROM sym_$r
+         |    UNION ALL SELECT node, nbr FROM cap_$r)),
+         |${topKStep(s"cand_$r", s"g_$r")}""".stripMargin
+    }.mkString(",\n")
+    def beamStep(candRel: String, out: String, b: Int): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT probe_id, node, cos FROM (
+         |    SELECT c.probe_id, c.node, ${cos("en.embedding", "p.embedding")} AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY c.probe_id
+         |        ORDER BY ${cos("en.embedding", "p.embedding")} DESC, c.node) AS rn
+         |    FROM $candRel c
+         |    JOIN embeddings en ON en.vec_id = c.node
+         |    JOIN embeddings p ON p.vec_id = c.probe_id)
+         |  WHERE rn <= $b)""".stripMargin
+    val search = (1 to searchRounds).map { r =>
+      s"""exp_$r AS (
+         |  SELECT DISTINCT probe_id, node FROM (
+         |    SELECT probe_id, node FROM beam_${r - 1}
+         |    UNION ALL
+         |    SELECT b.probe_id, s.nbr AS node
+         |    FROM beam_${r - 1} b JOIN gsym s ON s.node = b.node)),
+         |${beamStep(s"exp_$r", s"beam_$r", beam)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bk AS MATERIALIZED (
+       |$buckets),
+       |mem AS MATERIALIZED (
+       |  SELECT t, bucket, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY t, bucket ORDER BY vec_id) - 1 AS pos,
+       |    COUNT(*) OVER (PARTITION BY t, bucket) AS sz
+       |  FROM bk),
+       |sp AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |$rings)
+       |  WHERE node <> nbr),
+       |${topKStep("sp", "g_0")},
+       |$descent,
+       |gsym AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM g_$rounds UNION ALL SELECT nbr, node FROM g_$rounds)),
+       |ent_0 AS (
+       |  SELECT DISTINCT probe_id, node FROM (
+       |    SELECT p.vec_id AS probe_id, e.vec_id AS node
+       |    FROM embeddings p CROSS JOIN embeddings e
+       |    WHERE p.vec_id < $nProbes AND e.vec_id < $entries
+       |    UNION ALL
+       |    SELECT vec_id AS probe_id, vec_id AS node FROM embeddings
+       |    WHERE vec_id < $nProbes)),
+       |${beamStep("ent_0", "beam_0", beam)},
+       |$search
+       |SELECT probe_id, node AS neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, node) AS BIGINT) AS rn,
+       |  cos
+       |FROM beam_$searchRounds
+       |WHERE node <> probe_id
+       |QUALIFY rn <= $k""".stripMargin
+  }
+}

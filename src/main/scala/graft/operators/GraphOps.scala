@@ -1163,6 +1163,11 @@ object GraphOps {
     var authRaw: DataFrame = null
     var prevHr: DataFrame = null
     var finalInputHub: DataFrame = null
+    // the returned plan reads the LIVE hub checkpoint, so it must survive a
+    // successful exit — but a mid-loop exception would otherwise pin it (and
+    // the just-materialized newHub it aliases) for the session; the finally
+    // block releases it only on the exceptional path
+    var succeeded = false
     try {
     for (it <- 1 to iters) {
       // The rank vectors are node-sized and GROW WITH THE CORPUS — they
@@ -1213,19 +1218,23 @@ object GraphOps {
     // auth is materialized — the final round's input hub checkpoint has no
     // remaining consumer and can release its node-sized blocks
     release(finalInputHub)
-    auth.select(lit("part").as("node_type"), col("node").as("node_id"),
+    val out = auth.select(lit("part").as("node_type"), col("node").as("node_id"),
         col("auth").as("score"))
       .unionAll(hub.select(lit("supplier").as("node_type"), col("node").as("node_id"),
         col("hub").as("score")))
+    succeeded = true
+    out
     } finally {
       // exception-safe: a failed job mid-loop must not pin the edge-sized
-      // caches (or the round's persisted raw frame, or the final round's
-      // input-hub checkpoint if the post-loop auth materialize threw) for
-      // the session — the block-manager pressure mode the release()
-      // scaladoc describes. release() is null-safe and idempotent, so the
-      // success-path release above makes this a no-op.
+      // caches, the round's persisted raw frame, the final round's input-hub
+      // checkpoint, or the LIVE hub checkpoint for the session — the
+      // block-manager pressure mode the release() scaladoc describes. The
+      // live hub is released only on the exceptional path (the returned plan
+      // reads it on success); release() is null-safe and idempotent, so the
+      // success-path releases above make the rest a no-op.
       if (prevHr != null) prevHr.unpersist(blocking = false)
       release(finalInputHub)
+      if (!succeeded) release(hub)
       eBySrc.unpersist(blocking = false); eByDst.unpersist(blocking = false)
     }
   }

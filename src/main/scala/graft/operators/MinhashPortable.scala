@@ -216,13 +216,22 @@ object MinhashPortable {
   def minhashLshDeleteFrom(sigBase: DataFrame, keysBase: DataFrame,
                            delIds: DataFrame, nPerms: Int = 16): DataFrame = {
     val (sigM, keysM) = lshDeleteArtifacts(sigBase, keysBase, delIds)
-    val cand = keysM.as("a")
-      .join(keysM.as("b"),
+    pairsFromIndex(sigM, keysM, nPerms)
+  }
+
+  /** The full candidate pair set OF a standing (signature, band-key) index —
+    * the band self-join + signature-estimated Jaccard shared by the batch
+    * query, the delete read path, and the maintained pair table's initial
+    * build (ResolveInc). */
+  private[graft] def pairsFromIndex(sig: DataFrame, keys: DataFrame,
+                                    nPerms: Int = 16): DataFrame = {
+    val cand = keys.as("a")
+      .join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    estJaccard(cand, sigM, nPerms)
+    estJaccard(cand, sig, nPerms)
   }
 
   /** The maintained (signature, band-key) tables after the delete —
@@ -317,8 +326,8 @@ object MinhashPortable {
        |GROUP BY c.doc_a, c.doc_b""".stripMargin
   }
 
-  private def minhashLshPortableSqlFrom(docsRel: String, nPerms: Int,
-                                        bands: Int): String = {
+  private[graft] def minhashLshPortableSqlFrom(docsRel: String, nPerms: Int,
+                                               bands: Int): String = {
     val rows = nPerms / bands
     s"""WITH sig AS MATERIALIZED (${minhashPortableSqlFrom(docsRel, nPerms)}),
        |keys AS (

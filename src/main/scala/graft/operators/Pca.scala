@@ -95,6 +95,78 @@ object Pca {
     } finally c.unpersist(blocking = false)
   }
 
+  /** TOP-p PCA via Hotelling-style deflation (r11/r12 verdict item 5):
+    * component j runs the same T-step power iteration as [[pcaProject]],
+    * but after every distributed matvec y = C·v the driver projects the
+    * d-row iterate against each converged earlier component
+    * (y ← y − u·(u·y)/(u·u) — Gram-Schmidt deflation, numerically safer
+    * than subtracting λ·uuᵀ from a covariance that is never materialized)
+    * before the L∞ normalize. Everything corpus-sized stays the one
+    * persisted vec_id-clustered matrix; the deflation arithmetic runs on
+    * d-row model vectors with the dec38 kernel recipe (shortest-repr
+    * addends, scale-18 HALF_UP, parseDouble of the exact sum — the
+    * TermStats precedent), so the DuckDB oracle replays every step
+    * bit-identically: decimal dots are order-independent, the coefficient
+    * division and per-element y − coef·u are single IEEE ops both engines.
+    * Output: (vec_id, comp, proj) — the p-column projection. Component 1
+    * is pcaProject's exact trajectory by construction. */
+  def pcaTopP(embeddings: DataFrame, dim: Int = 64, iters: Int = 3,
+              p: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def dec38(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+    def dot38(a: Array[Double], b: Array[Double]): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < a.length) { acc = acc.add(dec38(a(i) * b(i))); i += 1 }
+      java.lang.Double.parseDouble(acc.toPlainString)
+    }
+    val x = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("val"))
+    val mu = x.groupBy(col("pos"))
+      .agg(decSum(col("val")).as("sm"), count(lit(1)).as("n"))
+      .select(col("pos"), (col("sm") / col("n").cast("double")).as("m"))
+    val c = x.join(broadcast(mu), "pos")
+      .select(col("vec_id"), col("pos"), (col("val") - col("m")).as("c"))
+      .repartition(col("vec_id")).sortWithinPartitions("vec_id").persist()
+    try {
+      val byVec = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      val us = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      for (_ <- 1 to p) {
+        var v = Array.fill(dim)(1.0)
+        for (_ <- 1 to iters) {
+          val vDf = v.zipWithIndex.map { case (vv, pos) => (pos, vv) }.toSeq
+            .toDF("pos", "v")
+          val y = c.join(broadcast(vDf), "pos")
+            .withColumn("s",
+              sum(dec(col("c") * col("v"))).over(byVec).cast("string").cast("double"))
+            .select(col("pos"), dec(col("s") * col("c")).as("t"))
+            .groupBy(col("pos")).agg(decSum(col("t")).as("y"))
+          val rows = y.collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+          var yArr = rows.map(_._2)
+          // deflate against every converged earlier component
+          us.foreach { u =>
+            val coef = dot38(u, yArr) / dot38(u, u)
+            yArr = yArr.zip(u).map { case (yv, uv) => yv - coef * uv }
+          }
+          val m = yArr.map(math.abs).max
+          v = yArr.map(_ / m)
+        }
+        us += v
+      }
+      val uDf = us.toSeq.zipWithIndex.flatMap { case (u, j) =>
+        u.zipWithIndex.map { case (uv, pos) => (pos, (j + 1).toLong, uv) }
+      }.toDF("pos", "comp", "u")
+      c.join(broadcast(uDf), "pos")
+        .select(col("vec_id"), col("comp"), dec(col("c") * col("u")).as("t"))
+        .groupBy(col("vec_id"), col("comp")).agg(decSum(col("t")).as("proj"))
+        .materialize
+    } finally c.unpersist(blocking = false)
+  }
+
   /** DuckDB oracle replaying centering + the full power iteration. */
   def pcaProjectSql(dim: Int = 64, iters: Int = 3): String = {
     def decSumSql(t: String) =
@@ -127,5 +199,61 @@ object Pca {
        |$steps
        |SELECT c.vec_id, ${decSumSql("c.c * v.v")} AS pc1
        |FROM c JOIN v_$iters v USING (pos) GROUP BY c.vec_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[pcaTopP]]: replays centering, every component's
+    * power iteration, and the SEQUENTIAL Gram-Schmidt deflation chain
+    * (component j subtracts u_1 … u_{j-1} one at a time, exactly the
+    * driver's fold order — decimal dots, IEEE coefficient divide and
+    * per-element update). */
+  def pcaTopPSql(dim: Int = 64, iters: Int = 3, p: Int = 2): String = {
+    def decSumSql(t: String) =
+      s"CAST(CAST(SUM(CAST(CAST($t AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+    val winS =
+      "CAST(CAST(SUM(CAST(CAST(c.c * v.v AS VARCHAR) AS DECIMAL(38,18))) " +
+        "OVER (PARTITION BY c.vec_id) AS VARCHAR) AS DOUBLE)"
+    val blocks = (1 to p).flatMap { j =>
+      val init = s"v_${j}_0 AS (SELECT pos, CAST(1.0 AS DOUBLE) AS v FROM rng)"
+      val steps = (1 to iters).flatMap { t =>
+        val matvec =
+          s"""yr_${j}_$t AS MATERIALIZED (
+             |  SELECT pos, ${decSumSql("s * cc")} AS y FROM (
+             |    SELECT c.pos AS pos, c.c AS cc, $winS AS s
+             |    FROM c JOIN v_${j}_${t - 1} v USING (pos))
+             |  GROUP BY pos)""".stripMargin
+        val chain = (1 until j).flatMap { i =>
+          val gprev = if (i == 1) s"yr_${j}_$t" else s"g_${j}_${t}_${i - 1}"
+          Seq(
+            s"""cf_${j}_${t}_$i AS (
+               |  SELECT ${decSumSql("g.y * u.v")} / ${decSumSql("u.v * u.v")} AS coef
+               |  FROM $gprev g JOIN v_${i}_$iters u USING (pos))""".stripMargin,
+            s"""g_${j}_${t}_$i AS (
+               |  SELECT g.pos, g.y - cf.coef * u.v AS y
+               |  FROM $gprev g JOIN v_${i}_$iters u USING (pos)
+               |  CROSS JOIN cf_${j}_${t}_$i cf)""".stripMargin)
+        }
+        val gfin = if (j == 1) s"yr_${j}_$t" else s"g_${j}_${t}_${j - 1}"
+        val norm = Seq(
+          s"m_${j}_$t AS (SELECT MAX(ABS(y)) AS m FROM $gfin)",
+          s"v_${j}_$t AS (SELECT pos, y / m AS v FROM $gfin, m_${j}_$t)")
+        matvec +: (chain ++ norm)
+      }
+      init +: steps
+    }.mkString(",\n")
+    val proj = (1 to p).map { j =>
+      s"""SELECT c.vec_id, CAST($j AS BIGINT) AS comp, ${decSumSql("c.c * v.v")} AS proj
+         |FROM c JOIN v_${j}_$iters v USING (pos) GROUP BY c.vec_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH rng AS (SELECT unnest(range(0, $dim)) AS pos),
+       |x AS MATERIALIZED (
+       |  SELECT vec_id, rng.pos, CAST(embedding[rng.pos + 1] AS DOUBLE) AS val
+       |  FROM embeddings CROSS JOIN rng),
+       |mu AS (
+       |  SELECT pos, ${decSumSql("val")} / CAST(COUNT(*) AS DOUBLE) AS m
+       |  FROM x GROUP BY pos),
+       |c AS MATERIALIZED (
+       |  SELECT x.vec_id, x.pos, x.val - mu.m AS c FROM x JOIN mu USING (pos)),
+       |$blocks
+       |$proj""".stripMargin
   }
 }

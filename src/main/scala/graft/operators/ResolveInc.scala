@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** END-TO-END incremental dedup-cluster maintenance — THE production dedup
+  * loop at 100 TB (r11/r12 verdict item 2): a standing (pair, cluster)
+  * table maintained through one arrival batch and one departure batch
+  * WITHOUT ever re-resolving the corpus. Composes the four proven
+  * maintenance primitives:
+  *
+  *   pairs:    base ⊎ upsert-delta (minhashLshUpsertFrom, O(Δ) sketched)
+  *                  − delete-retired (keyed anti-join, O(Δ·bucket))
+  *   clusters: componentsUpsertFrom (label-graph CC over the delta edges,
+  *                  O(Δ)) then componentsDeleteFrom (scoped recompute over
+  *                  the touched components only, O(touched))
+  *
+  * Scenario (deterministic id-slices, matching the family convention):
+  * the standing corpus is doc_id%10 != 0; the arrival batch is
+  * doc_id%10 == 0 (minhash_lsh_upsert's delta); the departure batch is
+  * doc_id%10 == 5 (disjoint from the arrivals — a base slice departing
+  * AFTER the arrival batch landed). Output is dedup_resolve's verdict
+  * shape (doc_id, canonical_id, keep) over the post-change corpus's LSH
+  * pair graph.
+  *
+  * The oracle is dedup_resolve's fixed-point recompute VERBATIM in shape —
+  * min-label propagation run past its fixed point — over the from-scratch
+  * LSH pair graph of the POST-CHANGE corpus (doc_id%10 != 5): the hash
+  * gate proves the composed incremental maintenance reaches exactly the
+  * state a full re-resolve would build. Correctness is structural: pair
+  * membership is a pure per-doc-pair function, so
+  * (base ∪ Δ-pairs) − (pairs touching departures) IS the post-change pair
+  * set, and the components upsert/delete cores are each proven lossless by
+  * their own gates (graph_components_inc / graph_components_del).
+  *
+  * Reference analog: the reference re-runs its dedup/cluster resolution
+  * whenever the Neo4j corpus changes (services/pipeline ingestion +
+  * neo4j_knowledge_service.py upsert_entity / graph_service.py:241
+  * delete_node maintain index state through changes); at lakehouse scale
+  * the maintained pair/cluster table is what makes that loop affordable.
+  */
+object ResolveInc {
+
+  private val isArrival = pmod(col("doc_id"), lit(10L)) === 0L
+  private val isDeparture = pmod(col("doc_id"), lit(10L)) === 5L
+
+  /** Inline registration form: derives the standing state (signatures,
+    * band keys, pairs, labels of the base corpus) in-call — the
+    * CORRECTNESS gate then covers the whole derivation — and runs the
+    * maintained path through both batches. Production consumes the same
+    * core from persisted tables (resolveIncFrom; ResolveIncProbe measures
+    * that form at 10×/100×). */
+  def resolveInc(documents: DataFrame, nPerms: Int = 16, bands: Int = 4): DataFrame = {
+    import Iterative._
+    val base = documents.filter(!isArrival)
+    // materialize the standing artifacts (Iterative contract): each is
+    // consumed by SEVERAL downstream branches (pairs by the retire/survive
+    // splits, signatures by two scoring joins) — unmaterialized, the whole
+    // sketch pass re-derives per consumer
+    val sigBase = MinhashPortable.minhashPortable(base, nPerms).materialize
+    val keysBase = MinhashPortable.bandKeys(sigBase, nPerms / bands).materialize
+    val pairsBase = MinhashPortable.pairsFromIndex(sigBase, keysBase, nPerms).materialize
+    val labelsBase = GraphOps.labelPropagation(
+      pairsBase.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    resolveIncFrom(sigBase, keysBase, pairsBase, labelsBase,
+      documents.filter(isArrival),
+      documents.filter(isDeparture).select(col("doc_id")), nPerms, bands)
+  }
+
+  /** Production-shaped core: given the PERSISTED standing state — the
+    * base index (signatures + band keys), the standing pair table, and the
+    * standing cluster labeling — apply one arrival batch then one
+    * departure batch and emit the maintained keep/drop verdicts. Never
+    * touches base text; never recomputes a component outside the touched
+    * set. */
+  def resolveIncFrom(sigBase: DataFrame, keysBase: DataFrame,
+                     pairsBase: DataFrame, labelsBase: DataFrame,
+                     arrivals: DataFrame, departedIds: DataFrame,
+                     nPerms: Int = 16, bands: Int = 4): DataFrame = {
+    import Iterative._
+    // --- arrival batch: delta-bounded pair insert + label-graph merge ---
+    val deltaPairs = MinhashPortable
+      .minhashLshUpsertFrom(sigBase, keysBase, arrivals, nPerms, bands)
+    // materialized: three consumers (retire semi-joins ×2, survive antis)
+    val pairsUp = pairsBase.unionByName(deltaPairs).materialize
+    val labelsUp = GraphOps.componentsUpsertFrom(labelsBase,
+      deltaPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    // --- departure batch: keyed pair retire + touched-scoped relabel ---
+    // retired = every standing pair touching a departure (O(Δ·bucket);
+    // the per-side semi-joins may emit a both-departed pair twice — fine,
+    // componentsDeleteFrom distincts endpoints)
+    val delA = departedIds.select(col("doc_id").as("doc_a"))
+    val delB = departedIds.select(col("doc_id").as("doc_b"))
+    val retired = pairsUp.join(broadcast(delA), Seq("doc_a"), "left_semi")
+      .unionByName(pairsUp.join(broadcast(delB), Seq("doc_b"), "left_semi")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard")))
+    // surviving = maintained pair table after the delete (two broadcast
+    // anti-joins — the keyed-delete shape of a doc-keyed pair store)
+    val surviving = pairsUp.join(broadcast(delA), Seq("doc_a"), "left_anti")
+      .join(broadcast(delB), Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val labelsFinal = GraphOps.componentsDeleteFrom(labelsUp,
+      surviving.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      retired.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    labelsFinal.select(col("node").as("doc_id"), col("label").as("canonical_id"),
+      (col("node") === col("label")).as("keep"))
+  }
+
+  /** Oracle: dedup_resolve's fixed-point recompute verbatim in shape —
+    * plain min-label propagation past its fixed point — over the
+    * from-scratch LSH pair graph of the POST-CHANGE corpus. */
+  def resolveIncSql(nPerms: Int = 16, bands: Int = 4, rounds: Int = 16): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""l_$i AS MATERIALIZED (
+         |  SELECT l.node, LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
+         |  FROM l_${i - 1} l
+         |  LEFT JOIN e ON l.node = e.src
+         |  LEFT JOIN l_${i - 1} nl ON e.dst = nl.node
+         |  GROUP BY l.node, l.label)""".stripMargin
+    }.mkString(",\n")
+    val pairs = MinhashPortable.minhashLshPortableSqlFrom(
+      "(SELECT * FROM documents WHERE doc_id % 10 <> 5)", nPerms, bands)
+    s"""WITH p AS MATERIALIZED ($pairs),
+       |e AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |l_0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$steps
+       |SELECT node AS doc_id, label AS canonical_id, node = label AS keep
+       |FROM l_$rounds""".stripMargin
+  }
+}

@@ -407,6 +407,62 @@ object Search {
     selected.toSeq.toDF("rank", "vec_id", "rel", "mmr")
   }
 
+  /** DISTRIBUTED MMR — the same greedy trajectory as [[mmrRerank]] with
+    * NO driver-side pool: at each of the k steps the argmax of
+    * 0.7·rel − 0.3·pen decomposes over partitions (pen is per-candidate
+    * state), so the step is a distributed top-1 (partition-local argmax +
+    * single-row merge — Spark's TakeOrdered IS the per-shard greedy +
+    * bounded merge), and the penalty update is one broadcast of the 1-row
+    * winner joined against the pool: pen′ = max(pen, cos(c, winner)).
+    * Running max over the same cosine values the driver version takes
+    * max over ⇒ bit-identical trajectory, same oracle. k rounds × one
+    * narrow pool pass; driver never holds more than the plan — the
+    * require(nCand ≤ 1024) cap is gone because nothing scales with
+    * nCand² anywhere. Per-round materialize + release: the Iterative
+    * loop contract. */
+  def mmrRerankDist(embeddings: DataFrame, queryVecId: Long = 0L, nCand: Int = 30,
+                    k: Int = 5): DataFrame = {
+    import Iterative._
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val cand = embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.cosine(col("embedding"), col("qv")).as("rel"))
+      .orderBy(desc("rel"), col("vec_id"))
+      .limit(nCand)
+    // round 1 has NO selected set: its penalty is the literal 0.0 (the
+    // driver loop's empty-case), and the FIRST update sets pen = cos
+    // directly — a 0.0-seeded running max would silently FLOOR the
+    // penalty at 0, and max-sim penalties are legitimately negative when
+    // every selected item anti-correlates with the candidate (caught by
+    // the oracle at sf0.01: one selection's pen was −0.0216)
+    var pool = cand.withColumn("pen", lit(0.0)).materialize // never read: round 1 uses the literal, the first update overwrites
+    var out: DataFrame = null
+    for (rank <- 1 to k) {
+      val pen = if (rank == 1) lit(0.0) else col("pen")
+      val winner = pool
+        .select(col("vec_id"), col("embedding"), col("rel"),
+          (lit(0.7) * col("rel") - lit(0.3) * pen).as("mmr"))
+        .orderBy(desc("mmr"), col("vec_id")).limit(1).materialize
+      val sel = winner.select(lit(rank.toLong).as("rank"), col("vec_id"),
+        col("rel"), col("mmr"))
+      out = if (out == null) sel else out.unionAll(sel)
+      if (rank < k) {
+        val w = winner.select(col("vec_id").as("wid"), col("embedding").as("wemb"))
+        val wcos = VectorOps.cosine(col("embedding"), col("wemb"))
+        val next = pool.crossJoin(broadcast(w))
+          .filter(col("vec_id") =!= col("wid"))
+          .select(col("vec_id"), col("embedding"), col("rel"),
+            (if (rank == 1) wcos else greatest(col("pen"), wcos)).as("pen"))
+          .materialize
+        release(pool) // superseded: winner and next are both materialized
+        pool = next
+      } else release(pool) // the winner row is materialized; pool is done
+    }
+    out
+  }
+
   def mmrRerankSql(queryVecId: Long = 0L, nCand: Int = 30, k: Int = 5): String = {
     val relCos = VectorOps.cosineSql("e.embedding", "q.qv")
     val simCos = VectorOps.cosineSql("a.embedding", "b.embedding")

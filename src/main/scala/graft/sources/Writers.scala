@@ -44,11 +44,21 @@ object Writers {
     * answer for fact tables joined repeatedly on the same key at 100 TB —
     * pay the shuffle once at ingest, never again. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
+    writeBucketedCols(df, table, Seq(key), buckets)
+
+  /** Multi-column variant of [[writeBucketed]] — the store layout for
+    * composite join keys (e.g. the LSH band index joined on (band, bkey)):
+    * rows co-locate by the hash of ALL key columns, so the equi-join on
+    * that exact key set runs exchange-free. */
+  def writeBucketedCols(df: DataFrame, table: String, keys: Seq[String],
+                        buckets: Int = 32): Unit = {
+    require(keys.nonEmpty, "writeBucketedCols needs at least one bucket key")
     df.write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes(df))
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Z-order (Morton) interleave of two non-negative integer keys: bit i
     * of `a` lands at position 2i, bit i of `b` at 2i+1. Rows close in BOTH

@@ -420,6 +420,18 @@ object StreamReplay {
   val streamNearDedupSql: String =
     graft.operators.MinhashPortable.minhashLshCappedSql(cap = 32)
 
+  /** Ablation twin (EvictionProbe): the deterministic-reservoir eviction
+    * policy run through the same replay — NOT registered (the reservoir's
+    * sequential replace chain has no bounded-depth SQL oracle; the
+    * ablation is what justifies keeping retain-first registered). */
+  def streamNearDedupReservoir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    replay[Doc](spark, s"stream_dedup:$dir", quarters(docScript(spark, dir)),
+      df => Streams.streamingNearDedupReservoir(df.as[Doc]).toDF(),
+      label = "stream_near_dedup_rsv")
+      .distinct()
+  }
+
   /** The oracle groups by TEXT where Spark groups by its 64-bit content
     * hash — they differ only if two distinct texts collide (≈ n²/2⁶⁵, the
     * ngramJaccard precedent). */

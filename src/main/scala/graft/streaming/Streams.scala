@@ -263,6 +263,74 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
+  case class BucketStateR(docs: Seq[BucketDoc], arrivals: Long)
+
+  /** ABLATION variant of [[streamingNearDedup]] (r11/r12 verdict item 7):
+    * deterministic RESERVOIR eviction instead of retain-first. Algorithm R
+    * with the portable xor-shift hash standing in for the random draw:
+    * arrival t (t > cap, t counted per bucket) computes j = h(doc) mod t
+    * and REPLACES retained slot j when j < cap — so the retained set is a
+    * deterministic uniform-style sample of the bucket's whole history
+    * instead of its head. Emission rule unchanged (compare against the
+    * retained set, then update), state bound unchanged (≤ cap rows).
+    *
+    * Trade-off this ablation measures (EvictionProbe, SCALING.md): in a
+    * hot bucket, retain-first covers every head×later pair but NO
+    * tail×tail pair, while the reservoir spreads coverage across the
+    * stream at the cost of head pairs — and retain-first's contract is
+    * SQL-expressible (the rank-qualified capped oracle) where the
+    * reservoir's sequential replace chain is not, which is why
+    * retain-first stays the REGISTERED policy. On buckets that never
+    * exceed the cap the two are identical (StreamingSpec pins that). */
+  def streamingNearDedupReservoir(docs: Dataset[Doc], nPerms: Int = 16,
+                                  bands: Int = 4,
+                                  maxBucket: Int = 32): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
+    val rows = nPerms / bands
+
+    def fn(key: String, batch: Iterator[(Long, String, Array[Long])],
+           state: GroupState[BucketStateR]): Iterator[NearDupPair] = {
+      val sorted = batch.toSeq.sortBy(_._1)
+      var st = state.getOption.getOrElse(BucketStateR(Seq.empty, 0L))
+      var seen = st.docs
+      var t = st.arrivals
+      val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+      sorted.foreach { case (docId, _, sig) =>
+        seen.foreach { prev =>
+          if (prev.doc_id != docId) {
+            var eq = 0
+            var i = 0
+            while (i < sig.length) { if (sig(i) == prev.sig(i)) eq += 1; i += 1 }
+            out += NearDupPair(math.min(prev.doc_id, docId),
+              math.max(prev.doc_id, docId), eq.toDouble / sig.length)
+          }
+        }
+        t += 1
+        if (seen.size < maxBucket) seen = seen :+ BucketDoc(docId, sig)
+        else {
+          // deterministic Algorithm R draw: the kmv xor-shift hash mod t
+          val h0 = ((docId & 0x7FFFFFFFL) * 2654435761L) % 4294967296L
+          val j = (h0 ^ (h0 >>> 16)) % t
+          if (j < maxBucket) seen = seen.updated(j.toInt, BucketDoc(docId, sig))
+        }
+      }
+      state.update(BucketStateR(seen, t))
+      out.iterator
+    }
+
+    docs
+      .flatMap { d =>
+        val sig = graft.operators.MinhashPortable.signature(d.text, nPerms)
+        if (sig == null) Iterator.empty
+        else (0 until bands).iterator.map { b =>
+          (d.doc_id, s"$b:" + sig.slice(b * rows, (b + 1) * rows).mkString(","), sig)
+        }
+      }
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Streaming sessionization: gap > gapMinutes starts a new session.
     * One state object per user (ProcessingTimeTimeout not needed for the
     * deterministic test path; event-time gap logic only). Emits a session

@@ -176,4 +176,45 @@ class DeleteMaintenanceSpec extends SparkSpec {
     val full = GraphOps.connectedComponents(li).as[(Long, Long)].collect().toMap
     assert(roundTrip == full, s"delete+reinsert != identity: $roundTrip vs $full")
   }
+
+  // --- turnstile_distinct: the sketch family's delete direction ------------
+
+  private def events(rows: Seq[(Long, Long, String)]) =
+    rows.toDF("event_id", "user_id", "event_type")
+
+  // user 1 loses ONE of two 'click' events (partial decrement — survives);
+  // user 2's only 'click' is deleted (vanishes); user 3 untouched;
+  // user 2's 'view' survives (per-(type,user) isolation)
+  private val turnstileEvents = events(Seq(
+    (1L, 1L, "click"), (15L, 1L, "click"),
+    (25L, 2L, "click"), (3L, 2L, "view"),
+    (4L, 3L, "click")))
+
+  test("turnstile_distinct: subtraction == from-scratch post-delete recompute") {
+    import graft.operators.Corpus
+    val emptyDel = turnstileEvents.filter(lit(false))
+    val got = Corpus.turnstileDistinct(turnstileEvents)
+      .as[(String, Long, Double)].collect().toSet
+    val scratch = Corpus.turnstileDistinctFrom(
+      Corpus.turnstileCounts(turnstileEvents.filter(col("event_id") % 10 =!= 5), 1L),
+      emptyDel).as[(String, Long, Double)].collect().toSet
+    assert(got == scratch, s"turnstile != from-scratch: $got vs $scratch")
+    assert(got.map(r => (r._1, r._2)) == Set(("click", 2L), ("view", 1L)),
+      s"partial decrement / vanish semantics wrong: $got")
+  }
+
+  test("turnstile_distinct: delete-then-reinsert is the identity on the counts") {
+    import graft.operators.Corpus
+    val standing = Corpus.turnstileCounts(turnstileEvents, 1L)
+    val batch = turnstileEvents.filter(col("event_id") % 10 === 5)
+    val roundTrip = standing
+      .unionByName(Corpus.turnstileCounts(batch, -1L))
+      .unionByName(Corpus.turnstileCounts(batch, 1L))
+    val emptyDel = turnstileEvents.filter(lit(false))
+    val a = Corpus.turnstileDistinctFrom(roundTrip, emptyDel)
+      .as[(String, Long, Double)].collect().toSet
+    val b = Corpus.turnstileDistinctFrom(standing, emptyDel)
+      .as[(String, Long, Double)].collect().toSet
+    assert(a == b, s"delete+reinsert != identity: $a vs $b")
+  }
 }

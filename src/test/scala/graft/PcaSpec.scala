@@ -50,4 +50,32 @@ class PcaSpec extends SparkSpec {
     }
     assert(math.abs(corr(out, t)) > 0.99)
   }
+
+  private def corr2(a: Array[Double], b: Array[Double]): Double = {
+    val ma = a.sum / a.length; val mb = b.sum / b.length
+    val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val sa = math.sqrt(a.map(x => (x - ma) * (x - ma)).sum)
+    val sb = math.sqrt(b.map(x => (x - mb) * (x - mb)).sum)
+    cov / (sa * sb)
+  }
+
+  test("top-p deflation recovers two planted orthogonal directions") {
+    // x_i = a_i·e0 + b_i·e1 with var(a) ≫ var(b) and a ⊥ b by construction
+    // (independent sign patterns): component 1 must recover a, component 2
+    // must recover b — possible only if deflation removed the first axis.
+    val a = (0 until 24).map(i => if (i % 2 == 0) 10.0 else -10.0).toArray
+    val b = (0 until 24).map(i => if ((i / 2) % 2 == 0) 1.0 else -1.0).toArray
+    val df = (0 until 24).map { i =>
+      (i.toLong, Array(a(i).toFloat, b(i).toFloat, 0f, 0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Pca.pcaTopP(df, dim = 4, iters = 3, p = 2)
+      .as[(Long, Long, Double)].collect()
+    val p1 = out.filter(_._2 == 1L).sortBy(_._1).map(_._3)
+    val p2 = out.filter(_._2 == 2L).sortBy(_._1).map(_._3)
+    assert(p1.length == 24 && p2.length == 24)
+    assert(math.abs(corr2(p1, a)) > 0.999, s"comp1 missed the dominant axis")
+    assert(math.abs(corr2(p2, b)) > 0.999, s"comp2 missed the deflated axis")
+    // and the components are genuinely different directions
+    assert(math.abs(corr2(p2, a)) < 0.01, s"comp2 still rides the first axis")
+  }
 }

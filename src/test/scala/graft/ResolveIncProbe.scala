@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphOps, MinhashPortable, ResolveInc}
+
+/** A/B probe for the maintained dedup pair/cluster table (r11/r12 verdict
+  * item 2 "done" bar): at a stress tier, the incremental path — standing
+  * state LOADED from parquet, one arrival batch + one departure batch
+  * maintained through resolveIncFrom — must beat the full re-resolve of
+  * the post-change corpus (the ~535 s full LSH pass at 100×, r11).
+  *
+  *   sbt "Test/runMain graft.ResolveIncProbe <docsDir> [stateDir]"
+  *
+  * The standing-state build is written ONCE (reused across runs) and
+  * timed separately — it is the ingest job, not the loop. Prints one JSON
+  * line for SCALING.md. */
+object ResolveIncProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf1")
+    val stateDir = args.lift(1).getOrElse(
+      "/tmp/graft_resolveinc_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val isArrival = pmod(col("doc_id"), lit(10L)) === 0L
+    val isDeparture = pmod(col("doc_id"), lit(10L)) === 5L
+
+    // --- standing state: build once, reuse across probe runs ---
+    val marker = new java.io.File(s"$stateDir/_BUILT")
+    val (_, tBuild) = t {
+      if (!marker.exists()) {
+        val base = docs.filter(!isArrival)
+        val sig = MinhashPortable.minhashPortable(base)
+        sig.write.mode("overwrite").parquet(s"$stateDir/sig")
+        val sigT = spark.read.parquet(s"$stateDir/sig")
+        MinhashPortable.bandKeys(sigT, 4)
+          .write.mode("overwrite").parquet(s"$stateDir/keys")
+        val keysT = spark.read.parquet(s"$stateDir/keys")
+        val pairs = MinhashPortable.pairsFromIndex(sigT, keysT)
+        pairs.write.mode("overwrite").parquet(s"$stateDir/pairs")
+        GraphOps.labelPropagation(spark.read.parquet(s"$stateDir/pairs")
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          .write.mode("overwrite").parquet(s"$stateDir/labels")
+        marker.createNewFile()
+      }
+    }
+    def ld(n: String): DataFrame = spark.read.parquet(s"$stateDir/$n")
+
+    // --- A: incremental maintenance from the loaded standing state ---
+    val (nInc, tInc) = t {
+      ResolveInc.resolveIncFrom(ld("sig"), ld("keys"), ld("pairs"), ld("labels"),
+        docs.filter(isArrival), docs.filter(isDeparture).select(col("doc_id")))
+        .count()
+    }
+    // --- B: full re-resolve of the post-change corpus from scratch ---
+    val (nFull, tFull) = t {
+      val post = docs.filter(!isDeparture)
+      val sig = MinhashPortable.minhashPortable(post)
+      val pairs = MinhashPortable.pairsFromIndex(sig,
+        MinhashPortable.bandKeys(sig, 4))
+      GraphOps.labelPropagation(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .count()
+    }
+    def f(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"probe":"resolve_inc","dir":"$dir","rows_inc":$nInc,"rows_full":$nFull,""" +
+      s""""sec_build_state":${f(tBuild)},"sec_incremental":${f(tInc)},""" +
+      s""""sec_full_reresolve":${f(tFull)},"speedup":${f(tFull / tInc)}}""")
+    spark.stop()
+  }
+}

@@ -130,6 +130,48 @@ class StreamingSpec extends SparkSpec {
       "a beyond-cap doc was retained and paired as the earlier side")
   }
 
+  test("reservoir eviction == retain-first == uncapped below the cap; " +
+       "reservoir covers tail pairs in a hot bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    // below the cap the policies are identical by construction
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val aNear = ((1 to 29).map(i => s"w$i") :+ "zzz").mkString(" ")
+    val c = (100 to 130).map(i => s"x$i").mkString(" ")
+    val small = Seq(Streams.Doc(1, a), Streams.Doc(2, c),
+      Streams.Doc(3, aNear), Streams.Doc(4, a))
+    val input = MemoryStream[Streams.Doc]
+    val q = Streams.streamingNearDedupReservoir(input.toDS())
+      .writeStream.format("memory").queryName("neardup_rsv")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(small: _*); q.processAllAvailable(); q.stop()
+    val rsv = spark.table("neardup_rsv").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.MinhashPortable.minhashLshPortable(
+        small.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rsv == batch, s"below-cap reservoir != uncapped batch: $rsv vs $batch")
+
+    // hot bucket at cap=3: retain-first NEVER emits a pair with both sides
+    // past the head; the reservoir's replace chain retains later arrivals,
+    // so some tail×later pair must appear — the coverage-spread contract
+    // the ablation measures at 10× (EvictionProbe, SCALING.md)
+    val hot = (1 to 30).map(i => s"h$i").mkString(" ")
+    val input2 = MemoryStream[Streams.Doc]
+    val q2 = Streams.streamingNearDedupReservoir(input2.toDS(), maxBucket = 3)
+      .writeStream.format("memory").queryName("neardup_rsv_hot")
+      .outputMode(OutputMode.Append()).start()
+    input2.addData((1 to 40).map(i => Streams.Doc(i.toLong, hot)): _*)
+    q2.processAllAvailable(); q2.stop()
+    val rsvHot = spark.table("neardup_rsv_hot").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rsvHot.exists(p => p._1 > 3L),
+      s"reservoir never retained a tail doc across 40 arrivals: $rsvHot")
+    // state bound still holds: any single arrival pairs with ≤ cap docs,
+    // so no doc appears as the LATER side of more than cap pairs
+    val perLater = rsvHot.groupBy(_._2).map(_._2.size)
+    assert(perLater.forall(_ <= 3), s"an arrival emitted > cap pairs")
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]

@@ -45,10 +45,12 @@ object ZipfGen {
         // the StressGen hash recipe, keyed on (doc, position)
         val u = (((id * 2654435761L + j * 40503L) % 1000003L + 1000003L)
           % 1000003L).toDouble / 1000003.0
-        // V^u for u∈[0,1) spans [1, V): floor lands in [1, V-1], so the
-        // head term t1 exists as the header documents (the former +1
-        // shifted the support to [2, V] and t1 never appeared)
-        val t = math.max(1L, math.min(vocab.toLong, math.floor(math.exp(u * lnV)).toLong))
+        // V^u for u∈[0,1) spans [1, V): floor lands in [1, V-1] ALWAYS (no
+        // clamps needed), so the head term t1 exists and the support is
+        // [1, V-1] — term tV is never emitted; its lost mass ~1/(V·H_V) is
+        // negligible for a stress tier. (The former +1 shifted the support
+        // to [2, V] and t1 never appeared.)
+        val t = math.floor(math.exp(u * lnV)).toLong
         if (j > 0) sb.append(' ')
         sb.append('t').append(t)
         j += 1
