@@ -43,14 +43,21 @@ import graft.functions.VectorOps
 object GraphAnn {
 
   /** Portable pseudo-random order for the candidate cap: the kmv xor-shift
-    * recipe over a pair key — deterministic, SQL-replayable. */
+    * recipe over a pair key — deterministic, SQL-replayable. Ids are
+    * masked to 31 bits BEFORE the multiply (the kmvHash recipe): stress-
+    * tier replica ids × 2654435761 overflow BIGINT on BOTH engines under
+    * ANSI semantics (hit at the 10× tier); the mask is the identity at
+    * gate SFs, so gate values are unchanged. */
   private def pairHash(a: Column, b: Column): Column = {
-    val key = pmod(a * 2654435761L + b * 40503L, lit(4294967296L))
+    val key = pmod(a.bitwiseAND(lit(0x7FFFFFFFL)) * 2654435761L +
+      b.bitwiseAND(lit(0x7FFFFFFFL)) * 40503L, lit(4294967296L))
     key.bitwiseXOR(shiftright(key, 16)).cast("double")
   }
 
-  private def pairHashSql(a: String, b: String): String =
-    s"CAST(xor(($a*2654435761 + $b*40503) % 4294967296, (($a*2654435761 + $b*40503) % 4294967296) // 65536) AS DOUBLE)"
+  private def pairHashSql(a: String, b: String): String = {
+    val key = s"(($a & 2147483647)*2654435761 + ($b & 2147483647)*40503) % 4294967296"
+    s"CAST(xor($key, ($key) // 65536) AS DOUBLE)"
+  }
 
   /** Score (node, nbr) pairs by exact cosine and keep top-`k` per node. */
   private def topKScored(pairs: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
