@@ -183,6 +183,7 @@ object SparkEntry {
     // rows-only: transitive clustering is not bounded-depth SQL
     "dedup_resolve" -> ((s, d) => Dedup.resolve(Tables.documents(s, d))),
     "dedup_resolve_inc" -> ((s, d) => ResolveInc.resolveInc(Tables.documents(s, d))),
+    "dedup_resolve_delta" -> ((s, d) => ResolveInc.resolveIncDelta(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "minhash_portable" -> ((s, d) => MinhashPortable.minhashPortable(Tables.documents(s, d))),
     "minhash_lsh_portable" -> ((s, d) => MinhashPortable.minhashLshPortable(Tables.documents(s, d))),
@@ -275,7 +276,10 @@ object SparkEntry {
     // O(touched) / zero-edge-derive plans you'd run at 100× — oracles
     // unchanged, so the gate proves store round-trip ≡ inline derivation
     "graph_components_del_store" -> ((s, d) => graft.sources.Stores.componentsDeleteStore(s, d)),
+    "graph_components_inc_store" -> ((s, d) => graft.sources.Stores.componentsUpsertStore(s, d)),
     "graph_khop_store" -> ((s, d) => graft.sources.Stores.khopStore(s, d)),
+    "graph_pagerank_store" -> ((s, d) => graft.sources.Stores.pageRankStore(s, d)),
+    "graph_hits_store" -> ((s, d) => graft.sources.Stores.hitsStore(s, d)),
     "impact_analysis" -> ((s, d) =>
       GraphOps.impactAnalysis(Tables.orders(s, d), Tables.lineitem(s, d))),
     // --- code intelligence (CodeTransformer analog over a derived corpus) ---
@@ -552,6 +556,7 @@ object SparkEntry {
     "simhash_portable" -> MinhashPortable.simhashPortableSql(),
     "dedup_resolve" -> Dedup.resolveSql(),
     "dedup_resolve_inc" -> ResolveInc.resolveIncSql(),
+    "dedup_resolve_delta" -> ResolveInc.resolveIncDeltaSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)
     "dedup_embedding" -> Dedup.embeddingNearDupSql(),
@@ -602,12 +607,15 @@ object SparkEntry {
     "path_mining" -> Relational.pathMiningSql(),
     "q_ntile" -> Relational.custQuartilesSql,
     "graph_pagerank" -> GraphOps.pageRankSql(),
+    "graph_pagerank_store" -> GraphOps.pageRankSql(),
     "graph_hits" -> GraphOps.hitsSql(),
+    "graph_hits_store" -> GraphOps.hitsSql(),
     "graph_ppr" -> GraphOps.personalizedPageRankSql(),
     "graph_label_prop" -> GraphOps.labelPropSql(),
     "graph_kcore" -> GraphOps.kCoreSql(),
     "graph_components" -> GraphOps.componentsSql(),
     "graph_components_inc" -> GraphOps.componentsSql(),
+    "graph_components_inc_store" -> GraphOps.componentsSql(),
     "graph_components_del" -> GraphOps.componentsDeleteSql(),
     "graph_components_del_store" -> GraphOps.componentsDeleteSql(),
     "graph_path_trace" -> GraphOps.shortestPathTraceSql(),

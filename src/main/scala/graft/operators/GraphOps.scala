@@ -807,8 +807,16 @@ object GraphOps {
     * double contributions per node — grouped sums use the same partial
     * aggregation tree only within a run; we round to 10 dp for stability).
     * rows-only. */
-  def pageRank(lineitem: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
-    val edges = copurchase(lineitem).materialize
+  def pageRank(lineitem: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame =
+    pageRankFrom(copurchase(lineitem), iters, damping)
+
+  /** Production-shaped core of [[pageRank]]: iterates over an
+    * ALREADY-DERIVED co-purchase edge set — the per-call lineitem
+    * self-join + distinct is the caller's choice (inline derivation or the
+    * persisted edge store's bucketed scan, Stores.cpEdgesAll). */
+  def pageRankFrom(edgeTable: DataFrame, iters: Int = 5,
+                   damping: Double = 0.85): DataFrame = {
+    val edges = edgeTable.materialize
     val nodes = edges.select(col("src").as("node")).distinct().materialize
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).materialize
     // every iteration joins the edge set on src — persisted co-partition
@@ -1113,14 +1121,26 @@ object GraphOps {
     * L2 sqrt would also be IEEE-exact, but max keeps the oracle flat).
     * Each iteration = two join+agg rounds materialized, same shuffle shape
     * as pageRank: linear in |edges|, no skew (bipartite keys). */
-  def hits(lineitem: DataFrame, iters: Int = 5): DataFrame = {
+  def hits(lineitem: DataFrame, iters: Int = 5): DataFrame =
+    hitsFrom(hitsEdges(lineitem), iters)
+
+  /** The distinct supplier→part edge derivation [[hits]] pays per call —
+    * exposed so the persisted edge store (Stores.hitsEdgeStore) can write
+    * it once at ingest and the `graph_hits_store` read path can skip it. */
+  def hitsEdges(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      (col("l_suppkey") + SuppBase).as("src"),
+      (col("l_partkey") + PartBase).as("dst")).distinct()
+
+  /** Production-shaped core of [[hits]]: runs the iteration over an
+    * ALREADY-DERIVED edge set (the persisted store's bucketed scan, or the
+    * inline derivation) — the per-call lineitem scan + distinct shuffle is
+    * the caller's choice, not the algorithm's. */
+  def hitsFrom(e0: DataFrame, iters: Int = 5): DataFrame = {
     // the final auth normalization dereferences the last round's raw
     // authority table — zero iterations has no such table (and no defined
     // HITS result), so fail fast instead of NPE-ing at plan build
     require(iters >= 1, s"hits needs at least one iteration, got $iters")
-    val e0 = lineitem.select(
-      (col("l_suppkey") + SuppBase).as("src"),
-      (col("l_partkey") + PartBase).as("dst")).distinct()
     // The two half-rounds join the edge set on ALTERNATING keys (src for
     // the auth update, dst for the hub update), so keep one
     // hash-distributed PERSISTED copy per key — every one of the 2·iters

@@ -138,6 +138,50 @@ object Stores {
     GraphOps.componentsDeleteFrom(cpLabels(s, d), cpEdgesSurviving(s, d),
       cpEdgesDeleted(s, d))
 
+  /** Full co-purchase edge set bucketed by src — the shared standing edge
+    * table of the iterative co-purchase family (pageRank's per-iteration
+    * join key is src; the derive is a lineitem self-join + distinct paid
+    * per call inline). */
+  def cpEdgesAll(s: SparkSession, d: String): DataFrame =
+    ensureBucketed(s, "cp_all", d, Seq("src"), 32) {
+      GraphOps.copurchase(Tables.lineitem(s, d))
+    }
+
+  /** Read-path pageRank: iterate over the persisted co-purchase edge store
+    * — same oracle as graph_pagerank (full DuckDB replay). */
+  def pageRankStore(s: SparkSession, d: String): DataFrame =
+    GraphOps.pageRankFrom(cpEdgesAll(s, d))
+
+  /** The distinct supplier→part bipartite edge set bucketed by src — the
+    * standing edge table HITS re-derives (lineitem scan + distinct) per
+    * inline call. */
+  def hitsEdgeStore(s: SparkSession, d: String): DataFrame =
+    ensureBucketed(s, "hits_edges", d, Seq("src"), 32) {
+      GraphOps.hitsEdges(Tables.lineitem(s, d))
+    }
+
+  /** Read-path HITS: the alternating half-round iteration over the
+    * persisted bipartite edge store — same oracle as graph_hits. */
+  def hitsStore(s: SparkSession, d: String): DataFrame =
+    GraphOps.hitsFrom(hitsEdgeStore(s, d))
+
+  /** Standing (node → component) labeling over the BASE corpus (the corpus
+    * before the arrival batch, l_orderkey%1000 != 0) — derived from the
+    * surviving-edge store with one bucketed read, never re-deriving edges.
+    * This is the labeling componentsUpsert rebuilds inline per call. */
+  def cpLabelsBase(s: SparkSession, d: String): DataFrame =
+    ensureBucketed(s, "cp_base_labels", d, Seq("node"), 32) {
+      GraphOps.labelPropagation(cpEdgesSurviving(s, d), 30)
+    }
+
+  /** Read-path components-upsert: O(Δ) label-graph merge over the persisted
+    * base labeling + the arrival batch's edge store (the same %1000==0
+    * slice the delete direction retires — arrival there, departure here) —
+    * the full-CC standing-state rebuild is gone from the plan. Same oracle
+    * as graph_components_inc (full post-arrival recompute in DuckDB). */
+  def componentsUpsertStore(s: SparkSession, d: String): DataFrame =
+    GraphOps.componentsUpsertFrom(cpLabelsBase(s, d), cpEdgesDeleted(s, d))
+
   // ---- dedup: minhash-LSH index store --------------------------------------
 
   private val isDelDoc = pmod(col("doc_id"), lit(10L)) === 0L

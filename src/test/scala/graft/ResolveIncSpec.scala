@@ -54,6 +54,28 @@ class ResolveIncSpec extends SparkSpec {
       (3L, 3L, true), (13L, 3L, false), (20L, 20L, true), (21L, 20L, false)))
   }
 
+  test("delta form: base ⊎ delta reconstructs the maintained labeling (CDC identity)") {
+    val delta = ResolveInc.resolveIncDelta(docs)
+      .select("doc_id", "op", "canonical_id", "keep")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    // expected ops: 10 arrives into cluster A ('I'); 20 pairs with base
+    // singleton 21 (both newly labeled — 'I'); departures retract 5 (from
+    // cluster A) and the departed-only cluster {15,25} ('D', restating the
+    // retracted base verdicts); the surviving docs 1,2,3,13 keep their
+    // canonicals, so no 'U' rows
+    assert(delta === Set(
+      (10L, "I", 1L, false), (20L, "I", 20L, true), (21L, "I", 20L, false),
+      (5L, "D", 1L, false), (15L, "D", 15L, true), (25L, "D", 15L, false)))
+    // CDC identity: base verdicts − D-rows − upserted ids + I/U rows
+    // equals the full maintained output
+    val baseV = Set((1L, 1L, true), (2L, 1L, false), (5L, 1L, false),
+      (3L, 3L, true), (13L, 3L, false), (15L, 15L, true), (25L, 15L, false))
+    val touched = delta.map(_._1)
+    val applied = baseV.filterNot(v => touched.contains(v._1)) ++
+      delta.filter(_._2 != "D").map(d => (d._1, d._3, d._4))
+    assert(applied === verdicts(ResolveInc.resolveInc(docs)))
+  }
+
   test("insert-then-delete of the same batch is the identity on the standing state") {
     val base = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
     val sigBase = MinhashPortable.minhashPortable(base)

@@ -31,6 +31,16 @@ class StoresSpec extends SparkSpec {
       rows(graft.operators.Search.bm25Delete(Tables.documents(s, dir), SparkEntry.kwTerms)))
   }
 
+  test("iterative-graph store read paths return exactly the inline twins' rows") {
+    val s = spark
+    assert(rows(Stores.pageRankStore(s, dir)) ===
+      rows(graft.operators.GraphOps.pageRank(Tables.lineitem(s, dir))))
+    assert(rows(Stores.hitsStore(s, dir)) ===
+      rows(graft.operators.GraphOps.hits(Tables.lineitem(s, dir))))
+    assert(rows(Stores.componentsUpsertStore(s, dir)) ===
+      rows(graft.operators.GraphOps.componentsUpsert(Tables.lineitem(s, dir))))
+  }
+
   test("khop-store frontier join has zero edge-side exchange") {
     val s = spark
     val eSrc = Stores.edgesBySrc(s, dir) // ensures the bucketed table
