@@ -111,6 +111,7 @@ object SparkEntry {
     "ann_maxsim" -> ((s, d) => Search.maxsimRetrieve(Tables.embeddings(s, d))),
     "ann_graph" -> ((s, d) => GraphAnn.annGraphSearch(Tables.embeddings(s, d))),
     "ann_graph_store" -> ((s, d) => graft.sources.Stores.annGraphStore(s, d)),
+    "ann_graph_wide" -> ((s, d) => graft.sources.Stores.annGraphStoreWide(s, d)),
     "mmr_rerank" -> ((s, d) => Search.mmrRerank(Tables.embeddings(s, d))),
     "mmr_rerank_dist" -> ((s, d) => Search.mmrRerankDist(Tables.embeddings(s, d))),
     "hybrid_search" -> ((s, d) =>
@@ -500,6 +501,7 @@ object SparkEntry {
     "ann_maxsim" -> Search.maxsimRetrieveSql(),
     "ann_graph" -> GraphAnn.annGraphSearchSql(),
     "ann_graph_store" -> GraphAnn.annGraphSearchSql(),
+    "ann_graph_wide" -> GraphAnn.annGraphSearchSql(kBuild = 32),
     "mmr_rerank" -> Search.mmrRerankSql(),
     "mmr_rerank_dist" -> Search.mmrRerankSql(),
     "ivf_upsert" -> Dedup.ivfUpsertSql(),

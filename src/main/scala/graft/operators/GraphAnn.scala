@@ -71,11 +71,22 @@ object GraphAnn {
       .select(col("node"), col("e.id").as("nbr"), col("e.score").as("cos"))
   }
 
-  /** The deterministic k-NN graph: (node, nbr, cos), ≤ kNbrs rows per node. */
+  /** The deterministic k-NN graph: (node, nbr, cos), ≤ kNbrs rows per node.
+    *
+    * `kBuild` (0 = kNbrs) is the BUILD-WIDTH lever: descend with a wider
+    * per-node neighbor list, truncate to kNbrs at the end. NN-descent
+    * converges through neighbors-of-neighbors, so a wider intermediate
+    * list reaches candidates a tight list prunes too early — the
+    * build-quality bound the 10× tier measured (edge recall 0.232 at
+    * kBuild = kNbrs, where MORE search rounds did NOT move search recall:
+    * the misses were not graph-reachable). Costs O(kBuild/kNbrs)× per
+    * descent round, paid once at ingest; the searched graph stays
+    * kNbrs-sized. */
   def knnGraph(embeddings: DataFrame, kNbrs: Int = 16, tables: Int = 4,
                nPlanes: Int = 6, ringSpan: Int = 4, rounds: Int = 4,
-               cap: Int = 64): DataFrame = {
+               cap: Int = 64, kBuild: Int = 0): DataFrame = {
     import Iterative._
+    val kb = math.max(kNbrs, kBuild)
     // --- seed: per LSH table, the C id-ring successors within each bucket
     val bucketed = (0 until tables).map { t =>
       embeddings.select(lit(t.toLong).as("t"),
@@ -100,7 +111,7 @@ object GraphAnn {
     // reference (measured: the first registration without these checkpoints
     // ran 198 s at sf0.1 vs ~1 s with them — exponential plan re-derivation,
     // the khopFrom lesson)
-    var g = topKScored(seedPairs, embeddings, kNbrs).materialize
+    var g = topKScored(seedPairs, embeddings, kb).materialize
     // --- NN-descent rounds: neighbors-of-neighbors, hash-capped, rescored
     for (_ <- 1 to rounds) {
       val sym = g.select(col("node"), col("nbr"))
@@ -124,11 +135,15 @@ object GraphAnn {
         .select(col("node"), explode(col("topk")).as("e"))
         .select(col("node"), col("e.id").as("nbr"))
       val cand = sym.unionAll(nnCapped).distinct()
-      val next = topKScored(cand, embeddings, kNbrs).materialize
+      val next = topKScored(cand, embeddings, kb).materialize
       release(g)
       g = next
     }
-    g
+    if (kb == kNbrs) g
+    else g.groupBy(col("node"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("nbr"), kNbrs).as("topk"))
+      .select(col("node"), explode(col("topk")).as("e"))
+      .select(col("node"), col("e.id").as("nbr"), col("e.score").as("cos"))
   }
 
   /** Beam-search ANN over the k-NN graph: (probe_id, neighbor_id, rn, cos)
@@ -136,9 +151,10 @@ object GraphAnn {
   def annGraphSearch(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
                      kNbrs: Int = 16, entries: Int = 4, beam: Int = 16,
                      searchRounds: Int = 4, buildRounds: Int = 4,
-                     cap: Int = 64,
+                     cap: Int = 64, kBuild: Int = 0,
                      probes: Option[DataFrame] = None): DataFrame =
-    annGraphSearchFrom(knnGraph(embeddings, kNbrs, rounds = buildRounds, cap = cap),
+    annGraphSearchFrom(
+      knnGraph(embeddings, kNbrs, rounds = buildRounds, cap = cap, kBuild = kBuild),
       embeddings, nProbes, k, entries, beam, searchRounds, probes,
       releaseGraph = true)
 
@@ -206,7 +222,9 @@ object GraphAnn {
   def annGraphSearchSql(nProbes: Int = 10, k: Int = 3, kNbrs: Int = 16,
                         tables: Int = 4, nPlanes: Int = 6, ringSpan: Int = 4,
                         rounds: Int = 4, cap: Int = 64, entries: Int = 4,
-                        beam: Int = 16, searchRounds: Int = 4): String = {
+                        beam: Int = 16, searchRounds: Int = 4,
+                        kBuild: Int = 0): String = {
+    val kb = math.max(kNbrs, kBuild)
     def cos(a: String, b: String) = VectorOps.cosineSql(a, b)
     val buckets = (0 until tables).map { t =>
       s"SELECT CAST($t AS BIGINT) AS t, ${Dedup.lshBucketSql("embedding", nPlanes, seed = t * 7)} AS bucket, vec_id FROM embeddings"
@@ -225,7 +243,17 @@ object GraphAnn {
          |    FROM $pairsRel p
          |    JOIN embeddings en ON en.vec_id = p.node
          |    JOIN embeddings eb ON eb.vec_id = p.nbr)
-         |  WHERE rn <= $kNbrs)""".stripMargin
+         |  WHERE rn <= $kb)""".stripMargin
+    // the searched graph truncates to kNbrs (identity when kBuild unset —
+    // the extra CTE is only injected for a widened build, keeping the
+    // registered oracle's text unchanged)
+    val gFinal =
+      if (kb == kNbrs) s"g_$rounds"
+      else s"""(SELECT node, nbr, cos FROM (
+              |  SELECT node, nbr, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY cos DESC, nbr) AS rn
+              |  FROM g_$rounds)
+              |WHERE rn <= $kNbrs)""".stripMargin
     val descent = (1 to rounds).map { r =>
       val prev = s"g_${r - 1}"
       s"""sym_$r AS MATERIALIZED (
@@ -282,7 +310,7 @@ object GraphAnn {
        |$descent,
        |gsym AS MATERIALIZED (
        |  SELECT DISTINCT node, nbr FROM (
-       |    SELECT node, nbr FROM g_$rounds UNION ALL SELECT nbr, node FROM g_$rounds)),
+       |    SELECT node, nbr FROM $gFinal UNION ALL SELECT nbr, node FROM $gFinal)),
        |ent_0 AS (
        |  SELECT DISTINCT probe_id, node FROM (
        |    SELECT p.vec_id AS probe_id, e.vec_id AS node

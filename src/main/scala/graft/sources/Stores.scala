@@ -231,6 +231,23 @@ object Stores {
     graft.operators.GraphAnn.annGraphSearchFrom(knnGraphStore(s, d),
       Tables.embeddings(s, d))
 
+  /** The WIDENED-build k-NN graph (kBuild=32 descent truncated to the same
+    * kNbrs=16 searched width) — the build-quality rung the 10× tier
+    * motivated: NN-descent at the searched width leaves exact neighbors
+    * graph-unreachable (search recall 0.967, where more search rounds do
+    * NOT help); descending 2× wide and truncating closes it (1.000 at 10×,
+    * GraphAnnProbe) for ~2.6× build cost paid once at ingest. The searched
+    * graph is the same size, so query cost is unchanged. */
+  def knnGraphStoreWide(s: SparkSession, d: String): DataFrame =
+    ensureBucketed(s, "ann_graph_w", d, Seq("node"), 32) {
+      graft.operators.GraphAnn.knnGraph(Tables.embeddings(s, d), kBuild = 32)
+    }
+
+  /** Read-path graph-ANN over the widened-build persisted graph. */
+  def annGraphStoreWide(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphAnn.annGraphSearchFrom(knnGraphStoreWide(s, d),
+      Tables.embeddings(s, d))
+
   // ---- search: BM25 index store --------------------------------------------
 
   /** Standing postings (term, doc_id, n_occ) bucketed by term: the query-

@@ -16,6 +16,7 @@ object GraphAnnProbe {
     val entries = args.lift(4).map(_.toInt).getOrElse(4)
     val buildRounds = args.lift(5).map(_.toInt).getOrElse(4)
     val cap = args.lift(6).map(_.toInt).getOrElse(64)
+    val kBuild = args.lift(7).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -31,7 +32,7 @@ object GraphAnnProbe {
     val (rGraph, tGraph) = t(graft.operators.Recall.recallAtK(exact,
       graft.operators.GraphAnn.annGraphSearch(emb, nProbes = 10, k = 3,
         kNbrs = kNbrs, beam = beam, searchRounds = rounds, entries = entries,
-        buildRounds = buildRounds, cap = cap)))
+        buildRounds = buildRounds, cap = cap, kBuild = kBuild)))
     // graph EDGE recall: fraction of every node's exact top-3 that appear
     // as (undirected) graph edges — separates build quality from search reach
     val exactAll = graft.operators.Search.knnJoin(emb,
@@ -39,7 +40,7 @@ object GraphAnnProbe {
       .select(org.apache.spark.sql.functions.col("probe_id"),
         org.apache.spark.sql.functions.col("neighbor_id"))
     val g = graft.operators.GraphAnn.knnGraph(emb, kNbrs = kNbrs,
-      rounds = buildRounds, cap = cap)
+      rounds = buildRounds, cap = cap, kBuild = kBuild)
     val gsym = g.select(org.apache.spark.sql.functions.col("node").as("probe_id"),
         org.apache.spark.sql.functions.col("nbr").as("neighbor_id"))
       .unionAll(g.select(org.apache.spark.sql.functions.col("nbr").as("probe_id"),
@@ -52,7 +53,7 @@ object GraphAnnProbe {
       graft.operators.Dedup.annIvfMultiprobe(emb, nProbes = 10, k = 3)))
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     println(s"""{"probe":"graph_ann","dir":"$dir","kNbrs":$kNbrs,"beam":$beam,""" +
-      s""""searchRounds":$rounds,"entries":$entries,"buildRounds":$buildRounds,"cap":$cap,""" +
+      s""""searchRounds":$rounds,"entries":$entries,"buildRounds":$buildRounds,"cap":$cap,"kBuild":$kBuild,""" +
       s""""recall_graph":${f(rGraph)},"edge_recall":${f(edgeRecall)},"recall_ivf_mp":${f(rIvf)},""" +
       s""""sec_graph":${f(tGraph)},"sec_ivf_mp":${f(tIvf)}}""")
     spark.stop()
