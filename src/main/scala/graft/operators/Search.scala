@@ -984,9 +984,9 @@ object Search {
     // re-select canonical column order: the USING anti-join fronts the key
     // column, and downstream unions (bm25UpsertFrom's positional
     // postBase.union(postD)) align by position
-    val postM = postBase.join(delIds, Seq("doc_id"), "left_anti")
+    val postM = postBase.join(broadcast(delIds), Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id"), col("n_occ"))
-    val dlM = dlBase.join(delIds, Seq("doc_id"), "left_anti")
+    val dlM = dlBase.join(broadcast(delIds), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("len"))
     (postM, dlM, dfM, scM)
   }

@@ -77,6 +77,51 @@ class StoresSpec extends SparkSpec {
     }
   }
 
+  test("iterative-graph store read paths scan ONLY store tables — no base-table derive") {
+    val s = spark
+    // build the stores OUTSIDE the observed window (order-independent of
+    // the other tests), then observe every query execution the read paths
+    // trigger: the iterative cores materialize per round, so the proof
+    // must cover the whole job stream, not the checkpoint-rooted plan the
+    // call returns. No observed file scan may read outside graft_store_*.
+    Stores.cpEdgesAll(s, dir); Stores.hitsEdgeStore(s, dir)
+    Stores.cpLabelsBase(s, dir); Stores.cpEdgesDeleted(s, dir)
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        qe.executedPlan.foreach {
+          case fs: org.apache.spark.sql.execution.FileSourceScanExec =>
+            seen.add(fs.tableIdentifier.map(_.table)
+              .getOrElse(fs.relation.location.rootPaths.mkString(",")))
+          case _ => ()
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      Stores.pageRankStore(s, dir).count()
+      Stores.hitsStore(s, dir).count()
+      Stores.componentsUpsertStore(s, dir).count()
+      // listener delivery is async — poll until the scan list stabilizes
+      var prev = -1
+      var waited = 0
+      while (seen.size != prev && waited < 10000) {
+        prev = seen.size
+        Thread.sleep(500); waited += 500
+      }
+      val tables = seen.toArray(Array.empty[String]).toSeq
+      assert(tables.exists(_.startsWith("graft_store_")),
+        "expected the read paths' store scans to be observed")
+      val nonStore = tables.filterNot(_.startsWith("graft_store_"))
+      assert(nonStore.isEmpty,
+        s"read paths scanned non-store inputs: $nonStore")
+    } finally s.listenerManager.unregister(listener)
+  }
+
   test("bm25 postings scan bucket-prunes to the query terms") {
     val s = spark
     val post = Stores.bm25Postings(s, dir)
