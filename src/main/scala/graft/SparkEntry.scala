@@ -122,6 +122,9 @@ object SparkEntry {
     // store-backed read path over the persisted index artifacts (Stores):
     // same core + oracle, standing state built once per corpus snapshot
     "bm25_delete_store" -> ((s, d) => graft.sources.Stores.bm25DeleteStore(s, d, kwTerms)),
+    // pure serving read path: score from the persisted artifacts, zero
+    // maintenance/tokenize work; oracle = bm25_upsert's full-corpus recompute
+    "bm25_search_store" -> ((s, d) => graft.sources.Stores.bm25SearchStore(s, d, kwTerms)),
     "rag_eval_mrr" -> ((s, d) => Search.mrrEval(Tables.embeddings(s, d))),
     "hard_negatives" -> ((s, d) => Search.hardNegatives(Tables.embeddings(s, d))),
     "topic_terms" -> ((s, d) =>
@@ -212,6 +215,9 @@ object SparkEntry {
       Dedup.annLshMultiTable(emb, probes = Some(emb.join(testIds, "vec_id")))
     }),
     "ann_ivf" -> ((s, d) => Dedup.annIvf(Tables.embeddings(s, d))),
+    // read path over the persisted cell-bucketed inverted file: probed
+    // cells only (bucket prune), no per-call assignment pass; same oracle
+    "ann_ivf_store" -> ((s, d) => graft.sources.Stores.annIvfStore(s, d)),
     "ann_ivf_mp" -> ((s, d) => Dedup.annIvfMultiprobe(Tables.embeddings(s, d))),
     "ann_ivf_tr" -> ((s, d) => Cluster.annIvfTrained(Tables.embeddings(s, d))),
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
@@ -229,6 +235,9 @@ object SparkEntry {
     "ann_sq8" -> ((s, d) => ScalarQuant.sq8Search(Tables.embeddings(s, d))),
     "ann_sq8_rr" -> ((s, d) => ScalarQuant.sq8RerankAdaptive(Tables.embeddings(s, d))),
     "ann_ivf_pq" -> ((s, d) => ProductQuant.ivfPqSearch(Tables.embeddings(s, d))),
+    // read path over the persisted cell-bucketed PQ codes: ADC scoring of
+    // the probed cells only, zero raw-vector reads; same oracle
+    "ann_ivf_pq_store" -> ((s, d) => graft.sources.Stores.annIvfPqStore(s, d)),
     "ann_ivf_pq_rr" -> ((s, d) => ProductQuant.ivfPqRerank(Tables.embeddings(s, d))),
     "ann_ivf_pq_rr_ad" -> ((s, d) => ProductQuant.ivfPqRerankAdaptive(Tables.embeddings(s, d))),
     "ann_ivf_pq_rr_ad_mp" -> ((s, d) =>
@@ -472,6 +481,7 @@ object SparkEntry {
     // *_store read-path variants share their inline twins' oracles verbatim:
     // the gate proves persisted-store round-trip ≡ inline ≡ from-scratch
     "bm25_delete_store" -> Search.bm25DeleteSql(kwTerms),
+    "bm25_search_store" -> Search.bm25UpsertSql(kwTerms),
     "rag_eval_mrr" -> Search.mrrEvalSql(),
     "hard_negatives" -> Search.hardNegativesSql(),
     "topic_terms" -> Cluster.topicTermsSql(),
@@ -532,6 +542,7 @@ object SparkEntry {
     "ann_sq8" -> ScalarQuant.sq8SearchSql(),
     "ann_sq8_rr" -> ScalarQuant.sq8RerankAdaptiveSql(),
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
+    "ann_ivf_pq_store" -> ProductQuant.ivfPqSearchSql(),
     "ann_ivf_pq_rr" -> ProductQuant.ivfPqRerankSql(),
     "ann_ivf_pq_rr_ad" -> ProductQuant.ivfPqRerankAdaptiveSql(),
     "ann_ivf_pq_rr_ad_mp" -> ProductQuant.ivfPqRerankAdaptiveSql(nProbeCells = 4),
@@ -568,6 +579,7 @@ object SparkEntry {
     "ann_holdout" -> Dedup.annLshMultiTableSql(probeWhere = Some(
       s"p.vec_id IN (SELECT doc_id FROM (${Corpus.splitHoldoutSql()}) WHERE split = 'test')")),
     "ann_ivf" -> Dedup.annIvfSql(),
+    "ann_ivf_store" -> Dedup.annIvfSql(),
     "ann_ivf_mp" -> Dedup.annIvfMultiprobeSql(),
     "ann_ivf_tr" -> Cluster.annIvfTrainedSql(),
     "graph_stats" -> GraphOps.statsSql,

@@ -503,21 +503,57 @@ object Dedup {
     * from-scratch one. */
   def ivfDelete(embeddings: DataFrame, nCells: Int = 16, nProbes: Int = 10,
                 k: Int = 3): DataFrame = {
-    import embeddings.sparkSession.implicits._
     // standing quantizer + inverted file over the full corpus (persisted
     // in production; the quantizer keeps its original training inputs
     // even when those vectors are later deleted — a frozen model)
+    val indexFull = ivfIndexFull(embeddings, nCells)
+    val delIds = embeddings.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+      .select(col("vec_id"))
+    ivfDeleteFrom(indexFull, delIds, nProbes, k)
+  }
+
+  /** The standing IVF inverted file (vec_id, embedding, cell) under the
+    * deterministic frozen quantizer — the artifact an IVF deployment
+    * persists (Stores.ivfIndexStore writes it bucketed by cell). One
+    * narrow broadcast-argmax pass; centroid collect is nCells rows. */
+  private[graft] def ivfIndexFull(embeddings: DataFrame, nCells: Int): DataFrame = {
+    import embeddings.sparkSession.implicits._
     val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
     val cands = cents.sortBy(_._1).map { case (id, v) =>
       struct(VectorOps.cosine(col("embedding"), typedlit(v)).as("c"),
         lit(-id).as("negid"))
     }
-    val indexFull = embeddings.select(col("vec_id"), col("embedding"),
+    embeddings.select(col("vec_id"), col("embedding"),
       (-greatest(cands.toSeq: _*).getField("negid")).as("cell"))
-    val delIds = embeddings.filter(pmod(col("vec_id"), lit(10L)) === 0L)
-      .select(col("vec_id"))
-    ivfDeleteFrom(indexFull, delIds, nProbes, k)
+  }
+
+  /** Pure READ path of the IVF family: serve ANN search FROM the persisted
+    * inverted file with zero assignment work. The probe rows (bounded —
+    * nProbes, the same bounded-probe-collect class as the centroid model)
+    * carry their standing cells; restricting the search scan to those cells
+    * as a LITERAL IN on the bucket column makes it a bucket-pruned scan —
+    * the per-call full-corpus argmax pass (O(corpus · nCells) flops, the
+    * plan you'd never run per query at 100 TB) is gone, and the scan reads
+    * ≤ nProbes of nCells buckets. Results are identical to [[annIvf]]: the
+    * cell join only ever matches probe cells, so dropping the rest changes
+    * nothing, and tie-breaks ride the same TopKAgg. */
+  def ivfSearchFromIndex(idx: DataFrame, nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val probeCells: Seq[Long] = idx.filter(col("vec_id") < nProbes)
+      .select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val probeDf = idx.filter(col("vec_id") < nProbes)
+      .select(col("cell"), col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    idx.filter(col("cell").isin(probeCells: _*))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(probeDf), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
   }
 
   /** Production-shaped core of [[ivfDelete]]: given the PERSISTED inverted

@@ -540,6 +540,97 @@ object ProductQuant extends Serializable {
         (col("pos") + 1).cast("long").as("rn"), col("col.score").as("approx_score"))
   }
 
+  /** The frozen IVF-PQ model pair — coarse centroids (first nCells) +
+    * residual codebooks (first nCodes vectors' residuals): the bounded
+    * driver-side artifacts every ivfPq entry point derives identically. */
+  private def ivfPqModel(embeddings: DataFrame, nCells: Int, m: Int,
+                         nCodes: Int): (Array[(Long, Array[Float])], Array[Array[Array[Double]]]) = {
+    import embeddings.sparkSession.implicits._
+    val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val cbs = firstKCodebooks(
+      embeddings.filter(col("vec_id") < nCodes)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1).map(r => residOf(cents, r._2)),
+      m, nCodes)
+    (cents, cbs)
+  }
+
+  /** The persisted IVF-PQ index rows (vec_id, cell, codes) — the corpus
+    * encoded ONCE against the frozen model (Stores.ivfPqCodesStore writes
+    * it bucketed by cell). This is the FAISS IndexIVFPQ artifact layout:
+    * m code bytes per vector instead of Dim floats, so the serving scan
+    * reads ~(4·Dim)/m× less data than the raw corpus. */
+  private[graft] def ivfPqIndex(embeddings: DataFrame, nCells: Int = 16,
+                                m: Int = 32, nCodes: Int = 128): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val w = Dim / m
+    val (cents, cbs) = ivfPqModel(embeddings, nCells, m, nCodes)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcCbs = spark.sparkContext.broadcast(cbs)
+    embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val centsL = bcCents.value
+        val cbsL = bcCbs.value
+        iter.map { case (nid, v) =>
+          val cell = cellOf(centsL, v)
+          (nid, cell.toLong, encodeOne(residFor(centsL, cell, v), cbsL, m, w))
+        }
+      }.toDF("vec_id", "cell", "codes")
+  }
+
+  /** Pure READ path of IVF-PQ serving: score FROM the persisted codes —
+    * the query never touches a raw corpus vector. Probes (bounded collect)
+    * build their ADC LUTs driver-side and broadcast; the candidate scan
+    * reads ONLY the probed cells' buckets of the codes table (literal IN
+    * on the bucket column → bucket prune) and each candidate scores as
+    * base + Σ_s lut_s[code_s] — identical arithmetic, and an identical
+    * candidate set, to [[ivfPqSearch]] (whose per-call corpus encode pass
+    * this path eliminates), so the oracle is shared verbatim. */
+  def ivfPqSearchFromCodes(embeddings: DataFrame, codesIdx: DataFrame,
+                           nCells: Int = 16, m: Int = 32, nCodes: Int = 128,
+                           nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val w = Dim / m
+    val (cents, cbs) = ivfPqModel(embeddings, nCells, m, nCodes)
+    val probes: Array[(Long, Int, Array[Float])] =
+      Probes.resolve(embeddings, None, nProbes)
+        .as[(Long, Array[Float])]
+        .collect().sortBy(_._1).map { case (pid, pv) => (pid, cellOf(cents, pv), pv) }
+    val lut: Array[(Long, Int, Double, Array[Array[Double]])] = probes.map { case (pid, pcell, pv) =>
+      val pd = toD(pv)
+      val base = dotD(pd, toD(cents(pcell)._2))
+      (pid, pcell,
+        base, Array.tabulate(m, nCodes)((s, c) => dotD(pd.slice(s * w, s * w + w), cbs(s)(c))))
+    }
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val probedCells: Seq[Long] = lut.map(_._2.toLong).distinct.sorted.toSeq
+    val scored = codesIdx.filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { iter =>
+        val lutL = bcLut.value
+        iter.flatMap { case (nid, cell, codes) =>
+          lutL.iterator.collect { case (pid, pcell, base, t) if pcell.toLong == cell && pid != nid =>
+            var score = base
+            var i = 0
+            while (i < m) { score += t(i)(codes(i)); i += 1 }
+            (pid, nid, score)
+          }
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "approx_score")
+    scored
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.topK(col("approx_score"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.score").as("approx_score"))
+  }
+
   /** IVF-PQ + exact re-rank — the refine stage composed over the coarse-
     * quantized index (what FAISS calls IndexRefineFlat(IndexIVFPQ)). Recall
     * ceiling is the IVF cell routing (a neighbor outside the probed cell is

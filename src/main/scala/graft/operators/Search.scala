@@ -918,6 +918,18 @@ object Search {
       .limit(limit)
   }
 
+  /** Pure READ path of the BM25 index family: score the query terms from
+    * the four PERSISTED artifacts with zero maintenance work — the serving
+    * shape (Stores.bm25SearchStore registers it over the bucketed postings
+    * store, where the query-term restriction is a bucket prune). tf is the
+    * index's exact-token count, so the oracle is the tokenized from-scratch
+    * recompute over the full corpus ([[bm25UpsertSql]]) — the hash gate
+    * proves store round-trip + read-path scoring equals a fresh index. */
+  def bm25SearchFrom(postings: DataFrame, doclens: DataFrame, dfM: DataFrame,
+                     scM: DataFrame, terms: Seq[String], k1: Double = 1.2,
+                     b: Double = 0.75, limit: Int = 30): DataFrame =
+    bm25ScoreFromIndex(postings, doclens, dfM, scM, terms, k1, b, limit)
+
   /** DELETE direction of BM25 index maintenance — the retract half the
     * upsert scaladoc declares possible: every index artifact is ADDITIVE,
     * so a departure batch (delta = doc_id%10 == 0, the deterministic

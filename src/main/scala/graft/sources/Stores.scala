@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GraphOps, MinhashPortable, Search}
+import graft.operators.{Dedup, GraphOps, MinhashPortable, ProductQuant, Search}
 
 /** PERSISTED standing-state stores — the artifact layer between ingest and
   * query that every index-maintenance operator assumes "in production".
@@ -286,4 +286,46 @@ object Stores {
     Search.bm25DeleteFrom(bm25Postings(s, d), bm25Doclens(s, d),
       bm25Df(s, d), bm25Scalars(s, d), delDocs, terms)
   }
+
+  /** Pure read-path BM25 search: score the query terms from the four
+    * persisted artifacts with ZERO maintenance or tokenize work — the
+    * serving call. The postings read is a term bucket prune; df/scalars
+    * are tiny broadcast tables. Oracle = the tokenized from-scratch
+    * recompute over the full corpus (bm25_upsert's oracle). */
+  def bm25SearchStore(s: SparkSession, d: String, terms: Seq[String]): DataFrame =
+    Search.bm25SearchFrom(bm25Postings(s, d), bm25Doclens(s, d),
+      bm25Df(s, d), bm25Scalars(s, d), terms)
+
+  // ---- ann: IVF inverted-file store ----------------------------------------
+
+  /** Standing IVF inverted file (vec_id, embedding, cell) under the frozen
+    * deterministic quantizer, bucketed by cell — the artifact layout every
+    * billion-vector IVF deployment persists. Bucket count = nCells so a
+    * probed-cell restriction maps 1:1 onto bucket pruning. */
+  def ivfIndexStore(s: SparkSession, d: String, nCells: Int = 16): DataFrame =
+    ensureBucketed(s, "ivf_idx", d, Seq("cell"), nCells) {
+      Dedup.ivfIndexFull(Tables.embeddings(s, d), nCells)
+    }
+
+  /** Read-path IVF search: probes fetch their standing cells from the
+    * store; the search scan reads ONLY the probed cells' buckets (literal
+    * IN on the bucket column → SelectedBucketsCount in the scan) — the
+    * per-call full-corpus assignment pass of the inline ann_ivf is gone.
+    * Same oracle as ann_ivf. */
+  def annIvfStore(s: SparkSession, d: String, nProbes: Int = 10, k: Int = 3): DataFrame =
+    Dedup.ivfSearchFromIndex(ivfIndexStore(s, d), nProbes, k)
+
+  /** Standing IVF-PQ codes (vec_id, cell, codes) bucketed by cell — the
+    * FAISS IndexIVFPQ persisted layout: m small codes per vector instead
+    * of Dim floats. Encoded once per corpus snapshot. */
+  def ivfPqCodesStore(s: SparkSession, d: String, nCells: Int = 16): DataFrame =
+    ensureBucketed(s, "ivfpq_codes", d, Seq("cell"), nCells) {
+      ProductQuant.ivfPqIndex(Tables.embeddings(s, d))
+    }
+
+  /** Read-path IVF-PQ search: ADC scoring over the persisted codes of the
+    * probed cells ONLY (bucket prune) — no raw corpus vector is read and
+    * the per-call corpus encode pass is gone. Same oracle as ann_ivf_pq. */
+  def annIvfPqStore(s: SparkSession, d: String): DataFrame =
+    ProductQuant.ivfPqSearchFromCodes(Tables.embeddings(s, d), ivfPqCodesStore(s, d))
 }

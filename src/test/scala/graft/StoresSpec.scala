@@ -122,6 +122,40 @@ class StoresSpec extends SparkSpec {
     } finally s.listenerManager.unregister(listener)
   }
 
+  test("serving read paths (bm25_search_store, ann_ivf_store) return exactly the inline twins' rows") {
+    val s = spark
+    // bm25_search_store's inline twin is bm25Upsert over the full corpus:
+    // the upsert maintains (base ⊎ delta) to exactly the full-corpus index,
+    // then scores — same artifacts the store persists
+    assert(rows(Stores.bm25SearchStore(s, dir, SparkEntry.kwTerms)) ===
+      rows(graft.operators.Search.bm25Upsert(Tables.documents(s, dir), SparkEntry.kwTerms)))
+    assert(rows(Stores.annIvfStore(s, dir)) ===
+      rows(graft.operators.Dedup.annIvf(Tables.embeddings(s, dir))))
+    assert(rows(Stores.annIvfPqStore(s, dir)) ===
+      rows(graft.operators.ProductQuant.ivfPqSearch(Tables.embeddings(s, dir))))
+  }
+
+  test("ann_ivf_store search scan bucket-prunes to the probed cells") {
+    val s = spark
+    Stores.ivfIndexStore(s, dir) // ensure the bucketed table exists
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false") // concrete plan tree
+    try {
+      val q = Stores.annIvfStore(s, dir)
+      assert(q.count() > 0)
+      val scans = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith("graft_store_ivf_idx")) => f
+      }
+      assert(scans.nonEmpty, "expected a scan of the bucketed inverted file")
+      // the SEARCH side (the heavy scan, filtered by the literal cell IN)
+      // must prune; the probe-row fetch legitimately reads all buckets
+      val pruned = scans.flatMap(_.optionalBucketSet.map(_.cardinality()))
+      assert(pruned.nonEmpty && pruned.min < 16,
+        s"expected the probed-cell IN-filter to prune buckets, got cardinalities $pruned of 16")
+    } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bm25 postings scan bucket-prunes to the query terms") {
     val s = spark
     val post = Stores.bm25Postings(s, dir)
