@@ -11,7 +11,14 @@ import graft.operators.{GraphOps, MinhashPortable, ResolveInc}
   * maintained through resolveIncFrom — must beat the full re-resolve of
   * the post-change corpus (the ~535 s full LSH pass at 100×, r11).
   *
-  *   sbt "Test/runMain graft.ResolveIncProbe <docsDir> [stateDir]"
+  *   sbt "Test/runMain graft.ResolveIncProbe <docsDir> [stateDir] [mod]"
+  *
+  * `mod` sets the batch density: arrivals = doc_id%mod==0, departures =
+  * doc_id%mod==5. The default 10 makes both batches touch EVERY replica
+  * clique (worst case: the scoped relabel degenerates to full CC); a
+  * large mod (e.g. 1000) is the production shape — departures touch a
+  * bounded component set, so the relabel is O(touched) and the A/B
+  * isolates the avoided re-sketch + re-pair of the standing corpus.
   *
   * The standing-state build is written ONCE (reused across runs) and
   * timed separately — it is the ingest job, not the loop. Prints one JSON
@@ -19,8 +26,10 @@ import graft.operators.{GraphOps, MinhashPortable, ResolveInc}
 object ResolveIncProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1")
-    val stateDir = args.lift(1).getOrElse(
-      "/tmp/graft_resolveinc_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val mod = args.lift(2).map(_.toLong).getOrElse(10L)
+    val stateDir = args.lift(1).filter(_ != "-").getOrElse(
+      "/tmp/graft_resolveinc_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        (if (mod == 10L) "" else s"_m$mod"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,8 +42,8 @@ object ResolveIncProbe {
       val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
     }
     val docs = graft.sources.Tables.documents(spark, dir)
-    val isArrival = pmod(col("doc_id"), lit(10L)) === 0L
-    val isDeparture = pmod(col("doc_id"), lit(10L)) === 5L
+    val isArrival = pmod(col("doc_id"), lit(mod)) === 0L
+    val isDeparture = pmod(col("doc_id"), lit(mod)) === 5L
 
     // --- standing state: build once, reuse across probe runs ---
     val marker = new java.io.File(s"$stateDir/_BUILT")
@@ -74,7 +83,7 @@ object ResolveIncProbe {
         .count()
     }
     def f(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"probe":"resolve_inc","dir":"$dir","rows_inc":$nInc,"rows_full":$nFull,""" +
+    println(s"""{"probe":"resolve_inc","dir":"$dir","mod":$mod,"rows_inc":$nInc,"rows_full":$nFull,""" +
       s""""sec_build_state":${f(tBuild)},"sec_incremental":${f(tInc)},""" +
       s""""sec_full_reresolve":${f(tFull)},"speedup":${f(tFull / tInc)}}""")
     spark.stop()
