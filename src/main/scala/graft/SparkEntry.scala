@@ -152,6 +152,8 @@ object SparkEntry {
       Skew.joinCardEst(Tables.orders(s, d), Tables.lineitem(s, d), "o_orderkey", "l_orderkey")),
     "ivf_upsert" -> ((s, d) => Dedup.ivfUpsert(Tables.embeddings(s, d))),
     "ivf_delete" -> ((s, d) => Dedup.ivfDelete(Tables.embeddings(s, d))),
+    // keyed drop served from the persisted inverted file; same oracle
+    "ivf_delete_store" -> ((s, d) => graft.sources.Stores.ivfDeleteStore(s, d)),
     "tokenizer_fertility" -> ((s, d) => Bpe.fertility(Tables.documents(s, d))),
     "char_diversity" -> ((s, d) => TextAnalysis.charDiversity(Tables.documents(s, d))),
     "split_holdout" -> ((s, d) => Corpus.splitHoldout(Tables.documents(s, d))),
@@ -187,11 +189,17 @@ object SparkEntry {
     // rows-only: transitive clustering is not bounded-depth SQL
     "dedup_resolve" -> ((s, d) => Dedup.resolve(Tables.documents(s, d))),
     "dedup_resolve_inc" -> ((s, d) => ResolveInc.resolveInc(Tables.documents(s, d))),
+    // read path over the four persisted standing artifacts (sig/keys/
+    // pairs/labels): the maintained dedup loop with no in-call state
+    // rebuild; same oracle (from-scratch post-change re-resolve)
+    "dedup_resolve_inc_store" -> ((s, d) => graft.sources.Stores.resolveIncStore(s, d)),
     "dedup_resolve_delta" -> ((s, d) => ResolveInc.resolveIncDelta(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "minhash_portable" -> ((s, d) => MinhashPortable.minhashPortable(Tables.documents(s, d))),
     "minhash_lsh_portable" -> ((s, d) => MinhashPortable.minhashLshPortable(Tables.documents(s, d))),
     "minhash_lsh_upsert" -> ((s, d) => MinhashPortable.minhashLshUpsert(Tables.documents(s, d))),
+    // arrival batch joined against the persisted base-slice index; same oracle
+    "minhash_lsh_upsert_store" -> ((s, d) => graft.sources.Stores.minhashLshUpsertStore(s, d)),
     "minhash_lsh_delete" -> ((s, d) => MinhashPortable.minhashLshDelete(Tables.documents(s, d))),
     "minhash_lsh_delete_store" -> ((s, d) => graft.sources.Stores.minhashLshDeleteStore(s, d)),
     "minhash_lsh_delete_retired" -> ((s, d) =>
@@ -516,6 +524,7 @@ object SparkEntry {
     "mmr_rerank_dist" -> Search.mmrRerankSql(),
     "ivf_upsert" -> Dedup.ivfUpsertSql(),
     "ivf_delete" -> Dedup.ivfDeleteSql(),
+    "ivf_delete_store" -> Dedup.ivfDeleteSql(),
     "tokenizer_fertility" -> Bpe.fertilitySql(),
     "char_diversity" -> TextAnalysis.charDiversitySql,
     "split_holdout" -> Corpus.splitHoldoutSql(),
@@ -563,12 +572,14 @@ object SparkEntry {
     "minhash_portable" -> MinhashPortable.minhashPortableSql(),
     "minhash_lsh_portable" -> MinhashPortable.minhashLshPortableSql(),
     "minhash_lsh_upsert" -> MinhashPortable.minhashLshUpsertSql(),
+    "minhash_lsh_upsert_store" -> MinhashPortable.minhashLshUpsertSql(),
     "minhash_lsh_delete_store" -> MinhashPortable.minhashLshDeleteSql(),
     "minhash_lsh_delete" -> MinhashPortable.minhashLshDeleteSql(),
     "minhash_lsh_delete_retired" -> MinhashPortable.minhashLshDeleteRetiredSql(),
     "simhash_portable" -> MinhashPortable.simhashPortableSql(),
     "dedup_resolve" -> Dedup.resolveSql(),
     "dedup_resolve_inc" -> ResolveInc.resolveIncSql(),
+    "dedup_resolve_inc_store" -> ResolveInc.resolveIncSql(),
     "dedup_resolve_delta" -> ResolveInc.resolveIncDeltaSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)

@@ -133,6 +133,12 @@ class StoresSpec extends SparkSpec {
       rows(graft.operators.Dedup.annIvf(Tables.embeddings(s, dir))))
     assert(rows(Stores.annIvfPqStore(s, dir)) ===
       rows(graft.operators.ProductQuant.ivfPqSearch(Tables.embeddings(s, dir))))
+    assert(rows(Stores.resolveIncStore(s, dir)) ===
+      rows(graft.operators.ResolveInc.resolveInc(Tables.documents(s, dir))))
+    assert(rows(Stores.minhashLshUpsertStore(s, dir)) ===
+      rows(graft.operators.MinhashPortable.minhashLshUpsert(Tables.documents(s, dir))))
+    assert(rows(Stores.ivfDeleteStore(s, dir)) ===
+      rows(graft.operators.Dedup.ivfDelete(Tables.embeddings(s, dir))))
   }
 
   test("ann_ivf_store search scan bucket-prunes to the probed cells") {
