@@ -234,6 +234,9 @@ object SparkEntry {
     // the fixed-k=8 form stays as an explicitly-labeled ablation (quadratic in
     // cell occupancy at organic density — measured r10, SCALING.md).
     "semdedup" -> ((s, d) => Cluster.semdedupScaled(Tables.embeddings(s, d))),
+    // within-cluster pair join over the persisted trained partition:
+    // exchange-free self-join, no per-call train/assign; same oracle
+    "semdedup_store" -> ((s, d) => graft.sources.Stores.semdedupStore(s, d)),
     "semdedup_fixed" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
     "ann_pq_tr" -> ((s, d) => ProductQuant.pqSearchTrained(Tables.embeddings(s, d))),
@@ -542,6 +545,7 @@ object SparkEntry {
     "doc_cluster" -> Cluster.kmeansSql(),
     "doc_outlier" -> Cluster.docOutliersSql(),
     "semdedup" -> Cluster.semdedupScaledSql(),
+    "semdedup_store" -> Cluster.semdedupScaledSql(),
     "semdedup_fixed" -> Cluster.semdedupSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
     "ann_pq_tr" -> ProductQuant.pqSearchTrainedSql(),

@@ -197,20 +197,33 @@ object Cluster {
     * within-cell join is the same inverted-file shape as ann_ivf), never an
     * all-pairs corpus join. */
   def semdedup(embeddings: DataFrame, k: Int = 8, iters: Int = 1,
-               threshold: Double = 0.3): DataFrame = {
+               threshold: Double = 0.3): DataFrame =
+    semdedupPairsFrom(semdedupAssigned(embeddings, k, iters), threshold)
+
+  /** The trained corpus partition (cluster, vec_id, embedding) — semdedup's
+    * standing artifact (Stores.semdedupClusters persists it bucketed by
+    * cluster, making the within-cluster self-join exchange-free). */
+  private[graft] def semdedupAssigned(embeddings: DataFrame, k: Int,
+                                      iters: Int): DataFrame = {
     val cents = trainCentroids(embeddings, k, iters)
     // kernel path carries the embedding through — no join back; small-k
     // expression path keeps the literal-argmax projection + one hash join
-    val clustered =
-      if (cents.length > KernelAssignK)
-        assignedKernel(embeddings, cents)
-          .select(col("cluster"), col("vec_id"), col("embedding"))
-      else {
-        val b = best(cents)
-        embeddings.select(col("vec_id"), (-b.getField("negid")).as("cluster"),
-            col("embedding"))
-          .select(col("cluster"), col("vec_id"), col("embedding"))
-      }
+    if (cents.length > KernelAssignK)
+      assignedKernel(embeddings, cents)
+        .select(col("cluster"), col("vec_id"), col("embedding"))
+    else {
+      val b = best(cents)
+      embeddings.select(col("vec_id"), (-b.getField("negid")).as("cluster"),
+          col("embedding"))
+        .select(col("cluster"), col("vec_id"), col("embedding"))
+    }
+  }
+
+  /** Within-cluster near-dup pair join over an (already) clustered corpus
+    * — the serve half of semdedup: a self-join keyed on cluster, so a
+    * cluster-bucketed store satisfies both sides' distribution with ZERO
+    * exchange. */
+  def semdedupPairsFrom(clustered: DataFrame, threshold: Double = 0.3): DataFrame = {
     val a = clustered.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = clustered.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, Seq("cluster"))
@@ -218,6 +231,14 @@ object Cluster {
       .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** The corpus-scaled cluster count of [[semdedupScaled]] — one place so
+    * the store build and the inline form can never drift. */
+  private[graft] def scaledK(embeddings: DataFrame, targetCell: Int = 64,
+                             kMin: Int = 8, kMax: Int = 4096): Int = {
+    val n = embeddings.count()
+    math.min(kMax, math.max(kMin, math.ceil(n.toDouble / targetCell).toInt))
   }
 
   /** SemDeDup with the cluster count SCALED TO THE CORPUS instead of fixed:
@@ -240,11 +261,8 @@ object Cluster {
     * cross-engine. */
   def semdedupScaled(embeddings: DataFrame, targetCell: Int = 64,
                      kMin: Int = 8, kMax: Int = 4096, iters: Int = 1,
-                     threshold: Double = 0.3): DataFrame = {
-    val n = embeddings.count()
-    val k = math.min(kMax, math.max(kMin, math.ceil(n.toDouble / targetCell).toInt))
-    semdedup(embeddings, k, iters, threshold)
-  }
+                     threshold: Double = 0.3): DataFrame =
+    semdedup(embeddings, scaledK(embeddings, targetCell, kMin, kMax), iters, threshold)
 
   // ---- DuckDB oracle ----
 

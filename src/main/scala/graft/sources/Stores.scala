@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, GraphOps, MinhashPortable, ProductQuant, ResolveInc, Search}
+import graft.operators.{Cluster, Dedup, GraphOps, MinhashPortable, ProductQuant, ResolveInc, Search}
 
 /** PERSISTED standing-state stores — the artifact layer between ingest and
   * query that every index-maintenance operator assumes "in production".
@@ -280,6 +280,26 @@ object Stores {
       riPairs(s, d), riLabels(s, d),
       docs.filter(isDelDoc), docs.filter(isDepartureDoc).select(col("doc_id")))
   }
+
+  // ---- dedup: semdedup trained partition -----------------------------------
+
+  /** The trained semdedup corpus partition (cluster, vec_id, embedding)
+    * bucketed by cluster — k-means training + assignment paid once at
+    * ingest; the within-cluster self-join then reads both sides from the
+    * SAME bucketed table and runs with zero exchange. Cluster count is the
+    * corpus-scaled k (Cluster.scaledK), identical to the inline form. */
+  def semdedupClusters(s: SparkSession, d: String): DataFrame =
+    ensureBucketed(s, "semdedup_asg", d, Seq("cluster"), 32) {
+      val emb = Tables.embeddings(s, d)
+      Cluster.semdedupAssigned(emb, Cluster.scaledK(emb), iters = 1)
+    }
+
+  /** Read-path semdedup: the within-cluster near-dup pair join over the
+    * persisted partition — no per-call k-means train/assign pass, and the
+    * cluster-keyed self-join is exchange-free off the bucketed store.
+    * Same oracle as semdedup. */
+  def semdedupStore(s: SparkSession, d: String): DataFrame =
+    Cluster.semdedupPairsFrom(semdedupClusters(s, d))
 
   // ---- similarity: k-NN graph store ----------------------------------------
 

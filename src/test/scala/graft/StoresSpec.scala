@@ -139,6 +139,29 @@ class StoresSpec extends SparkSpec {
       rows(graft.operators.MinhashPortable.minhashLshUpsert(Tables.documents(s, dir))))
     assert(rows(Stores.ivfDeleteStore(s, dir)) ===
       rows(graft.operators.Dedup.ivfDelete(Tables.embeddings(s, dir))))
+    assert(rows(Stores.semdedupStore(s, dir)) ===
+      rows(graft.operators.Cluster.semdedupScaled(Tables.embeddings(s, dir))))
+  }
+
+  test("semdedup-store self-join has zero exchange (both sides off one bucketed table)") {
+    val s = spark
+    Stores.semdedupClusters(s, dir) // ensure the bucketed table exists
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = Stores.semdedupStore(s, dir)
+      assert(q.count() >= 0)
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case sh: ShuffleExchangeExec => sh
+      }
+      assert(shuffles.isEmpty,
+        s"semdedup store self-join re-shuffled:\n${q.queryExecution.executedPlan.toString.take(3000)}")
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 
   test("ann_ivf_store search scan bucket-prunes to the probed cells") {
