@@ -122,6 +122,9 @@ object SparkEntry {
     // store-backed read path over the persisted index artifacts (Stores):
     // same core + oracle, standing state built once per corpus snapshot
     "bm25_delete_store" -> ((s, d) => graft.sources.Stores.bm25DeleteStore(s, d, kwTerms)),
+    // arrival batch tokenized alone, persisted base-slice artifacts
+    // maintained additively; same oracle
+    "bm25_upsert_store" -> ((s, d) => graft.sources.Stores.bm25UpsertStore(s, d, kwTerms)),
     // pure serving read path: score from the persisted artifacts, zero
     // maintenance/tokenize work; oracle = bm25_upsert's full-corpus recompute
     "bm25_search_store" -> ((s, d) => graft.sources.Stores.bm25SearchStore(s, d, kwTerms)),
@@ -492,6 +495,7 @@ object SparkEntry {
     // *_store read-path variants share their inline twins' oracles verbatim:
     // the gate proves persisted-store round-trip ≡ inline ≡ from-scratch
     "bm25_delete_store" -> Search.bm25DeleteSql(kwTerms),
+    "bm25_upsert_store" -> Search.bm25UpsertSql(kwTerms),
     "bm25_search_store" -> Search.bm25UpsertSql(kwTerms),
     "rag_eval_mrr" -> Search.mrrEvalSql(),
     "hard_negatives" -> Search.hardNegativesSql(),

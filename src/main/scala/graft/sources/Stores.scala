@@ -373,6 +373,37 @@ object Stores {
       bm25Df(s, d), bm25Scalars(s, d), delDocs, terms)
   }
 
+  /** Base-slice (pre-arrival, doc_id%10 != 0) BM25 artifacts — the standing
+    * index the upsert direction maintains. Same layouts as the full-corpus
+    * stores above. */
+  def bm25PostingsBase(s: SparkSession, d: String): DataFrame =
+    ensureBucketed(s, "bm25u_post", d, Seq("term"), 32) {
+      Search.bm25IndexParts(Tables.documents(s, d).filter(!isDelDoc))._1
+    }
+
+  def bm25DoclensBase(s: SparkSession, d: String): DataFrame =
+    ensureBucketed(s, "bm25u_dl", d, Seq("doc_id"), 32) {
+      Search.bm25IndexParts(Tables.documents(s, d).filter(!isDelDoc))._2
+    }
+
+  def bm25DfBase(s: SparkSession, d: String): DataFrame =
+    ensureTable(s, "bm25u_df", d) {
+      bm25PostingsBase(s, d).groupBy(col("term")).agg(count(lit(1)).as("df"))
+    }
+
+  def bm25ScalarsBase(s: SparkSession, d: String): DataFrame =
+    ensureTable(s, "bm25u_sc", d) {
+      bm25DoclensBase(s, d).agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    }
+
+  /** Read-path BM25 upsert: tokenize ONLY the arrival batch, maintain the
+    * four persisted base-slice artifacts additively, and score — no
+    * standing text re-read; same oracle as bm25_upsert. */
+  def bm25UpsertStore(s: SparkSession, d: String, terms: Seq[String]): DataFrame =
+    Search.bm25UpsertFrom(bm25PostingsBase(s, d), bm25DoclensBase(s, d),
+      bm25DfBase(s, d), bm25ScalarsBase(s, d),
+      Tables.documents(s, d).filter(isDelDoc), terms)
+
   /** Pure read-path BM25 search: score the query terms from the four
     * persisted artifacts with ZERO maintenance or tokenize work — the
     * serving call. The postings read is a term bucket prune; df/scalars

@@ -141,6 +141,8 @@ class StoresSpec extends SparkSpec {
       rows(graft.operators.Dedup.ivfDelete(Tables.embeddings(s, dir))))
     assert(rows(Stores.semdedupStore(s, dir)) ===
       rows(graft.operators.Cluster.semdedupScaled(Tables.embeddings(s, dir))))
+    assert(rows(Stores.bm25UpsertStore(s, dir, SparkEntry.kwTerms)) ===
+      rows(graft.operators.Search.bm25Upsert(Tables.documents(s, dir), SparkEntry.kwTerms)))
   }
 
   test("semdedup-store self-join has zero exchange (both sides off one bucketed table)") {
