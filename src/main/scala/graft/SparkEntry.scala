@@ -364,6 +364,10 @@ object SparkEntry {
     "stream_near_dedup" -> ((s, d) => graft.streaming.StreamReplay.streamNearDedup(s, d)),
     "stream_session" -> ((s, d) => graft.streaming.StreamReplay.streamSession(s, d)),
     "stream_upsert" -> ((s, d) => graft.streaming.StreamReplay.streamUpsert(s, d)),
+    // production restart shape: state bootstrapped from the persisted
+    // checkpoint snapshot, only tail batches streamed; oracle = the full
+    // chain filtered to the tail rows
+    "stream_upsert_store" -> ((s, d) => graft.streaming.StreamReplay.streamUpsertStore(s, d)),
     "stream_trending" -> ((s, d) => graft.streaming.StreamReplay.streamTrending(s, d)),
     "stream_spike" -> ((s, d) => graft.streaming.StreamReplay.streamSpike(s, d)),
     "stream_join" -> ((s, d) => graft.streaming.StreamReplay.streamJoin(s, d)),
@@ -682,6 +686,7 @@ object SparkEntry {
     "stream_near_dedup" -> graft.streaming.StreamReplay.streamNearDedupSql,
     "stream_session" -> graft.streaming.StreamReplay.streamSessionSql(),
     "stream_upsert" -> graft.streaming.StreamReplay.streamUpsertSql,
+    "stream_upsert_store" -> graft.streaming.StreamReplay.streamUpsertStoreSql,
     "stream_trending" -> graft.streaming.StreamReplay.streamTrendingSql,
     "stream_spike" -> graft.streaming.StreamReplay.streamSpikeSql,
     "stream_join" -> graft.streaming.StreamReplay.streamJoinSql,

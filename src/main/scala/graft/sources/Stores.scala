@@ -413,6 +413,21 @@ object Stores {
     Search.bm25SearchFrom(bm25Postings(s, d), bm25Doclens(s, d),
       bm25Df(s, d), bm25Scalars(s, d), terms)
 
+  // ---- streaming: CDC upsert state snapshot --------------------------------
+
+  /** Standing per-key CDC upsert state (key, last_seq, version, live)
+    * after an ops prefix — the checkpoint-boundary snapshot a streaming
+    * deployment bootstraps from (flatMapGroupsWithState initialState),
+    * bucketed by key. The build replays the prefix through the SAME
+    * transition the stream runs (Streams.upsertStateSnapshot). */
+  def upsertStateStore(s: SparkSession, d: String,
+                       prefix: Seq[graft.streaming.Streams.Upsert]): DataFrame =
+    ensureBucketed(s, "upsert_state", d, Seq("key"), 32) {
+      import s.implicits._
+      graft.streaming.Streams.upsertStateSnapshot(s.createDataset(prefix))
+        .toDF("key", "last_seq", "version", "live")
+    }
+
   // ---- ann: IVF inverted-file store ----------------------------------------
 
   /** Standing IVF inverted file (vec_id, embedding, cell) under the frozen

@@ -476,13 +476,7 @@ object StreamReplay {
     * mutating state — the idempotent-reprocessing property. */
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ops = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"))
-      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
-      .map { case (eid, uid, etype) =>
-        Upsert(uid, eid, if (eid % 7 == 0) "delete" else "upsert", etype)
-      }
-    val qs = quarters(ops)
+    val qs = quarters(upsertOps(spark, dir))
     val script = (0 until 4).map { i =>
       qs(i) ++ (if (i > 0) qs(i - 1).filter(_.seq % 11 == 0) else Nil)
     }
@@ -490,7 +484,51 @@ object StreamReplay {
       df => Streams.streamingUpsert(df.as[Upsert]).toDF())
   }
 
-  val streamUpsertSql: String =
+  /** The CDC ops log derived from events — shared by the plain and the
+    * store-bootstrapped upsert rungs. */
+  private[graft] def upsertOps(spark: SparkSession, dir: String): Seq[Upsert] = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+      .map { case (eid, uid, etype) =>
+        Upsert(uid, eid, if (eid % 7 == 0) "delete" else "upsert", etype)
+      }
+  }
+
+  /** Store-BOOTSTRAPPED CDC upsert — the production RESTART shape: the
+    * per-key state after the first two batches is persisted once
+    * (Stores.upsertStateStore, the checkpoint-boundary snapshot a batch
+    * job writes), and the stream starts FROM that snapshot via
+    * flatMapGroupsWithState's initialState, processing only the tail
+    * batches (+ their deterministic stale replays). History is never
+    * re-streamed; versions continue from the snapshot; batch-1 re-sends
+    * come back `stale` off the bootstrapped lastSeq. Oracle = the full
+    * batch chain filtered to the tail batches' rows. */
+  def streamUpsertStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = quarters(upsertOps(spark, dir))
+    val init = graft.sources.Stores.upsertStateStore(spark, dir, qs(0) ++ qs(1))
+      .select(col("key").as("_1"), col("last_seq").as("_2"),
+        col("version").as("_3"), col("live").as("_4"))
+      .as[(Long, Long, Long, Boolean)]
+    val script = Seq(
+      qs(2) ++ qs(1).filter(_.seq % 11 == 0),
+      qs(3) ++ qs(2).filter(_.seq % 11 == 0))
+    replay[Upsert](spark, s"stream_upsert_store:$dir", script,
+      df => Streams.streamingUpsertFrom(df.as[Upsert], init).toDF(),
+      label = "stream_upsert_store")
+  }
+
+  val streamUpsertSql: String = streamUpsertSqlWhere(None)
+
+  /** Oracle for the store-bootstrapped rung: the SAME full batch chain —
+    * state history included — emitting only the tail batches' rows (the
+    * filter sits OUTSIDE the version window, so versions carry the
+    * history the snapshot encodes). */
+  val streamUpsertStoreSql: String = streamUpsertSqlWhere(Some("batch >= 2"))
+
+  private def streamUpsertSqlWhere(where: Option[String]): String =
     """WITH base AS (
       |  -- batch = which of the 4 contiguous seq-sorted slices the row sits
       |  -- in, with the SAME integer-division boundaries the Scala quarters()
@@ -529,11 +567,13 @@ object StreamReplay {
       |  SELECT f.key, f.batch, f.seq, f.op, f.payload,
       |    CASE WHEN f.stale THEN 'stale' ELSE a.action END AS action
       |  FROM fl f LEFT JOIN act a ON a.key = f.key AND a.batch = f.batch AND a.seq = f.seq)
-      |SELECT key, seq, op, payload, action,
-      |  CAST(SUM(CASE WHEN action IN ('deleted', 'inserted', 'updated') THEN 1 ELSE 0 END)
-      |    OVER (PARTITION BY key ORDER BY batch, seq
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
-      |FROM acted""".stripMargin
+      |SELECT key, seq, op, payload, action, version FROM (
+      |  SELECT key, batch, seq, op, payload, action,
+      |    CAST(SUM(CASE WHEN action IN ('deleted', 'inserted', 'updated') THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY key ORDER BY batch, seq
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM acted)
+      |""".stripMargin + where.map(w => s"WHERE $w").getOrElse("WHERE TRUE")
 
   /** Streaming spike detection against the BATCH-computed per-type median
     * hourly baseline (the stream-static join pattern): the static side is

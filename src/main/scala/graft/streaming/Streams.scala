@@ -379,36 +379,80 @@ object Streams {
     * live key, sharded across executors (RocksDB store at scale). */
   def streamingUpsert(ops: Dataset[Upsert]): Dataset[UpsertOut] = {
     import ops.sparkSession.implicits._
-
-    // state: (lastSeq, version, live)
-    def fn(key: Long, batch: Iterator[Upsert],
-           state: GroupState[(Long, Long, Boolean)]): Iterator[UpsertOut] = {
-      val sorted = batch.toSeq.sortBy(_.seq)
-      var (lastSeq, version, live) = state.getOption.getOrElse((-1L, 0L, false))
-      val out = scala.collection.mutable.ArrayBuffer[UpsertOut]()
-      sorted.foreach { u =>
-        if (u.seq <= lastSeq) {
-          out += UpsertOut(key, u.seq, u.op, u.payload, "stale", version)
-        } else {
-          val action = (u.op, live) match {
-            case ("delete", true)  => "deleted"
-            case ("delete", false) => "noop"
-            case (_, false)        => "inserted"
-            case (_, true)         => "updated"
-          }
-          if (action != "noop") version += 1
-          live = u.op != "delete" && (live || action == "inserted")
-          lastSeq = u.seq
-          out += UpsertOut(key, u.seq, u.op, u.payload, action, version)
-        }
-      }
-      state.update((lastSeq, version, live))
-      out.iterator
-    }
-
     ops
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(upsertFn)
+  }
+
+  /** One NON-STALE op applied to the (lastSeq, version, live) state —
+    * returns (newState, action). The single transition shared by the
+    * stream function and the batch snapshot builder so they can never
+    * drift. */
+  private def upsertStep(st: (Long, Long, Boolean),
+                         u: Upsert): ((Long, Long, Boolean), String) = {
+    val (_, version, live) = st
+    val action = (u.op, live) match {
+      case ("delete", true)  => "deleted"
+      case ("delete", false) => "noop"
+      case (_, false)        => "inserted"
+      case (_, true)         => "updated"
+    }
+    val v2 = if (action != "noop") version + 1 else version
+    val live2 = u.op != "delete" && (live || action == "inserted")
+    ((u.seq, v2, live2), action)
+  }
+
+  /** The upsert state machine's per-micro-batch step — state is
+    * (lastSeq, version, live); shared by the plain and the
+    * store-bootstrapped streams. */
+  private def upsertFn(key: Long, batch: Iterator[Upsert],
+                       state: GroupState[(Long, Long, Boolean)]): Iterator[UpsertOut] = {
+    val sorted = batch.toSeq.sortBy(_.seq)
+    var st = state.getOption.getOrElse((-1L, 0L, false))
+    val out = scala.collection.mutable.ArrayBuffer[UpsertOut]()
+    sorted.foreach { u =>
+      if (u.seq <= st._1) {
+        out += UpsertOut(key, u.seq, u.op, u.payload, "stale", st._2)
+      } else {
+        val (st2, action) = upsertStep(st, u)
+        st = st2
+        out += UpsertOut(key, u.seq, u.op, u.payload, action, st._2)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Store-BOOTSTRAPPED streaming upsert: the same state machine started
+    * from a persisted per-key snapshot (key, lastSeq, version, live) —
+    * the production restart shape: state is re-seeded from the snapshot a
+    * batch job wrote at a checkpoint boundary, and the stream processes
+    * only ops after that boundary. */
+  def streamingUpsertFrom(ops: Dataset[Upsert],
+                          initial: Dataset[(Long, Long, Long, Boolean)]): Dataset[UpsertOut] = {
+    import ops.sparkSession.implicits._
+    val initKV = initial.groupByKey(_._1).mapValues(r => (r._2, r._3, r._4))
+    ops
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout(),
+        initKV)(upsertFn)
+  }
+
+  /** Batch replay of the upsert state machine over an ops prefix: the
+    * (key, lastSeq, version, live) snapshot a deployment persists at a
+    * checkpoint boundary (Stores.upsertStateStore). Global seq order ==
+    * the stream's batch-then-seq processing order for unique ops, and
+    * stale re-sends never mutate state, so the snapshot equals the
+    * streaming state after the same prefix. */
+  def upsertStateSnapshot(ops: Dataset[Upsert]): Dataset[(Long, Long, Long, Boolean)] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.key).mapGroups { (k, it) =>
+      var st = (-1L, 0L, false)
+      it.toSeq.sortBy(_.seq).foreach { u =>
+        if (u.seq > st._1) st = upsertStep(st, u)._1
+      }
+      (k, st._1, st._2, st._3)
+    }
   }
 
   case class AsofOut(purchase_id: Long, user_id: Long, p_ms: Long, c_ms: Long,
