@@ -363,6 +363,10 @@ object SparkEntry {
     "stream_dedup" -> ((s, d) => graft.streaming.StreamReplay.streamDedup(s, d)),
     "stream_near_dedup" -> ((s, d) => graft.streaming.StreamReplay.streamNearDedup(s, d)),
     "stream_session" -> ((s, d) => graft.streaming.StreamReplay.streamSession(s, d)),
+    // restart shape for watermark-free session state: open-session
+    // snapshot persisted, only tail batches + flush streamed; oracle =
+    // gap-split filtered to tail-triggered sessions
+    "stream_session_store" -> ((s, d) => graft.streaming.StreamReplay.streamSessionStore(s, d)),
     "stream_upsert" -> ((s, d) => graft.streaming.StreamReplay.streamUpsert(s, d)),
     // production restart shape: state bootstrapped from the persisted
     // checkpoint snapshot, only tail batches streamed; oracle = the full
@@ -685,6 +689,7 @@ object SparkEntry {
     "stream_dedup" -> graft.streaming.StreamReplay.streamDedupSql,
     "stream_near_dedup" -> graft.streaming.StreamReplay.streamNearDedupSql,
     "stream_session" -> graft.streaming.StreamReplay.streamSessionSql(),
+    "stream_session_store" -> graft.streaming.StreamReplay.streamSessionStoreSql(),
     "stream_upsert" -> graft.streaming.StreamReplay.streamUpsertSql,
     "stream_upsert_store" -> graft.streaming.StreamReplay.streamUpsertStoreSql,
     "stream_trending" -> graft.streaming.StreamReplay.streamTrendingSql,

@@ -428,6 +428,19 @@ object Stores {
         .toDF("key", "last_seq", "version", "live")
     }
 
+  /** Standing per-user OPEN-session state (user_id, session_id, start_us,
+    * last_us, n) after an event prefix — the sessionization snapshot a
+    * streaming deployment bootstraps from, bucketed by user_id. Built by
+    * replaying the prefix through the SAME sessionStep transition the
+    * stream runs. */
+  def sessionStateStore(s: SparkSession, d: String,
+                        prefix: Seq[graft.streaming.Streams.Event]): DataFrame =
+    ensureBucketed(s, "session_state", d, Seq("user_id"), 32) {
+      import s.implicits._
+      graft.streaming.Streams.sessionStateSnapshot(s.createDataset(prefix))
+        .toDF("user_id", "session_id", "start_us", "last_us", "n")
+    }
+
   // ---- ann: IVF inverted-file store ----------------------------------------
 
   /** Standing IVF inverted file (vec_id, embedding, cell) under the frozen

@@ -453,6 +453,71 @@ object StreamReplay {
       df => Streams.sessionize(df.as[Event]).toDF())
   }
 
+  /** Store-BOOTSTRAPPED sessionization — the restart shape generalized
+    * from stream_upsert_store to watermark-free session state: the
+    * per-user OPEN-session snapshot after the first two batches is
+    * persisted once (Stores.sessionStateStore), and the stream starts
+    * FROM it, processing only the tail batches + the all-user flush.
+    * Sessions the first half already closed (their gap-revealing
+    * successor arrived in batches 0–1) emitted then and do NOT re-emit;
+    * sessions open at the boundary close either on a tail event or on
+    * the flush. Oracle = the batch gap-split filtered to sessions whose
+    * closing trigger (the next session's first event, or no successor →
+    * the flush) lands in the tail. */
+  def streamSessionStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    val qs = quarters(ev)
+    val flushTs = new Timestamp(ev.last.ts.getTime + FlushGapMs)
+    val flushes = ev.map(_.user_id).distinct.sorted.zipWithIndex
+      .map { case (u, i) => Event(2000000000L + i, flushTs, u, "__flush", 0.0) }
+    val init = graft.sources.Stores.sessionStateStore(spark, dir, qs(0) ++ qs(1))
+      .select(col("user_id").as("_1"), col("session_id").as("_2"),
+        col("start_us").as("_3"), col("last_us").as("_4"), col("n").as("_5"))
+      .as[(Long, Long, Long, Long, Long)]
+    replay[Event](spark, s"stream_session_store:$dir", Seq(qs(2), qs(3), flushes),
+      df => Streams.sessionizeFrom(df.as[Event], init).toDF(),
+      label = "stream_session_store")
+  }
+
+  /** Oracle for [[streamSessionStore]]: the same batch gap-split chain,
+    * with each event stamped by its quartile batch (the SAME
+    * integer-division boundaries quarters() uses, on the (ms, event_id)
+    * script order) — a session emits in the tail iff its closing
+    * trigger's batch >= 2 (the next session's first event; within a
+    * user's ordered rows batches are non-decreasing, so MIN(batch) is
+    * the session's first-event batch) or it has no successor (closed by
+    * the flush). */
+  def streamSessionStoreSql(gapMinutes: Int = 30): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CASE WHEN rn0 < n // 4 THEN 0
+       |         WHEN rn0 < (2 * n) // 4 THEN 1
+       |         WHEN rn0 < (3 * n) // 4 THEN 2
+       |         ELSE 3 END AS batch
+       |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn0 FROM events)
+       |  CROSS JOIN (SELECT COUNT(*) AS n FROM events) t),
+       |g AS (
+       |  SELECT user_id, ms, event_id, batch,
+       |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > ${gapMinutes * 60000L}
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+       |s AS (
+       |  SELECT user_id, ms, event_id, batch,
+       |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM g),
+       |sess AS (
+       |  SELECT user_id, session_id, COUNT(*) AS n_events,
+       |    MIN(ms) * 1000 AS start_us, MAX(ms) * 1000 AS end_us,
+       |    MIN(batch) AS first_batch
+       |  FROM s GROUP BY user_id, session_id),
+       |f AS (
+       |  SELECT *, LEAD(first_batch) OVER (PARTITION BY user_id ORDER BY session_id) AS trigger_batch
+       |  FROM sess)
+       |SELECT user_id, session_id, n_events, start_us, end_us
+       |FROM f WHERE trigger_batch IS NULL OR trigger_batch >= 2""".stripMargin
+
   def streamSessionSql(gapMinutes: Int = 30): String =
     s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
        |g AS (

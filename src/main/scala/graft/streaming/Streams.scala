@@ -337,31 +337,73 @@ object Streams {
     * row whenever a gap closes a session. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapUs = gapMinutes.toLong * 60L * 1000000L
-
-    def fn(userId: Long, batch: Iterator[Event],
-           state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
-      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-      sorted.foreach { e =>
-        val tus = e.ts.getTime * 1000L
-        if (st.n == 0L) {
-          st = SessionState(st.sessionId + 1, tus, tus, 1L)
-        } else if (tus - st.last > gapUs) {
-          out += SessionOut(userId, st.sessionId, st.n, st.start, st.last)
-          st = SessionState(st.sessionId + 1, tus, tus, 1L)
-        } else {
-          st = st.copy(last = tus, n = st.n + 1)
-        }
-      }
-      state.update(st)
-      out.iterator
-    }
-
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        sessionFn(gapMinutes.toLong * 60L * 1000000L))
+  }
+
+  /** One event-time (µs) applied to the open-session state — returns
+    * (newState, closedSession) where the session closes iff the gap
+    * exceeded. The single transition shared by the stream function and
+    * the batch snapshot builder so they can never drift. */
+  private def sessionStep(st: SessionState, tus: Long,
+                          gapUs: Long): (SessionState, Option[(Long, Long, Long, Long)]) =
+    if (st.n == 0L)
+      (SessionState(st.sessionId + 1, tus, tus, 1L), None)
+    else if (tus - st.last > gapUs)
+      (SessionState(st.sessionId + 1, tus, tus, 1L),
+        Some((st.sessionId, st.n, st.start, st.last)))
+    else
+      (st.copy(last = tus, n = st.n + 1), None)
+
+  private def sessionFn(gapUs: Long)(userId: Long, batch: Iterator[Event],
+                                     state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
+    val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+    sorted.foreach { e =>
+      val (st2, closed) = sessionStep(st, e.ts.getTime * 1000L, gapUs)
+      st = st2
+      closed.foreach { case (sid, n, start, last) =>
+        out += SessionOut(userId, sid, n, start, last)
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Store-BOOTSTRAPPED sessionization: the same state machine started
+    * from a persisted per-user open-session snapshot — the streaming
+    * restart shape for watermark-free session state. */
+  def sessionizeFrom(events: Dataset[Event],
+                     initial: Dataset[(Long, Long, Long, Long, Long)],
+                     gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val initKV = initial.groupByKey(_._1)
+      .mapValues(r => SessionState(r._2, r._3, r._4, r._5))
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout(),
+        initKV)(sessionFn(gapMinutes.toLong * 60L * 1000000L))
+  }
+
+  /** Batch replay of the session state machine over an event prefix: the
+    * per-user (session_id, start, last, n) OPEN-session snapshot a
+    * deployment persists at a batch boundary (Stores.sessionStateStore).
+    * Closed sessions are discarded — they already emitted in-stream; the
+    * snapshot is exactly the standing state. */
+  def sessionStateSnapshot(events: Dataset[Event],
+                           gapMinutes: Int = 30): Dataset[(Long, Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events.groupByKey(_.user_id).mapGroups { (u, it) =>
+      var st = SessionState(0L, -1L, -1L, 0L)
+      it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        st = sessionStep(st, e.ts.getTime * 1000L, gapUs)._1
+      }
+      (u, st.sessionId, st.start, st.last, st.n)
+    }
   }
 
   case class Upsert(key: Long, seq: Long, op: String, payload: String)
