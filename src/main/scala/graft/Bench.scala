@@ -236,7 +236,15 @@ object Bench {
     // recall, errors. Everything else lives in BENCH_FULL.json.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},$stamp,"queries":$slowest,"queries_note":"15 slowest medians-of-$reps of ${results.size}; all runs in BENCH_FULL.json","recall":$rs,"errors":$es,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},$stamp,"queries":$slowest,"queries_note":"15 slowest medians-of-$reps of ${results.size}; all runs in BENCH_FULL.json","recall":$rs,"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    // the printed line ALSO lands in a file (r13 verdict item 7: the
+    // driver's BENCH_r13 "parsed: null" meant it had to grep the sbt
+    // tail) — full-board runs only, so stress subsets can't clobber it
+    if (only.isEmpty)
+      try Files.write(Paths.get("/root/repo/BENCH_LINE.json"),
+        (line + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -112,6 +112,13 @@ object SparkEntry {
     "ann_graph" -> ((s, d) => GraphAnn.annGraphSearch(Tables.embeddings(s, d))),
     "ann_graph_store" -> ((s, d) => graft.sources.Stores.annGraphStore(s, d)),
     "ann_graph_wide" -> ((s, d) => graft.sources.Stores.annGraphStoreWide(s, d)),
+    // maintenance directions for the k-NN graph index: arrival batch
+    // beam-seeds + one touched-scoped descent round; departure batch =
+    // keyed drop + route-around adjacency re-fill
+    "ann_graph_upsert" -> ((s, d) => GraphAnn.annGraphUpsert(Tables.embeddings(s, d))),
+    "ann_graph_upsert_store" -> ((s, d) => graft.sources.Stores.annGraphUpsertStore(s, d)),
+    "ann_graph_delete" -> ((s, d) => GraphAnn.annGraphDelete(Tables.embeddings(s, d))),
+    "ann_graph_delete_store" -> ((s, d) => graft.sources.Stores.annGraphDeleteStore(s, d)),
     "mmr_rerank" -> ((s, d) => Search.mmrRerank(Tables.embeddings(s, d))),
     "mmr_rerank_dist" -> ((s, d) => Search.mmrRerankDist(Tables.embeddings(s, d))),
     "hybrid_search" -> ((s, d) =>
@@ -196,6 +203,9 @@ object SparkEntry {
     // pairs/labels): the maintained dedup loop with no in-call state
     // rebuild; same oracle (from-scratch post-change re-resolve)
     "dedup_resolve_inc_store" -> ((s, d) => graft.sources.Stores.resolveIncStore(s, d)),
+    // two-cycle WRITE-BACK: cycle 1's maintained artifacts persisted back to
+    // the catalog, cycle 2 served from the UPDATED store tables
+    "dedup_resolve_cycle2" -> ((s, d) => graft.sources.Stores.resolveCycle2Store(s, d)),
     "dedup_resolve_delta" -> ((s, d) => ResolveInc.resolveIncDelta(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "minhash_portable" -> ((s, d) => MinhashPortable.minhashPortable(Tables.documents(s, d))),
@@ -203,6 +213,12 @@ object SparkEntry {
     "minhash_lsh_upsert" -> ((s, d) => MinhashPortable.minhashLshUpsert(Tables.documents(s, d))),
     // arrival batch joined against the persisted base-slice index; same oracle
     "minhash_lsh_upsert_store" -> ((s, d) => graft.sources.Stores.minhashLshUpsertStore(s, d)),
+    // CDC emission rung: the cycle's changefeed (artifact appends + created
+    // pairs) — the production emission shape; O(Δ) output per cycle
+    "minhash_lsh_upsert_delta" -> ((s, d) =>
+      MinhashPortable.minhashLshUpsertDelta(Tables.documents(s, d))),
+    "minhash_lsh_upsert_delta_store" -> ((s, d) =>
+      graft.sources.Stores.minhashLshUpsertDeltaStore(s, d)),
     "minhash_lsh_delete" -> ((s, d) => MinhashPortable.minhashLshDelete(Tables.documents(s, d))),
     "minhash_lsh_delete_store" -> ((s, d) => graft.sources.Stores.minhashLshDeleteStore(s, d)),
     "minhash_lsh_delete_retired" -> ((s, d) =>
@@ -241,6 +257,10 @@ object SparkEntry {
     // exchange-free self-join, no per-call train/assign; same oracle
     "semdedup_store" -> ((s, d) => graft.sources.Stores.semdedupStore(s, d)),
     "semdedup_fixed" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
+    // two-level quantizer: occupancy ≤ targetCell at any corpus size (the
+    // flat form's kMax·targetCell ceiling removed); sub-model stays
+    // distributed (cell-keyed join, nothing collected)
+    "semdedup_hier" -> ((s, d) => Cluster.semdedupHier(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
     "ann_pq_tr" -> ((s, d) => ProductQuant.pqSearchTrained(Tables.embeddings(s, d))),
     "ann_pq_rerank" -> ((s, d) => ProductQuant.pqRerank(Tables.embeddings(s, d))),
@@ -362,6 +382,10 @@ object SparkEntry {
     "stream_histogram" -> ((s, d) => graft.streaming.StreamReplay.streamHistogram(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.StreamReplay.streamDedup(s, d)),
     "stream_near_dedup" -> ((s, d) => graft.streaming.StreamReplay.streamNearDedup(s, d)),
+    // restart rung: bucket state bootstrapped from the persisted snapshot,
+    // only the tail batches sketched/streamed
+    "stream_near_dedup_store" -> ((s, d) =>
+      graft.streaming.StreamReplay.streamNearDedupStore(s, d)),
     "stream_session" -> ((s, d) => graft.streaming.StreamReplay.streamSession(s, d)),
     // restart shape for watermark-free session state: open-session
     // snapshot persisted, only tail batches + flush streamed; oracle =
@@ -535,6 +559,10 @@ object SparkEntry {
     "ann_graph" -> GraphAnn.annGraphSearchSql(),
     "ann_graph_store" -> GraphAnn.annGraphSearchSql(),
     "ann_graph_wide" -> GraphAnn.annGraphSearchSql(kBuild = 32),
+    "ann_graph_upsert" -> GraphAnn.annGraphUpsertSql(),
+    "ann_graph_upsert_store" -> GraphAnn.annGraphUpsertSql(),
+    "ann_graph_delete" -> GraphAnn.annGraphDeleteSql(),
+    "ann_graph_delete_store" -> GraphAnn.annGraphDeleteSql(),
     "mmr_rerank" -> Search.mmrRerankSql(),
     "mmr_rerank_dist" -> Search.mmrRerankSql(),
     "ivf_upsert" -> Dedup.ivfUpsertSql(),
@@ -559,6 +587,7 @@ object SparkEntry {
     "semdedup" -> Cluster.semdedupScaledSql(),
     "semdedup_store" -> Cluster.semdedupScaledSql(),
     "semdedup_fixed" -> Cluster.semdedupSql(),
+    "semdedup_hier" -> Cluster.semdedupHierSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
     "ann_pq_tr" -> ProductQuant.pqSearchTrainedSql(),
     "ann_pq_rerank" -> ProductQuant.pqRerankSql(),
@@ -589,6 +618,8 @@ object SparkEntry {
     "minhash_lsh_portable" -> MinhashPortable.minhashLshPortableSql(),
     "minhash_lsh_upsert" -> MinhashPortable.minhashLshUpsertSql(),
     "minhash_lsh_upsert_store" -> MinhashPortable.minhashLshUpsertSql(),
+    "minhash_lsh_upsert_delta" -> MinhashPortable.minhashLshUpsertDeltaSql(),
+    "minhash_lsh_upsert_delta_store" -> MinhashPortable.minhashLshUpsertDeltaSql(),
     "minhash_lsh_delete_store" -> MinhashPortable.minhashLshDeleteSql(),
     "minhash_lsh_delete" -> MinhashPortable.minhashLshDeleteSql(),
     "minhash_lsh_delete_retired" -> MinhashPortable.minhashLshDeleteRetiredSql(),
@@ -596,6 +627,7 @@ object SparkEntry {
     "dedup_resolve" -> Dedup.resolveSql(),
     "dedup_resolve_inc" -> ResolveInc.resolveIncSql(),
     "dedup_resolve_inc_store" -> ResolveInc.resolveIncSql(),
+    "dedup_resolve_cycle2" -> ResolveInc.resolveCycle2Sql(),
     "dedup_resolve_delta" -> ResolveInc.resolveIncDeltaSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)
@@ -688,6 +720,7 @@ object SparkEntry {
     "stream_histogram" -> graft.streaming.StreamReplay.streamHistogramSql(),
     "stream_dedup" -> graft.streaming.StreamReplay.streamDedupSql,
     "stream_near_dedup" -> graft.streaming.StreamReplay.streamNearDedupSql,
+    "stream_near_dedup_store" -> graft.streaming.StreamReplay.streamNearDedupStoreSql,
     "stream_session" -> graft.streaming.StreamReplay.streamSessionSql(),
     "stream_session_store" -> graft.streaming.StreamReplay.streamSessionStoreSql(),
     "stream_upsert" -> graft.streaming.StreamReplay.streamUpsertSql,

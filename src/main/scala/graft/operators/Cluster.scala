@@ -264,6 +264,144 @@ object Cluster {
                      threshold: Double = 0.3): DataFrame =
     semdedup(embeddings, scaledK(embeddings, targetCell, kMin, kMax), iters, threshold)
 
+  /** HIERARCHICAL two-level semdedup quantizer (r13 verdict item 4): the
+    * corpus-size ceiling of the flat scaled form is the kMax clamp —
+    * beyond n ≈ kMax·targetCell (≈ 262k) cell occupancy grows linearly
+    * again and the within-cell join drifts quadratic. Two levels remove
+    * it: a COARSE trained partition (k₁ = clamp(ceil(n / (targetCell·fan)))
+    * cells of ≈ targetCell·fan vectors) and then, WITHIN each coarse cell,
+    * a sub-quantizer of ceil(n_c / targetCell) sub-cells — so occupancy is
+    * ≤ ~targetCell at ANY corpus size while capacity multiplies to
+    * kMax·fan·targetCell (≈ 16.7M at the defaults; deeper nesting repeats
+    * the same step). The sub-level model is NOT a driver-side artifact:
+    * sub-centroids live in a DataFrame keyed by cell, assignment is a
+    * cell-keyed join + per-vector argmax — per-vector cost is
+    * n_c/targetCell ≈ fan comparisons, independent of n, and nothing is
+    * collected. Sub-training replays the SAME deterministic recipe as the
+    * flat form (first-k init in vec_id order, decimal-exact Lloyd means,
+    * ties to the smaller sub id), so the WHOLE two-level train + assign +
+    * pair join hash-matches the DuckDB replay. */
+  def semdedupHier(embeddings: DataFrame, targetCell: Int = 64, fan: Int = 64,
+                   kMin: Int = 8, kMax: Int = 4096, iters: Int = 1,
+                   threshold: Double = 0.3): DataFrame =
+    semdedupPairsFrom(hierAssigned(embeddings, targetCell, fan, kMin, kMax, iters),
+      threshold)
+
+  /** The trained two-level partition as (cluster, vec_id, embedding) with
+    * cluster = cell·2³² + sub (cell ≤ kMax < 2¹², sub corpus-bounded —
+    * the composite fits BIGINT on both engines). */
+  private[graft] def hierAssigned(embeddings: DataFrame, targetCell: Int,
+                                  fan: Int, kMin: Int, kMax: Int,
+                                  iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Iterative._
+    // level 1: the flat trained partition at fan× the occupancy target —
+    // materialized: consumed by the seed ranking, every sub-Lloyd
+    // assignment join, and the final assignment
+    val coarse = semdedupAssigned(embeddings,
+        scaledK(embeddings, targetCell * fan, kMin, kMax), iters)
+      .select(col("cluster").as("cell"), col("vec_id"), col("embedding"))
+      .materialize
+    // level 2 init: per cell, the first ceil(n_c/targetCell) members in
+    // vec_id order (the first-k recipe, cell-locally)
+    val ranked = coarse.select(col("cell"), col("vec_id"), col("embedding"),
+      row_number().over(Window.partitionBy(col("cell")).orderBy(col("vec_id")))
+        .cast("long").as("rn"),
+      count(lit(1)).over(Window.partitionBy(col("cell"))).as("n_c"))
+    var seeds = ranked
+      .filter(col("rn") <=
+        ceil(col("n_c").cast("double") / targetCell).cast("long"))
+      .select(col("cell"), (col("rn") - 1).as("sub"), col("embedding").as("cv"))
+    // level 2 Lloyd steps: cell-keyed join + per-vector argmax, then
+    // decimal-exact per-(cell, sub, dim) means (the updateCentroids
+    // arithmetic, kept distributed instead of collected)
+    for (_ <- 0 until iters) {
+      seeds = assignSub(coarse, seeds)
+        .select(col("cell"), col("sub"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("sub"), col("pos"))
+        .agg(sum(col("col").cast("string").cast("decimal(38,18)")).as("s"),
+          count(lit(1)).as("cnt"))
+        .select(col("cell"), col("sub"), col("pos"),
+          (col("s").cast("double") / col("cnt").cast("double")).cast("float").as("comp"))
+        .groupBy(col("cell"), col("sub"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+          x => x.getField("comp")).as("cv"))
+    }
+    assignSub(coarse, seeds)
+      .select((col("cell") * lit(4294967296L) + col("sub")).as("cluster"),
+        col("vec_id"), col("embedding"))
+  }
+
+  /** Cell-local argmax-cosine assignment against a sub-centroid DataFrame
+    * (ties to the smaller sub id) — the distributed-model counterpart of
+    * best()/assignedKernel. */
+  private def assignSub(members: DataFrame, seeds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    members.join(seeds, "cell")
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("cv")))
+      .withColumn("rn1", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sub"))))
+      .filter(col("rn1") === 1)
+      .select(col("cell"), col("sub"), col("vec_id"), col("embedding"))
+  }
+
+  /** Oracle for [[semdedupHier]]: the full two-level replay — coarse
+    * train/assign (the flat scaled recipe at fan× occupancy), per-cell
+    * first-k sub-init, `iters` decimal-exact sub-Lloyd steps, final
+    * assignment, within-(cell, sub) pair join. */
+  def semdedupHierSql(targetCell: Int = 64, fan: Int = 64, kMin: Int = 8,
+                      kMax: Int = 4096, iters: Int = 1,
+                      threshold: Double = 0.3): String = {
+    val kExpr = s"(SELECT LEAST($kMax, GREATEST($kMin, " +
+      s"CAST(CEIL(COUNT(*) / ${targetCell.toLong * fan}.0) AS BIGINT))) FROM embeddings)"
+    val cosC = VectorOps.cosineSql("e.embedding", "c.embedding")
+    val cosS = VectorOps.cosineSql("m.embedding", "s.cv")
+    val cos = VectorOps.cosineSql("a.embedding", "b.embedding")
+    val lloyd = (0 until iters).map { i =>
+      s"""sasg_$i AS (
+         |  SELECT m.cell, s.sub, m.vec_id, m.embedding
+         |  FROM clustered m JOIN seeds_$i s ON m.cell = s.cell
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY m.vec_id
+         |    ORDER BY $cosS DESC, s.sub) = 1),
+         |scomp_$i AS (
+         |  SELECT cell, sub, pos,
+         |    CAST(SUM(CAST(CAST(val AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE) AS sm,
+         |    COUNT(*) AS cnt
+         |  FROM (
+         |    SELECT cell, sub,
+         |      unnest(range(0, CAST(len(embedding) AS BIGINT))) AS pos,
+         |      unnest(embedding) AS val
+         |    FROM sasg_$i)
+         |  GROUP BY 1, 2, 3),
+         |seeds_${i + 1} AS (
+         |  SELECT cell, sub, list(CAST(sm / CAST(cnt AS DOUBLE) AS FLOAT) ORDER BY pos) AS cv
+         |  FROM scomp_$i GROUP BY cell, sub)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${centsSqlExpr(kExpr, iters)},
+       |clustered AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, c.cell
+       |  FROM embeddings e CROSS JOIN cents_$iters c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosC DESC, c.cell) = 1),
+       |ranked AS (
+       |  SELECT cell, vec_id, embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cell) AS n_c
+       |  FROM clustered),
+       |seeds_0 AS (
+       |  SELECT cell, CAST(rn - 1 AS BIGINT) AS sub, embedding AS cv FROM ranked
+       |  WHERE rn <= CAST(CEIL(CAST(n_c AS DOUBLE) / $targetCell) AS BIGINT)),
+       |$lloyd,
+       |final AS MATERIALIZED (
+       |  SELECT m.cell, s.sub, m.vec_id, m.embedding
+       |  FROM clustered m JOIN seeds_$iters s ON m.cell = s.cell
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |    ORDER BY $cosS DESC, s.sub) = 1)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos
+       |FROM final a JOIN final b
+       |  ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+       |WHERE $cos >= $threshold""".stripMargin
+  }
+
   // ---- DuckDB oracle ----
 
   private def centsSql(k: Int, iters: Int): String =

@@ -215,6 +215,397 @@ object GraphAnn {
         (col("pos") + 1).cast("long").as("rn"), col("col.score").as("cos"))
   }
 
+  // ---- maintenance: upsert / delete (r13 verdict item 2 — the last index
+  // family without a maintenance direction; reference anchor: Neo4j's HNSW
+  // vector index is maintained through entity upserts,
+  // neo4j_knowledge_service.py:922's backend) -------------------------------
+
+  private val isArrVec = pmod(col("vec_id"), lit(10L)) === 0L
+
+  /** UPSERT direction: one arrival batch (vec_id%10 == 0) inserted into
+    * the standing k-NN graph of the base corpus WITHOUT rebuilding it —
+    * the incremental NN-descent recipe:
+    *
+    *   1. each arrival BEAM-SEARCHES the standing graph for its own
+    *      neighborhood (annGraphSearchFrom at k = kNbrs — the O(T·B·K)
+    *      walk, exactly the query path) and adopts the found top-kNbrs as
+    *      its adjacency — the HNSW insert's candidate-selection step;
+    *   2. ONE local descent round over the TOUCHED set only (arrivals ∪
+    *      their found neighbors): candidates = touched nodes' current
+    *      neighbors + hash-capped neighbors-of-neighbors through the
+    *      union graph, rescored by exact cosine, top-kNbrs kept. This is
+    *      where base nodes ADOPT reverse edges to arrivals that beat
+    *      their current k-th neighbor, and where two arrivals landing in
+    *      the same region link to each other (nbr-of-nbr through a
+    *      shared base neighbor).
+    *
+    * Untouched nodes keep their standing adjacency rows verbatim — the
+    * maintenance cost is O(Δ·B·K) search + O(|touched|·cap) rescoring,
+    * independent of corpus size (|touched| ≤ Δ·(kNbrs+1)). The arrival
+    * batch is assumed bounded (the Probes scale contract: it rides one
+    * broadcast). Registered output = the standard beam search over the
+    * MAINTAINED graph, probes = the first-nProbes corpus convention;
+    * every step is portable, so the DuckDB oracle replays the base build,
+    * the insert, the local round and the final search end-to-end. */
+  def annGraphUpsert(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
+                     kNbrs: Int = 16, entries: Int = 4, beam: Int = 16,
+                     searchRounds: Int = 4, rounds: Int = 4,
+                     cap: Int = 64): DataFrame =
+    annGraphUpsertFrom(
+      knnGraph(embeddings.filter(!isArrVec), kNbrs, rounds = rounds, cap = cap),
+      embeddings, nProbes, k, kNbrs, entries, beam, searchRounds, cap)
+
+  /** Production-shaped core of [[annGraphUpsert]]: the standing graph is
+    * passed in (a persisted store in the _store rung); only the arrival
+    * batch pays search + one touched-scoped descent round. */
+  def annGraphUpsertFrom(gBase: DataFrame, embeddings: DataFrame,
+                         nProbes: Int = 10, k: Int = 3, kNbrs: Int = 16,
+                         entries: Int = 4, beam: Int = 16,
+                         searchRounds: Int = 4, cap: Int = 64): DataFrame =
+    annGraphSearchFrom(
+      upsertedGraph(gBase, embeddings, kNbrs, entries, beam, searchRounds, cap),
+      embeddings, nProbes, k, entries, beam, searchRounds, releaseGraph = true)
+
+  /** The MAINTAINED graph after the arrival batch — exposed so the spec
+    * can pin the structural contract (arrival adjacency present, untouched
+    * base rows verbatim). */
+  private[graft] def upsertedGraph(gBase: DataFrame, embeddings: DataFrame,
+                                   kNbrs: Int = 16, entries: Int = 4,
+                                   beam: Int = 16, searchRounds: Int = 4,
+                                   cap: Int = 64): DataFrame = {
+    import Iterative._
+    val embBase = embeddings.filter(!isArrVec)
+    val arrivals = embeddings.filter(isArrVec)
+    // 1. seed: beam-search each arrival's neighborhood in the standing graph
+    val eNew = annGraphSearchFrom(gBase, embBase, k = kNbrs, entries = entries,
+        beam = beam, searchRounds = searchRounds, probes = Some(arrivals))
+      .select(col("probe_id").as("node"), col("neighbor_id").as("nbr"), col("cos"))
+      .materialize
+    // union graph (arrival nodes are new — no duplicate edges possible)
+    val g1 = gBase.unionByName(eNew).materialize
+    release(gBase)
+    val touched = eNew.select(col("node"))
+      .unionAll(eNew.select(col("nbr").as("node"))).distinct().materialize
+    // 2. one NN-descent round restricted to the touched set
+    val sym1 = g1.select(col("node"), col("nbr"))
+      .unionAll(g1.select(col("nbr").as("node"), col("node").as("nbr")))
+      .distinct().materialize
+    val symT = sym1.join(touched, Seq("node"), "left_semi")
+    val nnT = symT.as("a").join(sym1.as("b"), col("a.nbr") === col("b.node"))
+      .select(col("a.node").as("node"), col("b.nbr").as("nbr"))
+      .filter(col("node") =!= col("nbr"))
+      .distinct()
+    val nnCapped = nnT.groupBy(col("node"))
+      .agg(graft.functions.TopKAgg.topK(
+        pairHash(col("node"), col("nbr")) * -1, col("nbr"), cap).as("topk"))
+      .select(col("node"), explode(col("topk")).as("e"))
+      .select(col("node"), col("e.id").as("nbr"))
+    val candT = symT.unionAll(nnCapped).distinct()
+    val gT = topKScored(candT, embeddings, kNbrs)
+    val gM = g1.join(touched, Seq("node"), "left_anti").unionByName(gT).materialize
+    release(eNew); release(g1); release(sym1); release(touched)
+    gM
+  }
+
+  /** DELETE direction: one departure batch (vec_id%10 == 0) removed from
+    * the standing full-corpus graph — keyed drop + LOCAL adjacency
+    * re-fill:
+    *
+    *   1. drop every edge touching a departed node (two broadcast
+    *      anti-joins — the keyed-delete shape of a node-keyed edge store);
+    *   2. TOUCHED survivors (those that lost a neighbor in either edge
+    *      direction) re-fill their lists from (a) their surviving
+    *      symmetrized adjacency and (b) ROUTE-AROUND candidates — the
+    *      surviving neighbors of their dropped neighbors (one hop through
+    *      the hole, ≤ kNbrs² per node), rescored by exact cosine,
+    *      top-kNbrs kept.
+    *
+    * Untouched survivors keep their rows verbatim: O(|touched|·kNbrs²)
+    * maintenance, independent of corpus size. Registered output = the
+    * standard beam search over the maintained graph with surviving
+    * probes; fully replayed by the DuckDB oracle. */
+  def annGraphDelete(embeddings: DataFrame, nProbes: Int = 10, k: Int = 3,
+                     kNbrs: Int = 16, entries: Int = 4, beam: Int = 16,
+                     searchRounds: Int = 4, rounds: Int = 4,
+                     cap: Int = 64): DataFrame =
+    annGraphDeleteFrom(knnGraph(embeddings, kNbrs, rounds = rounds, cap = cap),
+      embeddings, nProbes, k, kNbrs, entries, beam, searchRounds)
+
+  /** Production-shaped core of [[annGraphDelete]]: standing graph passed
+    * in; only the touched adjacency is rescored. */
+  def annGraphDeleteFrom(g: DataFrame, embeddings: DataFrame,
+                         nProbes: Int = 10, k: Int = 3, kNbrs: Int = 16,
+                         entries: Int = 4, beam: Int = 16,
+                         searchRounds: Int = 4): DataFrame =
+    annGraphSearchFrom(deletedGraph(g, embeddings, kNbrs),
+      embeddings.filter(!isArrVec), nProbes, k, entries, beam, searchRounds,
+      releaseGraph = true)
+
+  /** The MAINTAINED graph after the departure batch — exposed for the
+    * structural spec (no departed endpoint survives; untouched rows
+    * verbatim). */
+  private[graft] def deletedGraph(g: DataFrame, embeddings: DataFrame,
+                                  kNbrs: Int = 16): DataFrame = {
+    import Iterative._
+    val delN = embeddings.filter(isArrVec).select(col("vec_id").as("node"))
+    val delB = delN.select(col("node").as("nbr"))
+    val embSurv = embeddings.filter(!isArrVec)
+    val sym = g.select(col("node"), col("nbr"))
+      .unionAll(g.select(col("nbr").as("node"), col("node").as("nbr")))
+      .distinct().materialize
+    // 1. keyed drop
+    val surv = g.join(broadcast(delN), Seq("node"), "left_anti")
+      .join(broadcast(delB), Seq("nbr"), "left_anti").materialize
+    release(g)
+    // touched = survivors that lost a neighbor in either direction
+    val touched = sym.join(broadcast(delB), Seq("nbr"), "left_semi")
+      .join(broadcast(delN), Seq("node"), "left_anti")
+      .select(col("node")).distinct().materialize
+    // 2. re-fill: surviving adjacency ∪ route-around (nbrs of dropped nbrs)
+    val symSurvT = surv.select(col("node"), col("nbr"))
+      .unionAll(surv.select(col("nbr").as("node"), col("node").as("nbr")))
+      .distinct()
+      .join(touched, Seq("node"), "left_semi")
+    val route = sym.join(broadcast(delB), Seq("nbr"), "left_semi")
+      .join(touched, Seq("node"), "left_semi").as("a")
+      .join(sym.as("b"), col("a.nbr") === col("b.node"))
+      .select(col("a.node").as("node"), col("b.nbr").as("nbr"))
+      .join(broadcast(delB), Seq("nbr"), "left_anti")
+      .filter(col("node") =!= col("nbr"))
+      .distinct()
+    val candT = symSurvT.unionAll(route).distinct()
+    val gT = topKScored(candT, embSurv, kNbrs)
+    val gM = surv.join(touched, Seq("node"), "left_anti").unionByName(gT).materialize
+    release(sym); release(surv); release(touched)
+    gM
+  }
+
+  // ---- SQL fragments shared by the maintenance oracles --------------------
+
+  /** Build-chain CTE text (no WITH) over corpus relation `$corp`,
+    * CTE names prefixed by `pfx`: ${pfx}bk, ${pfx}mem, ${pfx}sp,
+    * ${pfx}g_0..${pfx}g_$rounds. kBuild fixed at kNbrs (the maintenance
+    * rungs run the default build). */
+  private def buildChainFragSql(corp: String, pfx: String, kNbrs: Int,
+                                tables: Int, nPlanes: Int, ringSpan: Int,
+                                rounds: Int, cap: Int): String = {
+    def cos(a: String, b: String) = VectorOps.cosineSql(a, b)
+    val buckets = (0 until tables).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS t, ${Dedup.lshBucketSql("embedding", nPlanes, seed = t * 7)} AS bucket, vec_id FROM $corp"
+    }.mkString("\nUNION ALL\n")
+    val rings = (1 to ringSpan).map { c =>
+      s"""SELECT a.vec_id AS node, b.vec_id AS nbr
+         |  FROM ${pfx}mem a JOIN ${pfx}mem b
+         |  ON a.t = b.t AND a.bucket = b.bucket AND b.pos = (a.pos + $c) % a.sz""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val descent = (1 to rounds).map { r =>
+      val prev = s"${pfx}g_${r - 1}"
+      s"""${pfx}sym_$r AS MATERIALIZED (
+         |  SELECT DISTINCT node, nbr FROM (
+         |    SELECT node, nbr FROM $prev UNION ALL SELECT nbr, node FROM $prev)),
+         |${pfx}nn_$r AS (
+         |  SELECT DISTINCT a.node, b.nbr
+         |  FROM ${pfx}sym_$r a JOIN ${pfx}sym_$r b ON a.nbr = b.node
+         |  WHERE a.node <> b.nbr),
+         |${pfx}cap_$r AS (
+         |  SELECT node, nbr FROM (
+         |    SELECT node, nbr,
+         |      ROW_NUMBER() OVER (PARTITION BY node
+         |        ORDER BY ${pairHashSql("node", "nbr")}, nbr) AS rn
+         |    FROM ${pfx}nn_$r)
+         |  WHERE rn <= $cap),
+         |${pfx}cand_$r AS (
+         |  SELECT DISTINCT node, nbr FROM (
+         |    SELECT node, nbr FROM ${pfx}sym_$r
+         |    UNION ALL SELECT node, nbr FROM ${pfx}cap_$r)),
+         |${topKStepFragSql(s"${pfx}cand_$r", s"${pfx}g_$r", kNbrs, corp)}""".stripMargin
+    }.mkString(",\n")
+    s"""${pfx}bk AS MATERIALIZED (
+       |$buckets),
+       |${pfx}mem AS MATERIALIZED (
+       |  SELECT t, bucket, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY t, bucket ORDER BY vec_id) - 1 AS pos,
+       |    COUNT(*) OVER (PARTITION BY t, bucket) AS sz
+       |  FROM ${pfx}bk),
+       |${pfx}sp AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |$rings)
+       |  WHERE node <> nbr),
+       |${topKStepFragSql(s"${pfx}sp", s"${pfx}g_0", kNbrs, corp)},
+       |$descent""".stripMargin
+  }
+
+  /** Exact-cosine top-k per node over a candidate pair relation, vectors
+    * from `embRel` — the topKScored contract (cos DESC, nbr ASC). */
+  private def topKStepFragSql(pairsRel: String, out: String, kk: Int,
+                              embRel: String): String = {
+    def cos(a: String, b: String) = VectorOps.cosineSql(a, b)
+    s"""$out AS MATERIALIZED (
+       |  SELECT node, nbr, cos FROM (
+       |    SELECT p.node, p.nbr, ${cos("en.embedding", "eb.embedding")} AS cos,
+       |      ROW_NUMBER() OVER (PARTITION BY p.node
+       |        ORDER BY ${cos("en.embedding", "eb.embedding")} DESC, p.nbr) AS rn
+       |    FROM $pairsRel p
+       |    JOIN $embRel en ON en.vec_id = p.node
+       |    JOIN $embRel eb ON eb.vec_id = p.nbr)
+       |  WHERE rn <= $kk)""".stripMargin
+  }
+
+  /** Beam-search CTE chain (no WITH) prefixed by `pfx`: ${pfx}ent,
+    * ${pfx}beam_0..$searchRounds. `probeRel` provides (probe_id,
+    * embedding); `embRel` the candidate vectors (a probe not present in
+    * embRel contributes no self-entry — the inner scoring join drops it,
+    * matching annGraphSearchFrom). */
+  private def beamChainFragSql(pfx: String, gsymRel: String, probeRel: String,
+                               embRel: String, entries: Int, beam: Int,
+                               searchRounds: Int): String = {
+    def cos(a: String, b: String) = VectorOps.cosineSql(a, b)
+    def step(candRel: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT probe_id, node, cos FROM (
+         |    SELECT c.probe_id, c.node, ${cos("en.embedding", "p.embedding")} AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY c.probe_id
+         |        ORDER BY ${cos("en.embedding", "p.embedding")} DESC, c.node) AS rn
+         |    FROM $candRel c
+         |    JOIN $embRel en ON en.vec_id = c.node
+         |    JOIN $probeRel p ON p.probe_id = c.probe_id)
+         |  WHERE rn <= $beam)""".stripMargin
+    val search = (1 to searchRounds).map { r =>
+      s"""${pfx}exp_$r AS (
+         |  SELECT DISTINCT probe_id, node FROM (
+         |    SELECT probe_id, node FROM ${pfx}beam_${r - 1}
+         |    UNION ALL
+         |    SELECT b.probe_id, s.nbr AS node
+         |    FROM ${pfx}beam_${r - 1} b JOIN $gsymRel s ON s.node = b.node)),
+         |${step(s"${pfx}exp_$r", s"${pfx}beam_$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""${pfx}ent AS (
+       |  SELECT DISTINCT probe_id, node FROM (
+       |    SELECT p.probe_id, e.vec_id AS node
+       |    FROM $probeRel p CROSS JOIN $embRel e WHERE e.vec_id < $entries
+       |    UNION ALL
+       |    SELECT probe_id, probe_id AS node FROM $probeRel)),
+       |${step(s"${pfx}ent", s"${pfx}beam_0")},
+       |$search""".stripMargin
+  }
+
+  /** Oracle for [[annGraphUpsert]]: replays the BASE build, each arrival's
+    * beam-search seeding, the touched-scoped descent round, and the final
+    * search over the maintained graph — the whole incremental pipeline,
+    * hash-exact. */
+  def annGraphUpsertSql(nProbes: Int = 10, k: Int = 3, kNbrs: Int = 16,
+                        tables: Int = 4, nPlanes: Int = 6, ringSpan: Int = 4,
+                        rounds: Int = 4, cap: Int = 64, entries: Int = 4,
+                        beam: Int = 16, searchRounds: Int = 4): String =
+    s"""WITH bcorp AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+       |arr AS MATERIALIZED (
+       |  SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |${buildChainFragSql("bcorp", "b", kNbrs, tables, nPlanes, ringSpan, rounds, cap)},
+       |bgsym AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM bg_$rounds UNION ALL SELECT nbr, node FROM bg_$rounds)),
+       |${beamChainFragSql("a", "bgsym", "arr", "bcorp", entries, beam, searchRounds)},
+       |enew AS MATERIALIZED (
+       |  SELECT probe_id AS node, node AS nbr, cos FROM (
+       |    SELECT probe_id, node, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, node) AS rn
+       |    FROM abeam_$searchRounds WHERE node <> probe_id)
+       |  WHERE rn <= $kNbrs),
+       |g1 AS MATERIALIZED (
+       |  SELECT node, nbr, cos FROM bg_$rounds
+       |  UNION ALL SELECT node, nbr, cos FROM enew),
+       |tch AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT node FROM enew UNION ALL SELECT nbr FROM enew)),
+       |usym AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM g1 UNION ALL SELECT nbr, node FROM g1)),
+       |usymt AS (
+       |  SELECT node, nbr FROM usym WHERE node IN (SELECT node FROM tch)),
+       |unn AS (
+       |  SELECT DISTINCT a.node, b.nbr
+       |  FROM usymt a JOIN usym b ON a.nbr = b.node
+       |  WHERE a.node <> b.nbr),
+       |ucap AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |      ROW_NUMBER() OVER (PARTITION BY node
+       |        ORDER BY ${pairHashSql("node", "nbr")}, nbr) AS rn
+       |    FROM unn)
+       |  WHERE rn <= $cap),
+       |ucand AS (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM usymt UNION ALL SELECT node, nbr FROM ucap)),
+       |${topKStepFragSql("ucand", "ugt", kNbrs, "embeddings")},
+       |gm AS MATERIALIZED (
+       |  SELECT node, nbr, cos FROM g1 WHERE node NOT IN (SELECT node FROM tch)
+       |  UNION ALL SELECT node, nbr, cos FROM ugt),
+       |gmsym AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM gm UNION ALL SELECT nbr, node FROM gm)),
+       |qprobes AS (
+       |  SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id < $nProbes),
+       |${beamChainFragSql("q", "gmsym", "qprobes", "embeddings", entries, beam, searchRounds)}
+       |SELECT probe_id, node AS neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, node) AS BIGINT) AS rn,
+       |  cos
+       |FROM qbeam_$searchRounds
+       |WHERE node <> probe_id
+       |QUALIFY rn <= $k""".stripMargin
+
+  /** Oracle for [[annGraphDelete]]: replays the FULL-corpus build, the
+    * keyed drop, the touched adjacency re-fill (surviving adjacency ∪
+    * route-around candidates), and the final search over survivors. */
+  def annGraphDeleteSql(nProbes: Int = 10, k: Int = 3, kNbrs: Int = 16,
+                        tables: Int = 4, nPlanes: Int = 6, ringSpan: Int = 4,
+                        rounds: Int = 4, cap: Int = 64, entries: Int = 4,
+                        beam: Int = 16, searchRounds: Int = 4): String =
+    s"""WITH ${buildChainFragSql("embeddings", "f", kNbrs, tables, nPlanes, ringSpan, rounds, cap)},
+       |del AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0),
+       |scorp AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+       |fsym AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM fg_$rounds UNION ALL SELECT nbr, node FROM fg_$rounds)),
+       |surv AS MATERIALIZED (
+       |  SELECT node, nbr, cos FROM fg_$rounds
+       |  WHERE node NOT IN (SELECT vec_id FROM del)
+       |    AND nbr NOT IN (SELECT vec_id FROM del)),
+       |tch AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM fsym
+       |  WHERE nbr IN (SELECT vec_id FROM del)
+       |    AND node NOT IN (SELECT vec_id FROM del)),
+       |ssymt AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT DISTINCT node, nbr FROM (
+       |      SELECT node, nbr FROM surv UNION ALL SELECT nbr, node FROM surv))
+       |  WHERE node IN (SELECT node FROM tch)),
+       |rt AS (
+       |  SELECT DISTINCT a.node, b.nbr
+       |  FROM fsym a JOIN fsym b ON a.nbr = b.node
+       |  WHERE a.nbr IN (SELECT vec_id FROM del)
+       |    AND a.node IN (SELECT node FROM tch)
+       |    AND b.nbr NOT IN (SELECT vec_id FROM del)
+       |    AND a.node <> b.nbr),
+       |dcand AS (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM ssymt UNION ALL SELECT node, nbr FROM rt)),
+       |${topKStepFragSql("dcand", "dgt", kNbrs, "scorp")},
+       |gm AS MATERIALIZED (
+       |  SELECT node, nbr, cos FROM surv WHERE node NOT IN (SELECT node FROM tch)
+       |  UNION ALL SELECT node, nbr, cos FROM dgt),
+       |gmsym AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM gm UNION ALL SELECT nbr, node FROM gm)),
+       |qprobes AS (
+       |  SELECT vec_id AS probe_id, embedding FROM scorp WHERE vec_id < $nProbes),
+       |${beamChainFragSql("q", "gmsym", "qprobes", "scorp", entries, beam, searchRounds)}
+       |SELECT probe_id, node AS neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, node) AS BIGINT) AS rn,
+       |  cos
+       |FROM qbeam_$searchRounds
+       |WHERE node <> probe_id
+       |QUALIFY rn <= $k""".stripMargin
+
   /** DuckDB oracle replaying the WHOLE pipeline — seed buckets, ring
     * seeds, every NN-descent round (hash cap included), beam init and
     * every search round, final top-k — with the same tie-breaks

@@ -164,7 +164,15 @@ object MinhashPortable {
     val rows = nPerms / bands
     // the arrival batch is the only thing newly sketched
     val sigDelta = minhashPortable(deltaDocs, nPerms)
-    val keysDelta = bandKeys(sigDelta, rows)
+    upsertPairsFrom(sigBase, keysBase, sigDelta, bandKeys(sigDelta, rows), nPerms)
+  }
+
+  /** The arrival-created pair join given ALREADY-SKETCHED delta artifacts —
+    * shared by [[minhashLshUpsertFrom]] and the CDC emission rung so the
+    * two cannot drift. */
+  private[graft] def upsertPairsFrom(sigBase: DataFrame, keysBase: DataFrame,
+                              sigDelta: DataFrame, keysDelta: DataFrame,
+                              nPerms: Int): DataFrame = {
     val cand = keysDelta.as("d")
       .join(keysBase.union(keysDelta).as("x"),
         col("d.band") === col("x.band") && col("d.bkey") === col("x.bkey") &&
@@ -174,6 +182,101 @@ object MinhashPortable {
         greatest(col("d.doc_id"), col("x.doc_id")).as("doc_b"))
       .distinct()
     estJaccard(cand, sigBase.union(sigDelta), nPerms)
+  }
+
+  /** CDC EMISSION rung of LSH upsert (r13 verdict item 1 — the one
+    * surviving unbounded-output registration): one maintenance cycle's
+    * COMPLETE changefeed, i.e. everything a downstream consumer must apply
+    * to its own copy of the maintained index — and NOTHING that merely
+    * restates standing state:
+    *
+    *   op='S' — signature rows APPENDED to the persisted signature table
+    *            (doc_id, perm, minh; Δ·nPerms rows),
+    *   op='K' — band-key rows APPENDED to the band-key table
+    *            (doc_id, band, bkey; Δ·bands rows — the postings-append
+    *            analog of bm25_upsert's additive artifact maintenance),
+    *   op='P' — the arrival-CREATED near-dup pairs appended to the pair
+    *            table (doc_id = doc_a, doc_b, est_jaccard, kind;
+    *            O(Δ·bucket) rows).
+    *
+    * Total emission is O(Δ·(nPerms + bands + bucket)) — bounded by the
+    * ARRIVAL BATCH at any corpus size, where minhash_lsh_upsert's
+    * registered shape was measured output-bound at the 100× tier
+    * (SCALING.md r13: the store A/B collapsed to 1.36× because the pair
+    * restatement dominated; a daily maintenance job at 100 TB cannot
+    * restate a trillion-pair index). Precedent: dedup_resolve_delta's
+    * 'I'/'U'/'D' verdict feed (ResolveInc.resolveDeltaFrom) and
+    * minhash_lsh_delete_retired (the delete-side analog). Upsert creates
+    * and never mutates (signatures are pure per-doc functions), so the
+    * feed needs no 'U'/'D' direction: append-only CDC. Columns not
+    * applicable to an op are NULL — the same nullable-changefeed layout
+    * cdc_apply consumes. */
+  def minhashLshUpsertDelta(documents: DataFrame, nPerms: Int = 16,
+                            bands: Int = 4): DataFrame = {
+    require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
+    val isDelta = pmod(col("doc_id"), lit(10L)) === 0L
+    val sigBase = minhashPortable(documents.filter(!isDelta), nPerms)
+    minhashLshUpsertDeltaFrom(sigBase, bandKeys(sigBase, nPerms / bands),
+      documents.filter(isDelta), nPerms, bands)
+  }
+
+  /** Production-shaped core of [[minhashLshUpsertDelta]]: standing index
+    * passed in (persisted tables in the store rung), only the arrival
+    * batch sketched; emits the three-part changefeed. */
+  def minhashLshUpsertDeltaFrom(sigBase: DataFrame, keysBase: DataFrame,
+                                deltaDocs: DataFrame, nPerms: Int = 16,
+                                bands: Int = 4): DataFrame = {
+    require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
+    import Iterative._
+    // materialized: consumed by the 'S' emission, the band-key derive and
+    // the pair scoring join — unmaterialized, the Δ sketch runs three times
+    val sigDelta = minhashPortable(deltaDocs, nPerms).materialize
+    val keysDelta = bandKeys(sigDelta, nPerms / bands).materialize
+    val pairs = upsertPairsFrom(sigBase, keysBase, sigDelta, keysDelta, nPerms)
+      .withColumn("kind",
+        when(pmod(col("doc_a"), lit(10L)) === 0L && pmod(col("doc_b"), lit(10L)) === 0L,
+          lit("delta_delta")).otherwise(lit("delta_base")))
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    sigDelta.select(lit("S").as("op"), col("doc_id"), col("perm"), col("minh"),
+        nullL.as("band"), nullS.as("bkey"), nullL.as("doc_b"),
+        nullD.as("est_jaccard"), nullS.as("kind"))
+      .unionByName(keysDelta.select(lit("K").as("op"), col("doc_id"),
+        nullL.as("perm"), nullL.as("minh"), col("band"), col("bkey"),
+        nullL.as("doc_b"), nullD.as("est_jaccard"), nullS.as("kind")))
+      .unionByName(pairs.select(lit("P").as("op"), col("doc_a").as("doc_id"),
+        nullL.as("perm"), nullL.as("minh"), nullL.as("band"), nullS.as("bkey"),
+        col("doc_b"), col("est_jaccard"), col("kind")))
+  }
+
+  /** Oracle for [[minhashLshUpsertDelta]]: each changefeed part recomputed
+    * from scratch — delta signatures/band keys directly, pairs as the
+    * full-corpus LSH restricted to delta-touching pairs (the upsert
+    * oracle's restriction) — so the hash gate proves the appended
+    * artifacts AND the appended pairs are exactly what a from-scratch
+    * rebuild implies. */
+  def minhashLshUpsertDeltaSql(nPerms: Int = 16, bands: Int = 4): String = {
+    val rows = nPerms / bands
+    val deltaRel = "(SELECT * FROM documents WHERE doc_id % 10 = 0)"
+    s"""WITH sd AS MATERIALIZED (${minhashPortableSqlFrom(deltaRel, nPerms)}),
+       |kd AS (
+       |  SELECT doc_id, CAST(perm // $rows AS BIGINT) AS band,
+       |    STRING_AGG(CAST(minh AS VARCHAR), ',' ORDER BY perm) AS bkey
+       |  FROM sd GROUP BY doc_id, perm // $rows),
+       |fp AS MATERIALIZED (${minhashLshPortableSql(nPerms, bands)})
+       |SELECT 'S' AS op, doc_id, perm, minh,
+       |  CAST(NULL AS BIGINT) AS band, CAST(NULL AS VARCHAR) AS bkey,
+       |  CAST(NULL AS BIGINT) AS doc_b, CAST(NULL AS DOUBLE) AS est_jaccard,
+       |  CAST(NULL AS VARCHAR) AS kind
+       |FROM sd
+       |UNION ALL
+       |SELECT 'K', doc_id, NULL, NULL, band, bkey, NULL, NULL, NULL FROM kd
+       |UNION ALL
+       |SELECT 'P', doc_a, NULL, NULL, NULL, NULL, doc_b, est_jaccard,
+       |  CASE WHEN doc_a % 10 = 0 AND doc_b % 10 = 0 THEN 'delta_delta'
+       |       ELSE 'delta_base' END
+       |FROM fp WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin
   }
 
   /** Oracle for [[minhashLshUpsert]]: the FULL-corpus LSH pairs restricted

@@ -487,16 +487,11 @@ object ProductQuant extends Serializable {
                   probeDf: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
     val w = Dim / m
-    // residual codebooks from the first nCodes vectors' residuals
-    val cbs = firstKCodebooks(
-      embeddings.filter(col("vec_id") < nCodes)
-        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-        .collect().sortBy(_._1).map(r => residOf(cents, r._2)),
-      m, nCodes)
+    // frozen model via the ONE derivation every ivfPq entry point shares
+    // (r13 advice: the inline duplicate was a silent-drift hazard between
+    // this form and the store read path)
+    val (cents, cbs) = ivfPqModel(embeddings, nCells, m, nCodes)
     val probes: Array[(Long, Int, Array[Float])] =
       Probes.resolve(embeddings, probeDf, nProbes)
         .as[(Long, Array[Float])]

@@ -420,6 +420,47 @@ object StreamReplay {
   val streamNearDedupSql: String =
     graft.operators.MinhashPortable.minhashLshCappedSql(cap = 32)
 
+  /** Store-BOOTSTRAPPED near-dedup — the restart pattern's third instance
+    * (after stream_upsert_store / stream_session_store), now over the
+    * sharded LSH-index state: the per-bucket retained-signature snapshot
+    * after the first two batches is persisted once
+    * (Stores.nearDedupStateStore) and the stream starts FROM it via
+    * initialState, sketching and processing ONLY the tail batches. Pairs
+    * whose later doc arrived in the prefix emitted before the restart and
+    * do not re-emit; tail arrivals still pair against prefix docs through
+    * the bootstrapped retained sets. Oracle = the capped-contract batch
+    * statement restricted to pairs whose LATER doc (the emission trigger)
+    * sits in the tail half of the doc_id order. */
+  def streamNearDedupStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = quarters(docScript(spark, dir))
+    val init = graft.sources.Stores.nearDedupStateStore(spark, dir, qs(0) ++ qs(1))
+      .select(col("bucket"), col("doc_id"), col("sig"))
+      .as[(String, Long, Array[Long])]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        (k, Streams.BucketState(
+          it.toSeq.sortBy(_._2).map(r => Streams.BucketDoc(r._2, r._3))))
+      }
+    replay[Doc](spark, s"stream_near_dedup_store:$dir", Seq(qs(2), qs(3)),
+      df => Streams.streamingNearDedupFrom(df.as[Doc], init).toDF(),
+      label = "stream_near_dedup_store")
+      .distinct()
+  }
+
+  /** Oracle for [[streamNearDedupStore]]: capped contract ∧ trigger-in-tail
+    * (doc_b's position in the doc_id total order lands in batches 2–3,
+    * with quarters()'s integer-division boundaries). */
+  val streamNearDedupStoreSql: String =
+    s"""WITH capped AS MATERIALIZED (
+       |${graft.operators.MinhashPortable.minhashLshCappedSql(cap = 32)}),
+       |pos AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn0, n
+       |  FROM documents CROSS JOIN (SELECT COUNT(*) AS n FROM documents) t)
+       |SELECT c.doc_a, c.doc_b, c.est_jaccard
+       |FROM capped c JOIN pos p ON p.doc_id = c.doc_b
+       |WHERE p.rn0 >= (2 * p.n) // 4""".stripMargin
+
   /** Ablation twin (EvictionProbe): the deterministic-reservoir eviction
     * policy run through the same replay — NOT registered (the reservoir's
     * sequential replace chain has no bounded-depth SQL oracle; the
@@ -495,7 +536,7 @@ object StreamReplay {
        |         WHEN rn0 < (2 * n) // 4 THEN 1
        |         WHEN rn0 < (3 * n) // 4 THEN 2
        |         ELSE 3 END AS batch
-       |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn0 FROM events)
+       |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY epoch_ms(ts), event_id) - 1 AS rn0 FROM events)
        |  CROSS JOIN (SELECT COUNT(*) AS n FROM events) t),
        |g AS (
        |  SELECT user_id, ms, event_id, batch,

@@ -223,44 +223,90 @@ object Streams {
                          bands: Int = 4,
                          maxBucket: Int = 32): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
+    bandRows(docs, nPerms, bands)
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        nearDedupFn(maxBucket))
+  }
+
+  /** The per-bucket state transition — compare against the retained set,
+    * then retain-first-cap — shared by the plain and the
+    * store-bootstrapped streams so the two cannot drift. */
+  private def nearDedupFn(maxBucket: Int)(
+      key: String, batch: Iterator[(Long, String, Array[Long])],
+      state: GroupState[BucketState]): Iterator[NearDupPair] = {
+    val sorted = batch.toSeq.sortBy(_._1)
+    var seen = state.getOption.map(_.docs).getOrElse(Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+    sorted.foreach { case (docId, _, sig) =>
+      seen.foreach { prev =>
+        if (prev.doc_id != docId) {
+          var eq = 0
+          var i = 0
+          while (i < sig.length) { if (sig(i) == prev.sig(i)) eq += 1; i += 1 }
+          out += NearDupPair(math.min(prev.doc_id, docId),
+            math.max(prev.doc_id, docId), eq.toDouble / sig.length)
+        }
+      }
+      // retain-first cap: the bucket keeps its first maxBucket
+      // signatures; later arrivals still compare against the retained
+      // set (and emit) but are not added — state and per-arrival
+      // emission both bounded by maxBucket
+      if (seen.size < maxBucket) seen = seen :+ BucketDoc(docId, sig)
+    }
+    state.update(BucketState(seen))
+    out.iterator
+  }
+
+  /** Per-doc (doc_id, bucket-key, signature) band fan-out — the sketch +
+    * bucketing projection shared by the stream entry points and the batch
+    * snapshot builder. */
+  private def bandRows(docs: Dataset[Doc], nPerms: Int,
+                       bands: Int): Dataset[(Long, String, Array[Long])] = {
+    import docs.sparkSession.implicits._
     require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
     val rows = nPerms / bands
-
-    def fn(key: String, batch: Iterator[(Long, String, Array[Long])],
-           state: GroupState[BucketState]): Iterator[NearDupPair] = {
-      val sorted = batch.toSeq.sortBy(_._1)
-      var seen = state.getOption.map(_.docs).getOrElse(Seq.empty)
-      val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
-      sorted.foreach { case (docId, _, sig) =>
-        seen.foreach { prev =>
-          if (prev.doc_id != docId) {
-            var eq = 0
-            var i = 0
-            while (i < sig.length) { if (sig(i) == prev.sig(i)) eq += 1; i += 1 }
-            out += NearDupPair(math.min(prev.doc_id, docId),
-              math.max(prev.doc_id, docId), eq.toDouble / sig.length)
-          }
-        }
-        // retain-first cap: the bucket keeps its first maxBucket
-        // signatures; later arrivals still compare against the retained
-        // set (and emit) but are not added — state and per-arrival
-        // emission both bounded by maxBucket
-        if (seen.size < maxBucket) seen = seen :+ BucketDoc(docId, sig)
+    docs.flatMap { d =>
+      val sig = graft.operators.MinhashPortable.signature(d.text, nPerms)
+      if (sig == null) Iterator.empty
+      else (0 until bands).iterator.map { b =>
+        (d.doc_id, s"$b:" + sig.slice(b * rows, (b + 1) * rows).mkString(","), sig)
       }
-      state.update(BucketState(seen))
-      out.iterator
     }
+  }
 
-    docs
-      .flatMap { d =>
-        val sig = graft.operators.MinhashPortable.signature(d.text, nPerms)
-        if (sig == null) Iterator.empty
-        else (0 until bands).iterator.map { b =>
-          (d.doc_id, s"$b:" + sig.slice(b * rows, (b + 1) * rows).mkString(","), sig)
-        }
-      }
+  /** Store-BOOTSTRAPPED streaming near-dedup: the same bucket state
+    * machine started from a persisted (bucket → retained signatures)
+    * snapshot — the restart shape extended to the LSH-index state family
+    * (r13 verdict item 6). History is never re-sketched or re-streamed;
+    * tail arrivals compare against the bootstrapped retained sets exactly
+    * as if the stream had never stopped. */
+  def streamingNearDedupFrom(docs: Dataset[Doc],
+                             initial: Dataset[(String, BucketState)],
+                             nPerms: Int = 16, bands: Int = 4,
+                             maxBucket: Int = 32): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    bandRows(docs, nPerms, bands)
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout(),
+        initial.groupByKey(_._1).mapValues(_._2))(nearDedupFn(maxBucket))
+  }
+
+  /** Batch replay of the bucket state over a doc prefix: per bucket, the
+    * FIRST `maxBucket` signatures in doc_id order (= arrival order for the
+    * doc_id-sorted replay scripts) — exactly the retained set
+    * streamingNearDedup holds after the prefix. Emitted as flat
+    * (bucket, doc_id, sig) rows — the persistable layout
+    * (Stores.nearDedupStateStore buckets it by the bucket key). */
+  def nearDedupStateSnapshot(docs: Dataset[Doc], nPerms: Int = 16,
+                             bands: Int = 4, maxBucket: Int = 32)
+      : Dataset[(String, Long, Array[Long])] = {
+    import docs.sparkSession.implicits._
+    bandRows(docs, nPerms, bands)
+      .groupByKey(_._2)
+      .flatMapGroups { (k, it) =>
+        it.toSeq.sortBy(_._1).take(maxBucket).iterator.map(r => (k, r._1, r._3))
+      }
   }
 
   case class BucketStateR(docs: Seq[BucketDoc], arrivals: Long)

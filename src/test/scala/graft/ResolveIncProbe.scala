@@ -46,9 +46,17 @@ object ResolveIncProbe {
     val isDeparture = pmod(col("doc_id"), lit(mod)) === 5L
 
     // --- standing state: build once, reuse across probe runs ---
+    // the marker records the mod the state was built for: an explicitly
+    // passed stateDir reused with a different mod would otherwise silently
+    // serve a base slice built for another batch density (r13 advice)
     val marker = new java.io.File(s"$stateDir/_BUILT")
+    val markerStale = marker.exists() && {
+      val recorded = scala.util.Try(
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong)
+      recorded.toOption != Some(mod)
+    }
     val (_, tBuild) = t {
-      if (!marker.exists()) {
+      if (!marker.exists() || markerStale) {
         val base = docs.filter(!isArrival)
         val sig = MinhashPortable.minhashPortable(base)
         sig.write.mode("overwrite").parquet(s"$stateDir/sig")
@@ -61,7 +69,7 @@ object ResolveIncProbe {
         GraphOps.labelPropagation(spark.read.parquet(s"$stateDir/pairs")
             .select(col("doc_a").as("src"), col("doc_b").as("dst")))
           .write.mode("overwrite").parquet(s"$stateDir/labels")
-        marker.createNewFile()
+        java.nio.file.Files.write(marker.toPath, mod.toString.getBytes)
       }
     }
     def ld(n: String): DataFrame = spark.read.parquet(s"$stateDir/$n")
