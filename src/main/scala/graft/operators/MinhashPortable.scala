@@ -137,9 +137,9 @@ object MinhashPortable {
     * bucketed band-key table (co-partition by (band, bkey) at scale);
     * candidates still only materialize through shared buckets. */
   def minhashLshUpsert(documents: DataFrame, nPerms: Int = 16,
-                       bands: Int = 4): DataFrame = {
+                       bands: Int = 4, mod: Long = 10L): DataFrame = {
     require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
-    val isDelta = pmod(col("doc_id"), lit(10L)) === 0L
+    val isDelta = pmod(col("doc_id"), lit(mod)) === 0L
     // standing index: band keys + signatures of the already-indexed corpus
     // (computed here from the base slice; persisted tables in production —
     // UpsertProbe measures that form against loaded parquet)
@@ -147,7 +147,7 @@ object MinhashPortable {
     minhashLshUpsertFrom(sigBase, bandKeys(sigBase, nPerms / bands),
         documents.filter(isDelta), nPerms, bands)
       .withColumn("kind",
-        when(pmod(col("doc_a"), lit(10L)) === 0L && pmod(col("doc_b"), lit(10L)) === 0L,
+        when(pmod(col("doc_a"), lit(mod)) === 0L && pmod(col("doc_b"), lit(mod)) === 0L,
           lit("delta_delta")).otherwise(lit("delta_base")))
   }
 
@@ -173,15 +173,30 @@ object MinhashPortable {
   private[graft] def upsertPairsFrom(sigBase: DataFrame, keysBase: DataFrame,
                               sigDelta: DataFrame, keysDelta: DataFrame,
                               nPerms: Int): DataFrame = {
-    val cand = keysDelta.as("d")
+    import Iterative._
+    // the delta side BROADCASTS (a bounded arrival batch): the standing
+    // key table is scanned once, never shuffled — without the hint the
+    // size-unknown delta side forced a full shuffle of the standing keys
+    // per batch (measured at the 100× tier). Materialized: consumed by
+    // the participant restriction AND the scoring join.
+    val cand = broadcast(keysDelta.as("d"))
       .join(keysBase.union(keysDelta).as("x"),
         col("d.band") === col("x.band") && col("d.bkey") === col("x.bkey") &&
           col("d.doc_id") =!= col("x.doc_id"))
       .select(
         least(col("d.doc_id"), col("x.doc_id")).as("doc_a"),
         greatest(col("d.doc_id"), col("x.doc_id")).as("doc_b"))
-      .distinct()
-    estJaccard(cand, sigBase.union(sigDelta), nPerms)
+      .distinct().materialize
+    // score against the PARTICIPATING docs' signatures only — unrestricted,
+    // the scoring join shuffles the whole standing signature table per
+    // batch (measured at the 100× tier: the store A/B was join-bound at
+    // 2.4× until this semi-join; a 100 TB index cannot re-shuffle its
+    // signature store to score a bounded arrival batch)
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sigNeeded = sigBase.union(sigDelta)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+    estJaccard(cand, sigNeeded, nPerms)
   }
 
   /** CDC EMISSION rung of LSH upsert (r13 verdict item 1 — the one
@@ -212,12 +227,12 @@ object MinhashPortable {
     * applicable to an op are NULL — the same nullable-changefeed layout
     * cdc_apply consumes. */
   def minhashLshUpsertDelta(documents: DataFrame, nPerms: Int = 16,
-                            bands: Int = 4): DataFrame = {
+                            bands: Int = 4, mod: Long = 10L): DataFrame = {
     require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
-    val isDelta = pmod(col("doc_id"), lit(10L)) === 0L
+    val isDelta = pmod(col("doc_id"), lit(mod)) === 0L
     val sigBase = minhashPortable(documents.filter(!isDelta), nPerms)
     minhashLshUpsertDeltaFrom(sigBase, bandKeys(sigBase, nPerms / bands),
-      documents.filter(isDelta), nPerms, bands)
+      documents.filter(isDelta), nPerms, bands, mod)
   }
 
   /** Production-shaped core of [[minhashLshUpsertDelta]]: standing index
@@ -225,7 +240,7 @@ object MinhashPortable {
     * batch sketched; emits the three-part changefeed. */
   def minhashLshUpsertDeltaFrom(sigBase: DataFrame, keysBase: DataFrame,
                                 deltaDocs: DataFrame, nPerms: Int = 16,
-                                bands: Int = 4): DataFrame = {
+                                bands: Int = 4, mod: Long = 10L): DataFrame = {
     require(bands > 0 && nPerms % bands == 0, s"bands=$bands must divide nPerms=$nPerms")
     import Iterative._
     // materialized: consumed by the 'S' emission, the band-key derive and
@@ -234,7 +249,7 @@ object MinhashPortable {
     val keysDelta = bandKeys(sigDelta, nPerms / bands).materialize
     val pairs = upsertPairsFrom(sigBase, keysBase, sigDelta, keysDelta, nPerms)
       .withColumn("kind",
-        when(pmod(col("doc_a"), lit(10L)) === 0L && pmod(col("doc_b"), lit(10L)) === 0L,
+        when(pmod(col("doc_a"), lit(mod)) === 0L && pmod(col("doc_b"), lit(mod)) === 0L,
           lit("delta_delta")).otherwise(lit("delta_base")))
     val nullL = lit(null).cast("long")
     val nullS = lit(null).cast("string")

@@ -23,7 +23,8 @@ import graft.operators.{Cluster, Dedup, ProductQuant, Recall, ScalarQuant, Searc
 object AdaptiveProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/nat20k")
-    val doDedup = args.contains("--dedup")
+    val doHier = args.contains("--hier")
+    val doDedup = args.contains("--dedup") || doHier
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -66,7 +67,7 @@ object AdaptiveProbe {
       ("ann_ivf_pq_rr_d300", () => ProductQuant.ivfPqRerank(emb, depth = 300), None),
       ("ann_pq_rr_d300", () => ProductQuant.pqRerank(emb, depth = 300), None),
       ("ann_sq8", () => ScalarQuant.sq8Search(emb), None))
-    variants.foreach { case (name, mk, poolMk) =>
+    (if (doHier) Seq.empty else variants).foreach { case (name, mk, poolMk) =>
       val t0 = System.nanoTime()
       val approx = mk().localCheckpoint()
       val r = Recall.recallAtK(exact, approx)
@@ -97,16 +98,29 @@ object AdaptiveProbe {
         val frac = cand.toDouble / total
         println(f"$name%-16s candidates=$cand%,d (${frac * 100}%.1f%% of all-pairs) rows=$rows%,d time=$secs%.1fs")
       }
-      timed("semdedup", semCand)(Cluster.semdedup(emb))
+      if (!doHier) timed("semdedup", semCand)(Cluster.semdedup(emb))
       // density-scaled config: cluster count matched to organic structure
       // (NaturalGen has 64 centers) and a near-dup threshold — the
       // production knobs when the default k=8 blocks go quadratic
-      val km64 = Cluster.kmeans(emb, k = 64).groupBy("cluster")
-        .agg(count(lit(1)).as("cnt"))
-      timed("semdedup_k64_t95", pairBudget(km64))(
-        Cluster.semdedup(emb, k = 64, threshold = 0.95))
-      timed("dedup_embedding", lblCand)(Dedup.embeddingNearDup(emb))
-      timed("doc_outlier", semCand)(Cluster.docOutliers(emb))
+      if (!doHier) {
+        val km64 = Cluster.kmeans(emb, k = 64).groupBy("cluster")
+          .agg(count(lit(1)).as("cnt"))
+        timed("semdedup_k64_t95", pairBudget(km64))(
+          Cluster.semdedup(emb, k = 64, threshold = 0.95))
+        timed("dedup_embedding", lblCand)(Dedup.embeddingNearDup(emb))
+        timed("doc_outlier", semCand)(Cluster.docOutliers(emb))
+      }
+      // r14: the REGISTERED scaled default vs the two-level hierarchical
+      // quantizer — past n ≈ kMax·targetCell (262k) the flat form's clamp
+      // binds and occupancy grows with n, while hier holds ≤ ~targetCell
+      val scaledBlocks = Cluster
+        .semdedupAssigned(emb, Cluster.scaledK(emb), iters = 1)
+        .groupBy("cluster").agg(count(lit(1)).as("cnt"))
+      timed("semdedup_scaled", pairBudget(scaledBlocks))(
+        Cluster.semdedupScaled(emb))
+      val hierBlocks = Cluster.hierAssigned(emb, 64, 64, 8, 4096, 1)
+        .groupBy("cluster").agg(count(lit(1)).as("cnt"))
+      timed("semdedup_hier", pairBudget(hierBlocks))(Cluster.semdedupHier(emb))
     }
     spark.stop()
   }

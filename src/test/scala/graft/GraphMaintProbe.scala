@@ -36,6 +36,16 @@ object GraphMaintProbe {
       graft.operators.GraphAnn.annGraphUpsert(emb)))
     val (rRebuild, tRebuild) = t(graft.operators.Recall.recallAtK(exactFull,
       graft.operators.GraphAnn.annGraphSearch(emb)))
+    // the production standing graph is the WIDE build (ann_graph_wide's
+    // kBuild=32 — the r13 lesson that closed 10× build quality): upsert
+    // over it measures the maintained path at production index quality
+    val (rUpWide, _) = t(graft.operators.Recall.recallAtK(exactFull,
+      graft.operators.GraphAnn.annGraphUpsertFrom(
+        graft.operators.GraphAnn.knnGraph(
+          emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0L), kBuild = 32),
+        emb)))
+    val (rRebuildWide, _) = t(graft.operators.Recall.recallAtK(exactFull,
+      graft.operators.GraphAnn.annGraphSearch(emb, kBuild = 32)))
     // store A/B: rep 1 pays the base-graph build, rep 2 is maintenance+search
     val (_, tUpStoreCold) = t(
       graft.sources.Stores.annGraphUpsertStore(spark, dir).count())
@@ -54,6 +64,7 @@ object GraphMaintProbe {
     def f(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     println(s"""{"probe":"graph_maint","dir":"$dir",""" +
       s""""recall_upsert":${f(rUp)},"recall_rebuild":${f(rRebuild)},""" +
+      s""""recall_upsert_wide":${f(rUpWide)},"recall_rebuild_wide":${f(rRebuildWide)},""" +
       s""""recall_delete":${f(rDel)},"recall_delete_rebuild":${f(rDelRebuild)},""" +
       s""""sec_upsert_inline":${f(tUpInline)},"sec_rebuild":${f(tRebuild)},""" +
       s""""sec_upsert_store_cold":${f(tUpStoreCold)},"sec_upsert_store_warm":${f(tUpStoreWarm)},""" +

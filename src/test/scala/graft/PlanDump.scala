@@ -43,7 +43,24 @@ object PlanDump {
     "minhash_lsh_delete_retired", // delta-bounded retired pairs: del keys ⋈ standing index
     "graph_components_del", // touched-scope CC + single-pass union-free merge
     "ann_pq_rr_ad_sq8", // PQ pool ∩ SQ8 pool: two narrow scans, semi-joined pools
-    "semdedup")         // corpus-scaled k-means blocking + within-cell pair join
+    "semdedup",         // corpus-scaled k-means blocking + within-cell pair join
+    // r14 store READ PATHS (declarative plans — the iterative store rungs
+    // checkpoint eagerly, so their value shows in StoresSpec's concrete-plan
+    // assertions, not a lazy dump): every scan below should show a bucketed
+    // graft_store_* table, probed-cell/term keys as a bucket prune
+    // (SelectedBucketsCount), and NO standing-state derive
+    "bm25_search_store",   // 4 artifact scans, term bucket prune, zero tokenize
+    "bm25_upsert_store",   // delta tokenize + additive artifact maintenance
+    "bm25_delete_store",   // anti-join subtract over bucketed postings
+    "ann_ivf_store",       // probed cells literal IN → SelectedBucketsCount
+    "ivf_delete_store",    // keyed drop + cell-pruned search, frozen quantizer
+    "ann_ivf_pq_store",    // ADC over persisted codes — no raw vector read
+    "semdedup_store",      // cluster-bucketed self-join, zero exchange
+    "semdedup_hier",       // two-level quantizer: cell-keyed sub-model join
+    "minhash_lsh_delete_store", // keyed anti-join over sig/key stores
+    "minhash_lsh_upsert_store", // delta sketch ⋈ persisted base index
+    "minhash_lsh_upsert_delta", // CDC changefeed: S/K appends + created pairs
+    "minhash_lsh_upsert_delta_store") // same feed off the persisted index
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
