@@ -166,6 +166,19 @@ object Bench {
           "ann_ivf@3" -> Recall.recallAtK(exact, Dedup.annIvf(emb, nProbes = 10, k = 3)),
           "ann_graph@3" -> Recall.recallAtK(
             exact, graft.operators.GraphAnn.annGraphSearch(emb, nProbes = 10, k = 3)),
+          // maintained-index rungs (r14): search over the upsert-repaired
+          // graph vs the same full-corpus exact; the delete rung's recall
+          // is vs exact over survivors
+          "ann_graph_upsert@3" -> Recall.recallAtK(
+            exact, graft.operators.GraphAnn.annGraphUpsert(emb, nProbes = 10, k = 3)),
+          "ann_graph_delete@3" -> {
+            val embSurv = emb.filter(
+              org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.col("vec_id"),
+                org.apache.spark.sql.functions.lit(10L)) =!= 0L)
+            Recall.recallAtK(Search.knnJoin(embSurv, nProbes = 10, k = 3),
+              graft.operators.GraphAnn.annGraphDelete(emb, nProbes = 10, k = 3))
+          },
           "ann_ivf_mp@3" -> Recall.recallAtK(
             exact, Dedup.annIvfMultiprobe(emb, nProbes = 10, k = 3)),
           "ann_ivf_tr@3" -> Recall.recallAtK(
