@@ -119,6 +119,9 @@ object SparkEntry {
     "ann_graph_upsert_store" -> ((s, d) => graft.sources.Stores.annGraphUpsertStore(s, d)),
     "ann_graph_delete" -> ((s, d) => GraphAnn.annGraphDelete(Tables.embeddings(s, d))),
     "ann_graph_delete_store" -> ((s, d) => graft.sources.Stores.annGraphDeleteStore(s, d)),
+    // two-cycle WRITE-BACK for the k-NN graph: cycle 1's maintained graph
+    // persisted back to the catalog, cycle 2 upserted from the UPDATED table
+    "ann_graph_cycle2" -> ((s, d) => graft.sources.Stores.annGraphCycle2Store(s, d)),
     "mmr_rerank" -> ((s, d) => Search.mmrRerank(Tables.embeddings(s, d))),
     "mmr_rerank_dist" -> ((s, d) => Search.mmrRerankDist(Tables.embeddings(s, d))),
     "hybrid_search" -> ((s, d) =>
@@ -132,6 +135,9 @@ object SparkEntry {
     // arrival batch tokenized alone, persisted base-slice artifacts
     // maintained additively; same oracle
     "bm25_upsert_store" -> ((s, d) => graft.sources.Stores.bm25UpsertStore(s, d, kwTerms)),
+    // two-cycle WRITE-BACK: cycle 1's four maintained artifacts persisted
+    // back to the catalog, cycle 2 maintained from the UPDATED tables
+    "bm25_cycle2" -> ((s, d) => graft.sources.Stores.bm25Cycle2Store(s, d, kwTerms)),
     // pure serving read path: score from the persisted artifacts, zero
     // maintenance/tokenize work; oracle = bm25_upsert's full-corpus recompute
     "bm25_search_store" -> ((s, d) => graft.sources.Stores.bm25SearchStore(s, d, kwTerms)),
@@ -245,6 +251,9 @@ object SparkEntry {
     // read path over the persisted cell-bucketed inverted file: probed
     // cells only (bucket prune), no per-call assignment pass; same oracle
     "ann_ivf_store" -> ((s, d) => graft.sources.Stores.annIvfStore(s, d)),
+    // two-cycle WRITE-BACK: cycle 1's maintained inverted file persisted
+    // back to the catalog, cycle 2 appended/dropped from the UPDATED table
+    "ann_ivf_cycle2" -> ((s, d) => graft.sources.Stores.ivfCycle2Store(s, d)),
     "ann_ivf_mp" -> ((s, d) => Dedup.annIvfMultiprobe(Tables.embeddings(s, d))),
     "ann_ivf_tr" -> ((s, d) => Cluster.annIvfTrained(Tables.embeddings(s, d))),
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
@@ -316,6 +325,9 @@ object SparkEntry {
     "graph_components" -> ((s, d) => GraphOps.connectedComponents(Tables.lineitem(s, d))),
     "graph_components_inc" -> ((s, d) => GraphOps.componentsUpsert(Tables.lineitem(s, d))),
     "graph_components_del" -> ((s, d) => GraphOps.componentsDelete(Tables.lineitem(s, d))),
+    // two-cycle WRITE-BACK: cycle 1's maintained labeling persisted back to
+    // the catalog, cycle 2 merged from the UPDATED table (final = full graph)
+    "graph_components_cycle2" -> ((s, d) => graft.sources.Stores.componentsCycle2Store(s, d)),
     // read-path variants over the persisted standing state (Stores): the
     // O(touched) / zero-edge-derive plans you'd run at 100× — oracles
     // unchanged, so the gate proves store round-trip ≡ inline derivation
@@ -529,6 +541,7 @@ object SparkEntry {
     "bm25_delete_store" -> Search.bm25DeleteSql(kwTerms),
     "bm25_upsert_store" -> Search.bm25UpsertSql(kwTerms),
     "bm25_search_store" -> Search.bm25UpsertSql(kwTerms),
+    "bm25_cycle2" -> Search.bm25Cycle2Sql(kwTerms),
     "rag_eval_mrr" -> Search.mrrEvalSql(),
     "hard_negatives" -> Search.hardNegativesSql(),
     "topic_terms" -> Cluster.topicTermsSql(),
@@ -563,6 +576,7 @@ object SparkEntry {
     "ann_graph_upsert_store" -> GraphAnn.annGraphUpsertSql(),
     "ann_graph_delete" -> GraphAnn.annGraphDeleteSql(),
     "ann_graph_delete_store" -> GraphAnn.annGraphDeleteSql(),
+    "ann_graph_cycle2" -> GraphAnn.annGraphCycle2Sql(),
     "mmr_rerank" -> Search.mmrRerankSql(),
     "mmr_rerank_dist" -> Search.mmrRerankSql(),
     "ivf_upsert" -> Dedup.ivfUpsertSql(),
@@ -628,6 +642,7 @@ object SparkEntry {
     "dedup_resolve_inc" -> ResolveInc.resolveIncSql(),
     "dedup_resolve_inc_store" -> ResolveInc.resolveIncSql(),
     "dedup_resolve_cycle2" -> ResolveInc.resolveCycle2Sql(),
+    "ann_ivf_cycle2" -> Dedup.ivfCycle2Sql(),
     "dedup_resolve_delta" -> ResolveInc.resolveIncDeltaSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)
@@ -691,6 +706,7 @@ object SparkEntry {
     "graph_components_inc_store" -> GraphOps.componentsSql(),
     "graph_components_del" -> GraphOps.componentsDeleteSql(),
     "graph_components_del_store" -> GraphOps.componentsDeleteSql(),
+    "graph_components_cycle2" -> GraphOps.componentsSql(),
     "graph_path_trace" -> GraphOps.shortestPathTraceSql(),
     "graph_nodes_by_label" -> GraphOps.nodesByLabelSql(),
     "graph_rels_by_type" -> GraphOps.relsByTypeSql(),

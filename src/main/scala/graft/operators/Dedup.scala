@@ -516,15 +516,32 @@ object Dedup {
     * deterministic frozen quantizer — the artifact an IVF deployment
     * persists (Stores.ivfIndexStore writes it bucketed by cell). One
     * narrow broadcast-argmax pass; centroid collect is nCells rows. */
-  private[graft] def ivfIndexFull(embeddings: DataFrame, nCells: Int): DataFrame = {
+  private[graft] def ivfIndexFull(embeddings: DataFrame, nCells: Int): DataFrame =
+    ivfAssign(embeddings, frozenCents(embeddings, nCells))
+
+  /** The frozen coarse quantizer: the deterministic low-id training
+    * vectors, collected once (nCells rows — the bounded model-parameter
+    * collect class). Drawn from the FULL corpus relation regardless of
+    * which slice is being assigned — the model keeps its training inputs
+    * even when those vectors later depart (the ivfDelete contract). */
+  private[graft] def frozenCents(embeddings: DataFrame,
+                                 nCells: Int): Array[(Long, Array[Float])] = {
     import embeddings.sparkSession.implicits._
-    val cents: Array[(Long, Array[Float])] = embeddings.filter(col("vec_id") < nCells)
+    embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+  }
+
+  /** Assign ANY vector slice to its nearest frozen centroid — the narrow
+    * broadcast-argmax pass (one codegen'd projection, no join). The unit
+    * of IVF maintenance: arrivals are assigned under the frozen model and
+    * appended; nothing standing is ever re-assigned. */
+  private[graft] def ivfAssign(vectors: DataFrame,
+                               cents: Array[(Long, Array[Float])]): DataFrame = {
     val cands = cents.sortBy(_._1).map { case (id, v) =>
       struct(VectorOps.cosine(col("embedding"), typedlit(v)).as("c"),
         lit(-id).as("negid"))
     }
-    embeddings.select(col("vec_id"), col("embedding"),
+    vectors.select(col("vec_id"), col("embedding"),
       (-greatest(cands.toSeq: _*).getField("negid")).as("cell"))
   }
 
@@ -581,11 +598,26 @@ object Dedup {
     * corpus under the SAME standing quantizer (cents from the FULL
     * corpus, including any later-deleted training vectors — the frozen
     * model), with surviving probes. */
-  def ivfDeleteSql(nCells: Int = 16, nProbes: Int = 10, k: Int = 3): String = {
+  def ivfDeleteSql(nCells: Int = 16, nProbes: Int = 10, k: Int = 3): String =
+    ivfSurvivorSearchSql("vec_id % 10 <> 0", nCells, nProbes, k)
+
+  /** Oracle for the two-cycle WRITE-BACK rung (Stores.ivfCycle2Store):
+    * cell-local search under the SAME frozen quantizer over the corpus
+    * after BOTH maintenance cycles — base (%20 ∉ {0,10}) ⊎ arrivals₁
+    * (%20 == 0) ∖ departures₁ (%20 == 5) ⊎ arrivals₂ (%20 == 10) ∖
+    * departures₂ (%20 == 15) = every vector with vec_id %20 ∉ {5, 15}.
+    * Assignments are pure per-vector functions of the frozen model, so
+    * hash-equality proves the persisted inverted file composes losslessly
+    * across the write-back boundary. */
+  def ivfCycle2Sql(nCells: Int = 16, nProbes: Int = 10, k: Int = 3): String =
+    ivfSurvivorSearchSql("vec_id % 20 NOT IN (5, 15)", nCells, nProbes, k)
+
+  private def ivfSurvivorSearchSql(survWhere: String, nCells: Int,
+                                   nProbes: Int, k: Int): String = {
     val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
     val cos = VectorOps.cosineSql("a.embedding", "p.embedding")
     s"""WITH cents AS (SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $nCells),
-       |surv AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+       |surv AS (SELECT * FROM embeddings WHERE $survWhere),
        |assigned AS (
        |  SELECT e.vec_id, e.embedding, c.cell_id AS cell
        |  FROM surv e CROSS JOIN cents c

@@ -280,10 +280,14 @@ object GraphAnn {
   private[graft] def upsertedGraph(gBase: DataFrame, embeddings: DataFrame,
                                    kNbrs: Int = 16, entries: Int = 4,
                                    beam: Int = 16, searchRounds: Int = 4,
-                                   cap: Int = 64): DataFrame = {
+                                   cap: Int = 64,
+                                   arrPred: Column = isArrVec): DataFrame = {
     import Iterative._
-    val embBase = embeddings.filter(!isArrVec)
-    val arrivals = embeddings.filter(isArrVec)
+    // `embeddings` is the POST-BATCH corpus (standing ∪ arrivals); arrPred
+    // picks the arrival slice — parametrized so the write-back cycle
+    // (Stores.annGraphCycle2Store) can run two successive batches
+    val embBase = embeddings.filter(!arrPred)
+    val arrivals = embeddings.filter(arrPred)
     // 1a. seed: beam-search each arrival's neighborhood in the standing graph
     val eNew = annGraphSearchFrom(gBase, embBase, k = kNbrs, entries = entries,
         beam = beam, searchRounds = searchRounds, probes = Some(arrivals))
@@ -534,53 +538,10 @@ object GraphAnn {
        |arr AS MATERIALIZED (
        |  SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
        |${buildChainFragSql("bcorp", "b", kNbrs, tables, nPlanes, ringSpan, rounds, cap)},
-       |bgsym AS MATERIALIZED (
-       |  SELECT DISTINCT node, nbr FROM (
-       |    SELECT node, nbr FROM bg_$rounds UNION ALL SELECT nbr, node FROM bg_$rounds)),
-       |${beamChainFragSql("a", "bgsym", "arr", "bcorp", entries, beam, searchRounds)},
-       |enew AS MATERIALIZED (
-       |  SELECT probe_id AS node, node AS nbr, cos FROM (
-       |    SELECT probe_id, node, cos,
-       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, node) AS rn
-       |    FROM abeam_$searchRounds WHERE node <> probe_id)
-       |  WHERE rn <= $kNbrs),
-       |acorp AS (SELECT probe_id AS vec_id, embedding FROM arr),
-       |${seedFragSql("acorp", "r", tables, nPlanes, ringSpan)},
-       |${topKStepFragSql("rsp", "earr", kNbrs, "embeddings")},
-       |g1 AS MATERIALIZED (
-       |  SELECT node, nbr, cos FROM bg_$rounds
-       |  UNION ALL SELECT node, nbr, cos FROM enew
-       |  UNION ALL SELECT node, nbr, cos FROM earr),
-       |tch AS MATERIALIZED (
-       |  SELECT DISTINCT node FROM (
-       |    SELECT node FROM enew UNION ALL SELECT nbr FROM enew
-       |    UNION ALL SELECT node FROM earr UNION ALL SELECT nbr FROM earr)),
-       |usym AS MATERIALIZED (
-       |  SELECT DISTINCT node, nbr FROM (
-       |    SELECT node, nbr FROM g1 UNION ALL SELECT nbr, node FROM g1)),
-       |usymt AS (
-       |  SELECT node, nbr FROM usym WHERE node IN (SELECT node FROM tch)),
-       |unn AS (
-       |  SELECT DISTINCT a.node, b.nbr
-       |  FROM usymt a JOIN usym b ON a.nbr = b.node
-       |  WHERE a.node <> b.nbr),
-       |ucap AS (
-       |  SELECT node, nbr FROM (
-       |    SELECT node, nbr,
-       |      ROW_NUMBER() OVER (PARTITION BY node
-       |        ORDER BY ${pairHashSql("node", "nbr")}, nbr) AS rn
-       |    FROM unn)
-       |  WHERE rn <= $cap),
-       |ucand AS (
-       |  SELECT DISTINCT node, nbr FROM (
-       |    SELECT node, nbr FROM usymt UNION ALL SELECT node, nbr FROM ucap)),
-       |${topKStepFragSql("ucand", "ugt", kNbrs, "embeddings")},
-       |gm AS MATERIALIZED (
-       |  SELECT node, nbr, cos FROM g1 WHERE node NOT IN (SELECT node FROM tch)
-       |  UNION ALL SELECT node, nbr, cos FROM ugt),
+       |${upsertMaintFragSql("u", s"bg_$rounds", "arr", "bcorp", kNbrs, tables, nPlanes, ringSpan, cap, entries, beam, searchRounds)},
        |gmsym AS MATERIALIZED (
        |  SELECT DISTINCT node, nbr FROM (
-       |    SELECT node, nbr FROM gm UNION ALL SELECT nbr, node FROM gm)),
+       |    SELECT node, nbr FROM ugm UNION ALL SELECT nbr, node FROM ugm)),
        |qprobes AS (
        |  SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id < $nProbes),
        |${beamChainFragSql("q", "gmsym", "qprobes", "embeddings", entries, beam, searchRounds)}
@@ -637,6 +598,100 @@ object GraphAnn {
        |qprobes AS (
        |  SELECT vec_id AS probe_id, embedding FROM scorp WHERE vec_id < $nProbes),
        |${beamChainFragSql("q", "gmsym", "qprobes", "scorp", entries, beam, searchRounds)}
+       |SELECT probe_id, node AS neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, node) AS BIGINT) AS rn,
+       |  cos
+       |FROM qbeam_$searchRounds
+       |WHERE node <> probe_id
+       |QUALIFY rn <= $k""".stripMargin
+
+  /** One upsert-maintenance CTE block (no WITH), namespaced by `p`: from
+    * standing graph `gIn` and arrival relation `arrRel` (probe_id,
+    * embedding) over standing corpus `baseCorp`, emits the maintained
+    * graph as `${p}gm` — the [[upsertedGraph]] replay (beam-seed,
+    * arrival-ring, touched-scoped descent round) factored out of
+    * [[annGraphUpsertSql]]'s inline text so the write-back cycle oracle
+    * can chain TWO batches. Rescoring joins read the full `embeddings`
+    * relation: candidate endpoints are always members of the post-batch
+    * corpus, and the joins key on vec_id, so the wider relation is
+    * value-identical (the same argument the Scala side uses). */
+  private def upsertMaintFragSql(p: String, gIn: String, arrRel: String,
+                                 baseCorp: String, kNbrs: Int, tables: Int,
+                                 nPlanes: Int, ringSpan: Int, cap: Int,
+                                 entries: Int, beam: Int,
+                                 searchRounds: Int): String =
+    s"""${p}gsym AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM $gIn UNION ALL SELECT nbr, node FROM $gIn)),
+       |${beamChainFragSql(p + "a", s"${p}gsym", arrRel, baseCorp, entries, beam, searchRounds)},
+       |${p}enew AS MATERIALIZED (
+       |  SELECT probe_id AS node, node AS nbr, cos FROM (
+       |    SELECT probe_id, node, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, node) AS rn
+       |    FROM ${p}abeam_$searchRounds WHERE node <> probe_id)
+       |  WHERE rn <= $kNbrs),
+       |${p}acorp AS (SELECT probe_id AS vec_id, embedding FROM $arrRel),
+       |${seedFragSql(s"${p}acorp", p + "r", tables, nPlanes, ringSpan)},
+       |${topKStepFragSql(s"${p}rsp", s"${p}earr", kNbrs, "embeddings")},
+       |${p}g1 AS MATERIALIZED (
+       |  SELECT node, nbr, cos FROM $gIn
+       |  UNION ALL SELECT node, nbr, cos FROM ${p}enew
+       |  UNION ALL SELECT node, nbr, cos FROM ${p}earr),
+       |${p}tch AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT node FROM ${p}enew UNION ALL SELECT nbr FROM ${p}enew
+       |    UNION ALL SELECT node FROM ${p}earr UNION ALL SELECT nbr FROM ${p}earr)),
+       |${p}usym AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM ${p}g1 UNION ALL SELECT nbr, node FROM ${p}g1)),
+       |${p}usymt AS (
+       |  SELECT node, nbr FROM ${p}usym WHERE node IN (SELECT node FROM ${p}tch)),
+       |${p}unn AS (
+       |  SELECT DISTINCT a.node, b.nbr
+       |  FROM ${p}usymt a JOIN ${p}usym b ON a.nbr = b.node
+       |  WHERE a.node <> b.nbr),
+       |${p}ucap AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |      ROW_NUMBER() OVER (PARTITION BY node
+       |        ORDER BY ${pairHashSql("node", "nbr")}, nbr) AS rn
+       |    FROM ${p}unn)
+       |  WHERE rn <= $cap),
+       |${p}ucand AS (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM ${p}usymt UNION ALL SELECT node, nbr FROM ${p}ucap)),
+       |${topKStepFragSql(s"${p}ucand", s"${p}ugt", kNbrs, "embeddings")},
+       |${p}gm AS MATERIALIZED (
+       |  SELECT node, nbr, cos FROM ${p}g1 WHERE node NOT IN (SELECT node FROM ${p}tch)
+       |  UNION ALL SELECT node, nbr, cos FROM ${p}ugt)""".stripMargin
+
+  /** Oracle for the two-cycle WRITE-BACK rung (Stores.annGraphCycle2Store):
+    * replays the base build (vec_id %20 ∉ {0,10}), upsert cycle 1
+    * (arrivals %20 == 0), upsert cycle 2 (arrivals %20 == 10) and the
+    * final beam search over the twice-maintained graph — hash-equality
+    * proves the maintained k-NN graph written back to the catalog between
+    * batches and REREAD by cycle 2 composes to exactly the state two
+    * in-memory maintenance passes imply. */
+  def annGraphCycle2Sql(nProbes: Int = 10, k: Int = 3, kNbrs: Int = 16,
+                        tables: Int = 4, nPlanes: Int = 6, ringSpan: Int = 4,
+                        rounds: Int = 4, cap: Int = 64, entries: Int = 4,
+                        beam: Int = 16, searchRounds: Int = 4): String =
+    s"""WITH b20 AS MATERIALIZED (
+       |  SELECT * FROM embeddings WHERE vec_id % 20 NOT IN (0, 10)),
+       |c1corp AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 20 <> 10),
+       |arr1 AS MATERIALIZED (
+       |  SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |arr2 AS MATERIALIZED (
+       |  SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id % 20 = 10),
+       |${buildChainFragSql("b20", "w", kNbrs, tables, nPlanes, ringSpan, rounds, cap)},
+       |${upsertMaintFragSql("u1", s"wg_$rounds", "arr1", "b20", kNbrs, tables, nPlanes, ringSpan, cap, entries, beam, searchRounds)},
+       |${upsertMaintFragSql("u2", "u1gm", "arr2", "c1corp", kNbrs, tables, nPlanes, ringSpan, cap, entries, beam, searchRounds)},
+       |fsym AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM u2gm UNION ALL SELECT nbr, node FROM u2gm)),
+       |qprobes AS (
+       |  SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id < $nProbes),
+       |${beamChainFragSql("q", "fsym", "qprobes", "embeddings", entries, beam, searchRounds)}
        |SELECT probe_id, node AS neighbor_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, node) AS BIGINT) AS rn,
        |  cos

@@ -869,6 +869,18 @@ object Search {
   def bm25UpsertFrom(postBase: DataFrame, dlBase: DataFrame, dfBase: DataFrame,
                      scBase: DataFrame, deltaDocs: DataFrame, terms: Seq[String],
                      k1: Double = 1.2, b: Double = 0.75, limit: Int = 30): DataFrame = {
+    val (postM, dlM, dfM, scM) =
+      bm25UpsertArtifacts(postBase, dlBase, dfBase, scBase, deltaDocs)
+    bm25ScoreFromIndex(postM, dlM, dfM, scM, terms, k1, b, limit)
+  }
+
+  /** The maintained (postings, doclens, df, scalars) after the arrival
+    * batch — the additive half, package-level like [[bm25DeleteArtifacts]]
+    * so the WRITE-BACK cycle (Stores.bm25Cycle2Store) can persist the
+    * maintained artifacts between batches. */
+  private[graft] def bm25UpsertArtifacts(
+      postBase: DataFrame, dlBase: DataFrame, dfBase: DataFrame,
+      scBase: DataFrame, deltaDocs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (postD, dlD) = bm25IndexParts(deltaDocs)
     // additive maintenance: postings/doclens append; df outer-adds; scalars add
     val dfD = postD.groupBy(col("term")).agg(count(lit(1)).as("df_d"))
@@ -879,8 +891,23 @@ object Search {
     val scM = scBase.crossJoin(scD).select(
       (col("n_docs") + col("n_docs_d")).as("n_docs"),
       (col("sum_len") + coalesce(col("sum_len_d"), lit(0L))).as("sum_len"))
-    bm25ScoreFromIndex(postBase.union(postD), dlBase.union(dlD), dfM, scM,
-      terms, k1, b, limit)
+    (postBase.union(postD), dlBase.union(dlD), dfM, scM)
+  }
+
+  /** One full maintenance CYCLE over the four persisted BM25 artifacts:
+    * apply an arrival batch (additive) then a departure batch
+    * (subtractive) and return the maintained artifact set — the unit the
+    * write-back loop persists between batches (Stores.bm25Cycle2Store).
+    * Counts are exact, so upsert∘delete composes losslessly in any
+    * order; the hash gate proves it against one from-scratch index of
+    * the final corpus. */
+  def bm25MaintainCycle(postBase: DataFrame, dlBase: DataFrame,
+                        dfBase: DataFrame, scBase: DataFrame,
+                        arrivals: DataFrame, departures: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (p1, d1, f1, s1) =
+      bm25UpsertArtifacts(postBase, dlBase, dfBase, scBase, arrivals)
+    bm25DeleteArtifacts(p1, d1, f1, s1, departures)
   }
 
   /** Score fixed query terms FROM maintained index artifacts — the tail
@@ -1015,6 +1042,18 @@ object Search {
   def bm25DeleteSql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                     limit: Int = 30): String =
     bm25TokenizedSql("(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
+      terms, k1, b, limit)
+
+  /** Oracle for the two-cycle WRITE-BACK rung (Stores.bm25Cycle2Store):
+    * one from-scratch BM25 index of the corpus after BOTH maintenance
+    * cycles — base (%10 != 0) ⊎ arrivals₁ (%20 == 0) ∖ departures₁
+    * (%20 == 5) ⊎ arrivals₂ (%20 == 10) ∖ departures₂ (%20 == 15) =
+    * every doc with doc_id %20 ∉ {5, 15}. Hash-equality proves cycle 1's
+    * artifacts written back to the catalog and REREAD by cycle 2 carry
+    * exact counts across the persistence boundary. */
+  def bm25Cycle2Sql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                    limit: Int = 30): String =
+    bm25TokenizedSql("(SELECT * FROM documents WHERE doc_id % 20 NOT IN (5, 15))",
       terms, k1, b, limit)
 
   private def bm25TokenizedSql(docsRel: String, terms: Seq[String], k1: Double,

@@ -182,6 +182,39 @@ object Stores {
   def componentsUpsertStore(s: SparkSession, d: String): DataFrame =
     GraphOps.componentsUpsertFrom(cpLabelsBase(s, d), cpEdgesDeleted(s, d))
 
+  // ---- graph: components WRITE-BACK cycle ----------------------------------
+
+  /** Cycle 1 of the components write-back loop: merge arrival batch 1's
+    * edges (orders with l_orderkey %2000 == 0) into the persisted base
+    * labeling and WRITE the maintained labeling back to the catalog
+    * (node-bucketed, the cp_labels layout). The two arrival batches
+    * together are exactly the %1000 == 0 slice the base labeling excludes,
+    * so the final corpus is the FULL graph. */
+  private def ensureComponentsCycle1(s: SparkSession, d: String): Unit = synchronized {
+    val table = s"graft_store_cc1_labels_${tag(d)}"
+    if (!s.catalog.tableExists(table)) {
+      val e1 = GraphOps.copurchase(
+        Tables.lineitem(s, d).filter(pmod(col("l_orderkey"), lit(2000L)) === 0L))
+      val lab1 = GraphOps.componentsUpsertFrom(cpLabelsBase(s, d), e1)
+      dropStaleLocation(s, table)
+      Writers.writeBucketedCols(lab1, table, Seq("node"), 32)
+    }
+  }
+
+  /** The composed TWO-CYCLE maintained components labeling — cycle 1's
+    * maintained labeling written back to the catalog, cycle 2 (arrivals
+    * %2000 == 1000) served FROM the updated table. Final corpus = the
+    * full co-purchase graph, so the oracle is componentsSql() VERBATIM —
+    * the hash gate proves the O(Δ) label-graph merge composes losslessly
+    * across the persistence boundary (the monotone direction of the
+    * resolve loop's write-back cycle). */
+  def componentsCycle2Store(s: SparkSession, d: String): DataFrame = {
+    ensureComponentsCycle1(s, d)
+    val e2 = GraphOps.copurchase(
+      Tables.lineitem(s, d).filter(pmod(col("l_orderkey"), lit(2000L)) === 1000L))
+    GraphOps.componentsUpsertFrom(s.table(s"graft_store_cc1_labels_${tag(d)}"), e2)
+  }
+
   // ---- dedup: minhash-LSH index store --------------------------------------
 
   private val isDelDoc = pmod(col("doc_id"), lit(10L)) === 0L
@@ -414,6 +447,48 @@ object Stores {
     graft.operators.GraphAnn.annGraphDeleteFrom(knnGraphStore(s, d),
       Tables.embeddings(s, d))
 
+  // ---- ann: k-NN graph WRITE-BACK cycle ------------------------------------
+
+  private def vCyc(r: Long) = pmod(col("vec_id"), lit(20L)) === r
+
+  /** The standing k-NN graph over the two-cycle BASE slice
+    * (vec_id %20 ∉ {0,10}) — the index the write-back loop maintains. */
+  private def knnGraphStoreB20(s: SparkSession, d: String): DataFrame =
+    ensureBucketed(s, "ann_graph_b20", d, Seq("node"), 32) {
+      graft.operators.GraphAnn.knnGraph(
+        Tables.embeddings(s, d).filter(!vCyc(0L) && !vCyc(10L)))
+    }
+
+  /** Cycle 1 of the graph-ANN write-back loop: upsert arrival batch 1
+    * (vec_id %20 == 0) into the persisted base graph — beam-seed +
+    * touched-scoped descent round, the annGraphUpsert recipe — and WRITE
+    * the maintained graph back to the catalog (node-bucketed, the
+    * ann_graph layout). */
+  private def ensureAnnGraphCycle1(s: SparkSession, d: String): Unit = synchronized {
+    val table = s"graft_store_ag1_graph_${tag(d)}"
+    if (!s.catalog.tableExists(table)) {
+      val g1 = graft.operators.GraphAnn.upsertedGraph(knnGraphStoreB20(s, d),
+        Tables.embeddings(s, d).filter(!vCyc(10L)), arrPred = vCyc(0L))
+      dropStaleLocation(s, table)
+      Writers.writeBucketedCols(g1, table, Seq("node"), 32)
+    }
+  }
+
+  /** The composed TWO-CYCLE maintained graph-ANN search — cycle 1's
+    * maintained graph written back to the catalog, cycle 2 (arrivals
+    * %20 == 10) upserted FROM the updated table, beam search over the
+    * twice-maintained graph. Oracle = annGraphCycle2Sql's full replay —
+    * the hash gate proves the maintained index survives the persistence
+    * boundary bit-exactly, closing the write-back matrix for the last
+    * index family. */
+  def annGraphCycle2Store(s: SparkSession, d: String): DataFrame = {
+    ensureAnnGraphCycle1(s, d)
+    val emb = Tables.embeddings(s, d)
+    val g2 = graft.operators.GraphAnn.upsertedGraph(
+      s.table(s"graft_store_ag1_graph_${tag(d)}"), emb, arrPred = vCyc(10L))
+    graft.operators.GraphAnn.annGraphSearchFrom(g2, emb, releaseGraph = true)
+  }
+
   // ---- search: BM25 index store --------------------------------------------
 
   /** Standing postings (term, doc_id, n_occ) bucketed by term: the query-
@@ -493,6 +568,56 @@ object Stores {
     Search.bm25SearchFrom(bm25Postings(s, d), bm25Doclens(s, d),
       bm25Df(s, d), bm25Scalars(s, d), terms)
 
+  // ---- search: BM25 WRITE-BACK cycle ---------------------------------------
+
+  /** Cycle 1 of the BM25 write-back loop: maintain the four persisted
+    * base-slice artifacts through arrival batch 1 (doc_id %20 == 0,
+    * additive) + departure batch 1 (%20 == 5, subtractive) and WRITE all
+    * four back to the catalog — postings term-bucketed, doclens
+    * doc-bucketed, df/scalars as tiny tables (the bm25_* layouts). */
+  private def ensureBm25Cycle1(s: SparkSession, d: String): Unit = synchronized {
+    val missing = Seq("bc1_post", "bc1_dl", "bc1_df", "bc1_sc").exists(n =>
+      !s.catalog.tableExists(s"graft_store_${n}_${tag(d)}"))
+    if (missing) {
+      val docs = Tables.documents(s, d)
+      val (pM, dlM, dfM, scM) = Search.bm25MaintainCycle(
+        bm25PostingsBase(s, d), bm25DoclensBase(s, d),
+        bm25DfBase(s, d), bm25ScalarsBase(s, d),
+        docs.filter(cyc(col("doc_id"), 0L)), docs.filter(cyc(col("doc_id"), 5L)))
+      def writeBucketedPart(df: DataFrame, n: String, keys: Seq[String]): Unit = {
+        val table = s"graft_store_${n}_${tag(d)}"
+        dropStaleLocation(s, table)
+        Writers.writeBucketedCols(df, table, keys, 32)
+      }
+      def writeTinyPart(df: DataFrame, n: String): Unit = {
+        val table = s"graft_store_${n}_${tag(d)}"
+        dropStaleLocation(s, table)
+        df.write.mode("overwrite").saveAsTable(table)
+      }
+      writeBucketedPart(pM, "bc1_post", Seq("term"))
+      writeBucketedPart(dlM, "bc1_dl", Seq("doc_id"))
+      writeTinyPart(dfM, "bc1_df")
+      writeTinyPart(scM, "bc1_sc")
+    }
+  }
+
+  /** The composed TWO-CYCLE maintained BM25 search — cycle 1's four
+    * maintained artifacts written back to the catalog, cycle 2 (arrivals
+    * %20 == 10, departures %20 == 15) maintained FROM the updated tables,
+    * query terms scored from the result. Oracle = one from-scratch index
+    * of the corpus after both batches (bm25Cycle2Sql) — the hash gate
+    * proves additive+subtractive maintenance carries exact counts across
+    * the persistence boundary. */
+  def bm25Cycle2Store(s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
+    ensureBm25Cycle1(s, d)
+    def tbl(n: String) = s.table(s"graft_store_${n}_${tag(d)}")
+    val docs = Tables.documents(s, d)
+    val (pM, dlM, dfM, scM) = Search.bm25MaintainCycle(
+      tbl("bc1_post"), tbl("bc1_dl"), tbl("bc1_df"), tbl("bc1_sc"),
+      docs.filter(cyc(col("doc_id"), 10L)), docs.filter(cyc(col("doc_id"), 15L)))
+    Search.bm25SearchFrom(pM, dlM, dfM, scM, terms)
+  }
+
   // ---- streaming: CDC upsert state snapshot --------------------------------
 
   /** Standing per-key CDC upsert state (key, last_seq, version, live)
@@ -567,6 +692,47 @@ object Stores {
     val delIds = Tables.embeddings(s, d)
       .filter(pmod(col("vec_id"), lit(10L)) === 0L).select(col("vec_id"))
     Dedup.ivfDeleteFrom(ivfIndexStore(s, d), delIds, nProbes, k)
+  }
+
+  // ---- ann: IVF WRITE-BACK cycle -------------------------------------------
+
+  /** Cycle 1 of the IVF write-back loop: assign arrival batch 1
+    * (vec_id %20 == 0) under the FROZEN quantizer and append it to the
+    * base-slice inverted file, drop departure batch 1 (%20 == 5), and
+    * WRITE the maintained file back to the catalog (cell-bucketed, the
+    * ivf_idx layout). Assignment is a pure per-vector function of the
+    * frozen model, so maintenance is append + keyed drop — no standing
+    * vector is ever re-assigned. */
+  private def ensureIvfCycle1(s: SparkSession, d: String, nCells: Int = 16): Unit =
+    synchronized {
+      val table = s"graft_store_ic1_idx_${tag(d)}"
+      if (!s.catalog.tableExists(table)) {
+        val emb = Tables.embeddings(s, d)
+        val cents = Dedup.frozenCents(emb, nCells)
+        val base = Dedup.ivfAssign(emb.filter(!vCyc(0L) && !vCyc(10L)), cents)
+        val arr1 = Dedup.ivfAssign(emb.filter(vCyc(0L)), cents)
+        val dep1 = emb.filter(vCyc(5L)).select(col("vec_id"))
+        val idx1 = base.unionByName(arr1)
+          .join(broadcast(dep1), Seq("vec_id"), "left_anti")
+        dropStaleLocation(s, table)
+        Writers.writeBucketedCols(idx1, table, Seq("cell"), nCells)
+      }
+    }
+
+  /** The composed TWO-CYCLE maintained IVF search — cycle 1's maintained
+    * inverted file written back to the catalog, cycle 2 (arrivals
+    * %20 == 10 appended, departures %20 == 15 dropped) served FROM the
+    * updated table, cell-local search with the surviving probes. Oracle =
+    * cell-local search over the post-both-batches corpus under the same
+    * frozen quantizer (ivfCycle2Sql). */
+  def ivfCycle2Store(s: SparkSession, d: String, nCells: Int = 16,
+                     nProbes: Int = 10, k: Int = 3): DataFrame = {
+    ensureIvfCycle1(s, d, nCells)
+    val emb = Tables.embeddings(s, d)
+    val arr2 = Dedup.ivfAssign(emb.filter(vCyc(10L)), Dedup.frozenCents(emb, nCells))
+    val dep2 = emb.filter(vCyc(15L)).select(col("vec_id"))
+    Dedup.ivfDeleteFrom(
+      s.table(s"graft_store_ic1_idx_${tag(d)}").unionByName(arr2), dep2, nProbes, k)
   }
 
   /** Standing IVF-PQ codes (vec_id, cell, codes) bucketed by cell — the

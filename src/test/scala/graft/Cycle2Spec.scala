@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, GraphAnn, GraphOps, Search}
+import graft.sources.{Stores, Tables}
+
+/** The WRITE-BACK cycle matrix (round 14 follow-on): every index family's
+  * maintained artifacts persisted back to the catalog between batches and
+  * the next batch served from the UPDATED tables — dedup_resolve_cycle2's
+  * contract (Round14Spec) extended to BM25, components, IVF and the k-NN
+  * graph. Each test proves the persistence boundary lossless: the store
+  * round-trip equals the same two maintenance passes composed in memory
+  * (or a from-scratch recompute of the post-both-batches corpus). The
+  * CORRECTNESS gate re-proves each against DuckDB at sf0.01. */
+class Cycle2Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def d20(c: String) = pmod(col(c), lit(20L))
+
+  test("bm25 write-back cycle: cycle 2 from the updated catalog tables " +
+    "equals a from-scratch index of the post-both-batches corpus") {
+    val s = spark
+    val out = Stores.bm25Cycle2Store(s, dir, SparkEntry.kwTerms)
+    val finalDocs = Tables.documents(s, dir)
+      .filter(!d20("doc_id").isin(5L, 15L))
+    val (post, dl) = Search.bm25IndexParts(finalDocs)
+    val dfM = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scM = dl.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    assert(rows(out) ===
+      rows(Search.bm25SearchFrom(post, dl, dfM, scM, SparkEntry.kwTerms)))
+  }
+
+  test("components write-back cycle: cycle 2 from the updated labeling " +
+    "equals full-graph connected components") {
+    val s = spark
+    assert(rows(Stores.componentsCycle2Store(s, dir)) ===
+      rows(GraphOps.connectedComponents(Tables.lineitem(s, dir))))
+  }
+
+  test("ivf write-back cycle: cycle 2 from the updated inverted file " +
+    "equals search over the post-both-batches corpus under the frozen quantizer") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    val idxFinal = Dedup.ivfAssign(emb.filter(!d20("vec_id").isin(5L, 15L)),
+      Dedup.frozenCents(emb, 16))
+    val noDel = emb.filter(lit(false)).select(col("vec_id"))
+    assert(rows(Stores.ivfCycle2Store(s, dir)) ===
+      rows(Dedup.ivfDeleteFrom(idxFinal, noDel)))
+  }
+
+  test("graph-ANN write-back cycle: cycle 2 from the persisted maintained " +
+    "graph equals two in-memory maintenance passes") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    val g1 = GraphAnn.upsertedGraph(
+      GraphAnn.knnGraph(emb.filter(!d20("vec_id").isin(0L, 10L))),
+      emb.filter(d20("vec_id") =!= 10L), arrPred = d20("vec_id") === 0L)
+    val g2 = GraphAnn.upsertedGraph(g1, emb, arrPred = d20("vec_id") === 10L)
+    val expected = GraphAnn.annGraphSearchFrom(g2, emb, releaseGraph = true)
+    assert(rows(Stores.annGraphCycle2Store(s, dir)) === rows(expected))
+  }
+
+  test("cycle-1 write-back artifacts are catalog tables with the store layouts") {
+    val s = spark
+    // the cycle2 stores above have already run; their ensure* builders
+    // must have landed every cycle-1 artifact in the catalog
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    def bucketed(t: String): Boolean =
+      s.table(t).queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.headOption.exists(_.relation.bucketSpec.nonEmpty)
+    Seq("bc1_post", "bc1_dl", "cc1_labels", "ag1_graph", "ic1_idx").foreach { n =>
+      val t = s"graft_store_${n}_$tag"
+      assert(s.catalog.tableExists(t), s"missing write-back table $t")
+      assert(bucketed(t), s"$t must be a bucketed store table")
+    }
+    Seq("bc1_df", "bc1_sc").foreach { n =>
+      assert(s.catalog.tableExists(s"graft_store_${n}_$tag"),
+        s"missing write-back table graft_store_${n}_$tag")
+    }
+  }
+}

@@ -60,7 +60,13 @@ object PlanDump {
     "minhash_lsh_delete_store", // keyed anti-join over sig/key stores
     "minhash_lsh_upsert_store", // delta sketch ⋈ persisted base index
     "minhash_lsh_upsert_delta", // CDC changefeed: S/K appends + created pairs
-    "minhash_lsh_upsert_delta_store") // same feed off the persisted index
+    "minhash_lsh_upsert_delta_store", // same feed off the persisted index
+    // write-back cycle matrix: cycle 2's standing side must scan ONLY the
+    // cycle-1 write-back tables (bc1_*/ic1_*), never the base artifacts
+    // (graph_components_cycle2 / ann_graph_cycle2 are iterative — their
+    // store-only contract is pinned by Cycle2Spec, not a lazy dump)
+    "bm25_cycle2",         // delta tokenize + maintenance over bc1_* scans
+    "ann_ivf_cycle2")      // frozen-model append/drop over the ic1_idx scan
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
