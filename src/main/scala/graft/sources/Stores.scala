@@ -705,7 +705,9 @@ object Stores {
     * vector is ever re-assigned. */
   private def ensureIvfCycle1(s: SparkSession, d: String, nCells: Int = 16): Unit =
     synchronized {
-      val table = s"graft_store_ic1_idx_${tag(d)}"
+      // nCells is part of the snapshot identity (the r13 ivfPqCodesStore
+      // advice): a different cell count must build its own store
+      val table = s"graft_store_ic1_idx${nCells}_${tag(d)}"
       if (!s.catalog.tableExists(table)) {
         val emb = Tables.embeddings(s, d)
         val cents = Dedup.frozenCents(emb, nCells)
@@ -732,7 +734,8 @@ object Stores {
     val arr2 = Dedup.ivfAssign(emb.filter(vCyc(10L)), Dedup.frozenCents(emb, nCells))
     val dep2 = emb.filter(vCyc(15L)).select(col("vec_id"))
     Dedup.ivfDeleteFrom(
-      s.table(s"graft_store_ic1_idx_${tag(d)}").unionByName(arr2), dep2, nProbes, k)
+      s.table(s"graft_store_ic1_idx${nCells}_${tag(d)}").unionByName(arr2),
+      dep2, nProbes, k)
   }
 
   /** Standing IVF-PQ codes (vec_id, cell, codes) bucketed by cell — the

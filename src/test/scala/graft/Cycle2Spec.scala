@@ -74,7 +74,7 @@ class Cycle2Spec extends SparkSpec {
       s.table(t).queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.headOption.exists(_.relation.bucketSpec.nonEmpty)
-    Seq("bc1_post", "bc1_dl", "cc1_labels", "ag1_graph", "ic1_idx").foreach { n =>
+    Seq("bc1_post", "bc1_dl", "cc1_labels", "ag1_graph", "ic1_idx16").foreach { n =>
       val t = s"graft_store_${n}_$tag"
       assert(s.catalog.tableExists(t), s"missing write-back table $t")
       assert(bucketed(t), s"$t must be a bucketed store table")
@@ -83,5 +83,26 @@ class Cycle2Spec extends SparkSpec {
       assert(s.catalog.tableExists(s"graft_store_${n}_$tag"),
         s"missing write-back table graft_store_${n}_$tag")
     }
+  }
+
+  test("cycle 2's standing side scans ONLY the write-back tables, " +
+    "never cycle 1's base artifacts") {
+    val s = spark
+    // pre-AQE physical plan: concrete scan nodes, no listener needed (the
+    // two declarative cycle2 rungs; the iterative ones checkpoint eagerly)
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.tableIdentifier.map(_.table)
+            .getOrElse(f.relation.location.rootPaths.mkString(","))
+      }
+    val bm = scans(Stores.bm25Cycle2Store(s, dir, SparkEntry.kwTerms))
+    assert(bm.exists(_.startsWith("graft_store_bc1_")))
+    assert(!bm.exists(_.startsWith("graft_store_bm25u_")),
+      s"cycle 2 re-read base artifacts: $bm")
+    val iv = scans(Stores.ivfCycle2Store(s, dir))
+    assert(iv.exists(_.startsWith("graft_store_ic1_idx")))
+    assert(!iv.exists(_.startsWith("graft_store_ivf_idx")),
+      s"cycle 2 re-read base artifacts: $iv")
   }
 }
