@@ -408,6 +408,9 @@ object SparkEntry {
     // checkpoint snapshot, only tail batches streamed; oracle = the full
     // chain filtered to the tail rows
     "stream_upsert_store" -> ((s, d) => graft.streaming.StreamReplay.streamUpsertStore(s, d)),
+    // two-cycle WRITE-BACK: the persisted snapshot advanced through batch 2
+    // from the store, written back, batch 3 streamed from the UPDATED snapshot
+    "stream_upsert_cycle2" -> ((s, d) => graft.streaming.StreamReplay.streamUpsertCycle2(s, d)),
     "stream_trending" -> ((s, d) => graft.streaming.StreamReplay.streamTrending(s, d)),
     "stream_spike" -> ((s, d) => graft.streaming.StreamReplay.streamSpike(s, d)),
     "stream_join" -> ((s, d) => graft.streaming.StreamReplay.streamJoin(s, d)),
@@ -741,6 +744,7 @@ object SparkEntry {
     "stream_session_store" -> graft.streaming.StreamReplay.streamSessionStoreSql(),
     "stream_upsert" -> graft.streaming.StreamReplay.streamUpsertSql,
     "stream_upsert_store" -> graft.streaming.StreamReplay.streamUpsertStoreSql,
+    "stream_upsert_cycle2" -> graft.streaming.StreamReplay.streamUpsertCycle2Sql,
     "stream_trending" -> graft.streaming.StreamReplay.streamTrendingSql,
     "stream_spike" -> graft.streaming.StreamReplay.streamSpikeSql,
     "stream_join" -> graft.streaming.StreamReplay.streamJoinSql,

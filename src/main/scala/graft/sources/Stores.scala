@@ -637,6 +637,25 @@ object Stores {
         .toDF("key", "last_seq", "version", "live")
     }
 
+  /** The streaming member of the WRITE-BACK cycle matrix: the persisted
+    * two-batch snapshot advanced through the NEXT batch's ops FROM the
+    * store (Streams.upsertStateSnapshotFrom — history never re-replayed)
+    * and written back as the next checkpoint-boundary snapshot. Cache key
+    * carries both boundary lengths, same rationale as upsertStateStore. */
+  def upsertStateStoreCycle2(s: SparkSession, d: String,
+                             prefix: Seq[graft.streaming.Streams.Upsert],
+                             batch: Seq[graft.streaming.Streams.Upsert]): DataFrame =
+    ensureBucketed(s, s"upsert_state_c2_${prefix.length}_${batch.length}", d,
+      Seq("key"), 32) {
+      import s.implicits._
+      val init = upsertStateStore(s, d, prefix)
+        .select(col("key").as("_1"), col("last_seq").as("_2"),
+          col("version").as("_3"), col("live").as("_4"))
+        .as[(Long, Long, Long, Boolean)]
+      graft.streaming.Streams.upsertStateSnapshotFrom(init, s.createDataset(batch))
+        .toDF("key", "last_seq", "version", "live")
+    }
+
   /** Standing per-user OPEN-session state (user_id, session_id, start_us,
     * last_us, n) after an event prefix — the sessionization snapshot a
     * streaming deployment bootstraps from, bucketed by user_id. Built by

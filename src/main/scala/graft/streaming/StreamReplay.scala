@@ -626,6 +626,32 @@ object StreamReplay {
       label = "stream_upsert_store")
   }
 
+  /** Two-cycle WRITE-BACK of the streaming upsert state — the streaming
+    * member of the cycle matrix: cycle 1 advances the persisted batch-0/1
+    * snapshot through batch 2 FROM the store and writes the UPDATED
+    * snapshot back to the catalog (Stores.upsertStateStoreCycle2 — the
+    * checkpoint a batch job would publish); cycle 2 restarts the stream
+    * from that updated snapshot via initialState and processes ONLY batch
+    * 3 (+ its deterministic batch-2 stale replays). Versions continue
+    * across BOTH persistence boundaries; oracle = the full batch chain
+    * emitting only batch-3 rows. */
+  def streamUpsertCycle2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = quarters(upsertOps(spark, dir))
+    val snapB = graft.sources.Stores.upsertStateStoreCycle2(spark, dir,
+        qs(0) ++ qs(1), qs(2))
+      .select(col("key").as("_1"), col("last_seq").as("_2"),
+        col("version").as("_3"), col("live").as("_4"))
+      .as[(Long, Long, Long, Boolean)]
+    val script = Seq(qs(3) ++ qs(2).filter(_.seq % 11 == 0))
+    replay[Upsert](spark, s"stream_upsert_cycle2:$dir", script,
+      df => Streams.streamingUpsertFrom(df.as[Upsert], snapB).toDF(),
+      label = "stream_upsert_cycle2")
+  }
+
+  /** Oracle for the write-back rung: the same full chain, batch-3 rows. */
+  val streamUpsertCycle2Sql: String = streamUpsertSqlWhere(Some("batch >= 3"))
+
   val streamUpsertSql: String = streamUpsertSqlWhere(None)
 
   /** Oracle for the store-bootstrapped rung: the SAME full batch chain —

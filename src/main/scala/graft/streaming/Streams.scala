@@ -543,6 +543,26 @@ object Streams {
     }
   }
 
+  /** Advance a PERSISTED snapshot through one more ops batch — the
+    * write-back builder: the next checkpoint-boundary state derived from
+    * the previous snapshot plus the batch (history never re-replayed),
+    * through the same upsertStep transition as the stream and the
+    * from-scratch snapshot. Keys only in the snapshot pass through
+    * unchanged; keys only in the batch start from the empty state; stale
+    * re-sends (seq ≤ snapshot lastSeq) never mutate. */
+  def upsertStateSnapshotFrom(initial: Dataset[(Long, Long, Long, Boolean)],
+                              ops: Dataset[Upsert]): Dataset[(Long, Long, Long, Boolean)] = {
+    import ops.sparkSession.implicits._
+    initial.groupByKey(_._1).cogroup(ops.groupByKey(_.key)) { (k, is, os) =>
+      var st = is.toSeq.headOption.map(r => (r._2, r._3, r._4))
+        .getOrElse((-1L, 0L, false))
+      os.toSeq.sortBy(_.seq).foreach { u =>
+        if (u.seq > st._1) st = upsertStep(st, u)._1
+      }
+      Iterator((k, st._1, st._2, st._3))
+    }
+  }
+
   case class AsofOut(purchase_id: Long, user_id: Long, p_ms: Long, c_ms: Long,
                      click_id: Long, click_value: Double)
   case class AsofOuterOut(purchase_id: Long, user_id: Long, p_ms: Long,

@@ -105,4 +105,22 @@ class Cycle2Spec extends SparkSpec {
     assert(!iv.exists(_.startsWith("graft_store_ivf_idx")),
       s"cycle 2 re-read base artifacts: $iv")
   }
+
+  test("stream-upsert write-back cycle: batch 3 from the UPDATED persisted " +
+    "snapshot equals the in-memory snapshot composition") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.{StreamReplay, Streams}
+    val out = StreamReplay.streamUpsertCycle2(s, dir)
+    // in-memory composition of the same boundaries (quarters(): slice i
+    // covers [i*n/4, (i+1)*n/4) over the seq-sorted ops)
+    val ops = StreamReplay.upsertOps(s, dir)
+    val n = ops.length
+    def slice(i: Int) = ops.slice(i * n / 4, (i + 1) * n / 4)
+    val initMem = Streams.upsertStateSnapshot(s.createDataset(slice(0) ++ slice(1)))
+    val snapMem = Streams.upsertStateSnapshotFrom(initMem, s.createDataset(slice(2)))
+    val expected = Streams.streamingUpsertFrom(
+      s.createDataset(slice(3) ++ slice(2).filter(_.seq % 11 == 0)), snapMem)
+    assert(rows(out) === rows(expected.toDF()))
+  }
 }
