@@ -670,6 +670,24 @@ object Stores {
         .toDF("user_id", "session_id", "start_us", "last_us", "n")
     }
 
+  /** The session analog of [[upsertStateStoreCycle2]]: the persisted
+    * two-batch OPEN-session snapshot advanced through the next batch's
+    * events FROM the store (Streams.sessionStateSnapshotFrom) and written
+    * back as the next checkpoint-boundary snapshot. */
+  def sessionStateStoreCycle2(s: SparkSession, d: String,
+                              prefix: Seq[graft.streaming.Streams.Event],
+                              batch: Seq[graft.streaming.Streams.Event]): DataFrame =
+    ensureBucketed(s, s"session_state_c2_${prefix.length}_${batch.length}", d,
+      Seq("user_id"), 32) {
+      import s.implicits._
+      val init = sessionStateStore(s, d, prefix)
+        .select(col("user_id").as("_1"), col("session_id").as("_2"),
+          col("start_us").as("_3"), col("last_us").as("_4"), col("n").as("_5"))
+        .as[(Long, Long, Long, Long, Long)]
+      graft.streaming.Streams.sessionStateSnapshotFrom(init, s.createDataset(batch))
+        .toDF("user_id", "session_id", "start_us", "last_us", "n")
+    }
+
   /** Standing LSH-bucket retained-signature state (bucket, doc_id, sig)
     * after a doc prefix — the near-dedup stream's checkpoint-boundary
     * snapshot, bucketed by the LSH bucket key (the state shard key). Built

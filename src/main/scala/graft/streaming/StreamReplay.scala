@@ -252,7 +252,7 @@ object StreamReplay {
 
   /** The event script: the events table on the (ms, event_id) total order
     * the stateful operators sort on. */
-  private def eventScript(spark: SparkSession, dir: String): Seq[Event] = {
+  private[graft] def eventScript(spark: SparkSession, dir: String): Seq[Event] = {
     val cached = scriptCache
     if (cached != null && cached._1 == dir) cached._2
     else {
@@ -521,6 +521,35 @@ object StreamReplay {
       label = "stream_session_store")
   }
 
+  /** Two-cycle WRITE-BACK of the session state — the watermark-free
+    * sibling of [[streamUpsertCycle2]]: cycle 1 advances the persisted
+    * batch-0/1 open-session snapshot through batch 2 FROM the store and
+    * writes the UPDATED snapshot back (Stores.sessionStateStoreCycle2 —
+    * sessions batch 2 closed emitted then and are discarded); cycle 2
+    * restarts from the updated snapshot and streams ONLY batch 3 + the
+    * all-user flush. Oracle = the batch gap-split filtered to sessions
+    * whose closing trigger lands in batch 3 or the flush. */
+  def streamSessionCycle2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventScript(spark, dir)
+    val qs = quarters(ev)
+    val flushTs = new Timestamp(ev.last.ts.getTime + FlushGapMs)
+    val flushes = ev.map(_.user_id).distinct.sorted.zipWithIndex
+      .map { case (u, i) => Event(2000000000L + i, flushTs, u, "__flush", 0.0) }
+    val init = graft.sources.Stores.sessionStateStoreCycle2(spark, dir,
+        qs(0) ++ qs(1), qs(2))
+      .select(col("user_id").as("_1"), col("session_id").as("_2"),
+        col("start_us").as("_3"), col("last_us").as("_4"), col("n").as("_5"))
+      .as[(Long, Long, Long, Long, Long)]
+    replay[Event](spark, s"stream_session_cycle2:$dir", Seq(qs(3), flushes),
+      df => Streams.sessionizeFrom(df.as[Event], init).toDF(),
+      label = "stream_session_cycle2")
+  }
+
+  /** Oracle for the session write-back rung: same chain, trigger ≥ 3. */
+  def streamSessionCycle2Sql(gapMinutes: Int = 30): String =
+    streamSessionSqlFrom(gapMinutes, 3)
+
   /** Oracle for [[streamSessionStore]]: the same batch gap-split chain,
     * with each event stamped by its quartile batch (the SAME
     * integer-division boundaries quarters() uses, on the (ms, event_id)
@@ -530,6 +559,9 @@ object StreamReplay {
     * the session's first-event batch) or it has no successor (closed by
     * the flush). */
   def streamSessionStoreSql(gapMinutes: Int = 30): String =
+    streamSessionSqlFrom(gapMinutes, 2)
+
+  private def streamSessionSqlFrom(gapMinutes: Int, minBatch: Int): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
        |    CASE WHEN rn0 < n // 4 THEN 0
@@ -557,7 +589,7 @@ object StreamReplay {
        |  SELECT *, LEAD(first_batch) OVER (PARTITION BY user_id ORDER BY session_id) AS trigger_batch
        |  FROM sess)
        |SELECT user_id, session_id, n_events, start_us, end_us
-       |FROM f WHERE trigger_batch IS NULL OR trigger_batch >= 2""".stripMargin
+       |FROM f WHERE trigger_batch IS NULL OR trigger_batch >= $minBatch""".stripMargin
 
   def streamSessionSql(gapMinutes: Int = 30): String =
     s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

@@ -452,6 +452,28 @@ object Streams {
     }
   }
 
+  /** Advance a PERSISTED session snapshot through one more event batch —
+    * the write-back builder (the session analog of
+    * [[upsertStateSnapshotFrom]]): the next checkpoint-boundary
+    * open-session state derived from the previous snapshot plus the
+    * batch, through the same sessionStep transition. Sessions the batch
+    * closes emitted in-stream during that batch and are discarded here;
+    * the snapshot is exactly the standing state. */
+  def sessionStateSnapshotFrom(initial: Dataset[(Long, Long, Long, Long, Long)],
+                               events: Dataset[Event], gapMinutes: Int = 30)
+      : Dataset[(Long, Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    initial.groupByKey(_._1).cogroup(events.groupByKey(_.user_id)) { (u, is, es) =>
+      var st = is.toSeq.headOption.map(r => SessionState(r._2, r._3, r._4, r._5))
+        .getOrElse(SessionState(0L, -1L, -1L, 0L))
+      es.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        st = sessionStep(st, e.ts.getTime * 1000L, gapUs)._1
+      }
+      Iterator((u, st.sessionId, st.start, st.last, st.n))
+    }
+  }
+
   case class Upsert(key: Long, seq: Long, op: String, payload: String)
   case class UpsertOut(key: Long, seq: Long, op: String, payload: String,
                        action: String, version: Long)

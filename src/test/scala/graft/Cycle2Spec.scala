@@ -123,4 +123,23 @@ class Cycle2Spec extends SparkSpec {
       s.createDataset(slice(3) ++ slice(2).filter(_.seq % 11 == 0)), snapMem)
     assert(rows(out) === rows(expected.toDF()))
   }
+
+  test("stream-session write-back cycle: batch 3 + flush from the UPDATED " +
+    "persisted snapshot equals the in-memory snapshot composition") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.{StreamReplay, Streams}
+    val out = StreamReplay.streamSessionCycle2(s, dir)
+    val ev = StreamReplay.eventScript(s, dir)
+    val n = ev.length
+    def slice(i: Int) = ev.slice(i * n / 4, (i + 1) * n / 4)
+    val flushTs = new java.sql.Timestamp(ev.last.ts.getTime + 7200000L)
+    val flushes = ev.map(_.user_id).distinct.sorted.zipWithIndex
+      .map { case (u, i) => Streams.Event(2000000000L + i, flushTs, u, "__flush", 0.0) }
+    val initMem = Streams.sessionStateSnapshot(s.createDataset(slice(0) ++ slice(1)))
+    val snapMem = Streams.sessionStateSnapshotFrom(initMem, s.createDataset(slice(2)))
+    val expected = Streams.sessionizeFrom(
+      s.createDataset(slice(3) ++ flushes), snapMem)
+    assert(rows(out) === rows(expected.toDF()))
+  }
 }
