@@ -412,6 +412,7 @@ object SparkEntry {
     // from the store, written back, batch 3 streamed from the UPDATED snapshot
     "stream_upsert_cycle2" -> ((s, d) => graft.streaming.StreamReplay.streamUpsertCycle2(s, d)),
     "stream_session_cycle2" -> ((s, d) => graft.streaming.StreamReplay.streamSessionCycle2(s, d)),
+    "stream_near_dedup_cycle2" -> ((s, d) => graft.streaming.StreamReplay.streamNearDedupCycle2(s, d)),
     "stream_trending" -> ((s, d) => graft.streaming.StreamReplay.streamTrending(s, d)),
     "stream_spike" -> ((s, d) => graft.streaming.StreamReplay.streamSpike(s, d)),
     "stream_join" -> ((s, d) => graft.streaming.StreamReplay.streamJoin(s, d)),
@@ -747,6 +748,7 @@ object SparkEntry {
     "stream_upsert_store" -> graft.streaming.StreamReplay.streamUpsertStoreSql,
     "stream_upsert_cycle2" -> graft.streaming.StreamReplay.streamUpsertCycle2Sql,
     "stream_session_cycle2" -> graft.streaming.StreamReplay.streamSessionCycle2Sql(),
+    "stream_near_dedup_cycle2" -> graft.streaming.StreamReplay.streamNearDedupCycle2Sql,
     "stream_trending" -> graft.streaming.StreamReplay.streamTrendingSql,
     "stream_spike" -> graft.streaming.StreamReplay.streamSpikeSql,
     "stream_join" -> graft.streaming.StreamReplay.streamJoinSql,

@@ -702,6 +702,23 @@ object Stores {
         .toDF("bucket", "doc_id", "sig")
     }
 
+  /** The near-dedup analog of [[upsertStateStoreCycle2]]: the persisted
+    * two-batch per-bucket retained-signature snapshot advanced through the
+    * next batch's docs FROM the store (Streams.nearDedupStateSnapshotFrom)
+    * and written back, bucketed by the state shard key. */
+  def nearDedupStateStoreCycle2(s: SparkSession, d: String,
+                                prefix: Seq[graft.streaming.Streams.Doc],
+                                batch: Seq[graft.streaming.Streams.Doc]): DataFrame =
+    ensureBucketed(s, s"neardedup_state_c2_${prefix.length}_${batch.length}", d,
+      Seq("bucket"), 32) {
+      import s.implicits._
+      val init = nearDedupStateStore(s, d, prefix)
+        .select(col("bucket"), col("doc_id"), col("sig"))
+        .as[(String, Long, Array[Long])]
+      graft.streaming.Streams.nearDedupStateSnapshotFrom(init, s.createDataset(batch))
+        .toDF("bucket", "doc_id", "sig")
+    }
+
   // ---- ann: IVF inverted-file store ----------------------------------------
 
   /** Standing IVF inverted file (vec_id, embedding, cell) under the frozen

@@ -383,7 +383,7 @@ object StreamReplay {
   /** Shared doc_id-sorted document script for the two stream-dedup
     * replays (exact + near): identical batches, so the staged source is
     * cached once under the `stream_dedup` key. */
-  private def docScript(spark: SparkSession, dir: String): Seq[Doc] = {
+  private[graft] def docScript(spark: SparkSession, dir: String): Seq[Doc] = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -448,10 +448,41 @@ object StreamReplay {
       .distinct()
   }
 
+  /** Two-cycle WRITE-BACK of the near-dedup bucket state — the LSH-index
+    * member of the streaming write-back trio: cycle 1 advances the
+    * persisted batch-0/1 retained-signature snapshot through batch 2 FROM
+    * the store (batch-2 pairs emitted then — in-stream output, not state)
+    * and writes the UPDATED snapshot back
+    * (Stores.nearDedupStateStoreCycle2); cycle 2 restarts from it and
+    * sketches/streams ONLY batch 3. Oracle = the capped contract
+    * restricted to pairs whose trigger doc sits in the last quarter. */
+  def streamNearDedupCycle2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = quarters(docScript(spark, dir))
+    val init = graft.sources.Stores.nearDedupStateStoreCycle2(spark, dir,
+        qs(0) ++ qs(1), qs(2))
+      .select(col("bucket"), col("doc_id"), col("sig"))
+      .as[(String, Long, Array[Long])]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        (k, Streams.BucketState(
+          it.toSeq.sortBy(_._2).map(r => Streams.BucketDoc(r._2, r._3))))
+      }
+    replay[Doc](spark, s"stream_near_dedup_cycle2:$dir", Seq(qs(3)),
+      df => Streams.streamingNearDedupFrom(df.as[Doc], init).toDF(),
+      label = "stream_near_dedup_cycle2")
+      .distinct()
+  }
+
+  /** Oracle for the near-dedup write-back rung: trigger in batch 3. */
+  val streamNearDedupCycle2Sql: String = streamNearDedupSqlFrom(3)
+
   /** Oracle for [[streamNearDedupStore]]: capped contract ∧ trigger-in-tail
     * (doc_b's position in the doc_id total order lands in batches 2–3,
     * with quarters()'s integer-division boundaries). */
-  val streamNearDedupStoreSql: String =
+  val streamNearDedupStoreSql: String = streamNearDedupSqlFrom(2)
+
+  private def streamNearDedupSqlFrom(minBatch: Int): String =
     s"""WITH capped AS MATERIALIZED (
        |${graft.operators.MinhashPortable.minhashLshCappedSql(cap = 32)}),
        |pos AS (
@@ -459,7 +490,7 @@ object StreamReplay {
        |  FROM documents CROSS JOIN (SELECT COUNT(*) AS n FROM documents) t)
        |SELECT c.doc_a, c.doc_b, c.est_jaccard
        |FROM capped c JOIN pos p ON p.doc_id = c.doc_b
-       |WHERE p.rn0 >= (2 * p.n) // 4""".stripMargin
+       |WHERE p.rn0 >= ($minBatch * p.n) // 4""".stripMargin
 
   /** Ablation twin (EvictionProbe): the deterministic-reservoir eviction
     * policy run through the same replay — NOT registered (the reservoir's

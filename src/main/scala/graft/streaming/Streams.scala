@@ -309,6 +309,26 @@ object Streams {
       }
   }
 
+  /** Advance a PERSISTED per-bucket retained-signature snapshot through
+    * one more doc batch — the write-back builder for the LSH-index state
+    * (the near-dedup analog of [[upsertStateSnapshotFrom]]): per bucket,
+    * the retained set keeps its standing rows and appends the batch's
+    * arrivals retain-first up to the cap, through the same policy
+    * nearDedupFn runs (arrival order = doc_id order in the replay
+    * scripts). Pairs the batch emits are in-stream output, not state. */
+  def nearDedupStateSnapshotFrom(initial: Dataset[(String, Long, Array[Long])],
+                                 docs: Dataset[Doc], nPerms: Int = 16,
+                                 bands: Int = 4, maxBucket: Int = 32)
+      : Dataset[(String, Long, Array[Long])] = {
+    import docs.sparkSession.implicits._
+    initial.groupByKey(_._1)
+      .cogroup(bandRows(docs, nPerms, bands).groupByKey(_._2)) { (k, is, bs) =>
+        val retained = is.toSeq.sortBy(_._2)
+        val arrivals = bs.toSeq.sortBy(_._1).map(r => (k, r._1, r._3))
+        (retained ++ arrivals).take(maxBucket).iterator
+      }
+  }
+
   case class BucketStateR(docs: Seq[BucketDoc], arrivals: Long)
 
   /** ABLATION variant of [[streamingNearDedup]] (r11/r12 verdict item 7):

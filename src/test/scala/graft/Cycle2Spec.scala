@@ -142,4 +142,24 @@ class Cycle2Spec extends SparkSpec {
       s.createDataset(slice(3) ++ flushes), snapMem)
     assert(rows(out) === rows(expected.toDF()))
   }
+
+  test("stream-near-dedup write-back cycle: batch 3 from the UPDATED " +
+    "persisted snapshot equals the in-memory snapshot composition") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.{StreamReplay, Streams}
+    val out = StreamReplay.streamNearDedupCycle2(s, dir)
+    val docs = StreamReplay.docScript(s, dir)
+    val n = docs.length
+    def slice(i: Int) = docs.slice(i * n / 4, (i + 1) * n / 4)
+    val initMem = Streams.nearDedupStateSnapshot(s.createDataset(slice(0) ++ slice(1)))
+    val snapMem = Streams.nearDedupStateSnapshotFrom(initMem, s.createDataset(slice(2)))
+    val initKV = snapMem.groupByKey(_._1).mapGroups { (k, it) =>
+      (k, Streams.BucketState(
+        it.toSeq.sortBy(_._2).map(r => Streams.BucketDoc(r._2, r._3))))
+    }
+    val expected = Streams.streamingNearDedupFrom(
+      s.createDataset(slice(3)), initKV).toDF().distinct()
+    assert(rows(out) === rows(expected))
+  }
 }
