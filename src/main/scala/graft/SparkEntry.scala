@@ -265,6 +265,11 @@ object SparkEntry {
     // within-cluster pair join over the persisted trained partition:
     // exchange-free self-join, no per-call train/assign; same oracle
     "semdedup_store" -> ((s, d) => graft.sources.Stores.semdedupStore(s, d)),
+    "semdedup_upsert" -> ((s, d) => Cluster.semdedupUpsert(Tables.embeddings(s, d))),
+    "semdedup_upsert_store" -> ((s, d) => graft.sources.Stores.semdedupUpsertStore(s, d)),
+    "semdedup_delete" -> ((s, d) => Cluster.semdedupDelete(Tables.embeddings(s, d))),
+    "semdedup_delete_store" -> ((s, d) => graft.sources.Stores.semdedupDeleteStore(s, d)),
+    "semdedup_cycle2" -> ((s, d) => graft.sources.Stores.semdedupCycle2Store(s, d)),
     "semdedup_fixed" -> ((s, d) => Cluster.semdedup(Tables.embeddings(s, d))),
     // two-level quantizer: occupancy ≤ targetCell at any corpus size (the
     // flat form's kMax·targetCell ceiling removed); sub-model stays
@@ -281,6 +286,10 @@ object SparkEntry {
     // read path over the persisted cell-bucketed PQ codes: ADC scoring of
     // the probed cells only, zero raw-vector reads; same oracle
     "ann_ivf_pq_store" -> ((s, d) => graft.sources.Stores.annIvfPqStore(s, d)),
+    "ivf_pq_upsert" -> ((s, d) => ProductQuant.ivfPqUpsert(Tables.embeddings(s, d))),
+    "ivf_pq_delete" -> ((s, d) => ProductQuant.ivfPqDelete(Tables.embeddings(s, d))),
+    "ivf_pq_delete_store" -> ((s, d) => graft.sources.Stores.ivfPqDeleteStore(s, d)),
+    "ann_ivf_pq_cycle2" -> ((s, d) => graft.sources.Stores.ivfPqCycle2Store(s, d)),
     "ann_ivf_pq_rr" -> ((s, d) => ProductQuant.ivfPqRerank(Tables.embeddings(s, d))),
     "ann_ivf_pq_rr_ad" -> ((s, d) => ProductQuant.ivfPqRerankAdaptive(Tables.embeddings(s, d))),
     "ann_ivf_pq_rr_ad_mp" -> ((s, d) =>
@@ -605,6 +614,11 @@ object SparkEntry {
     "doc_outlier" -> Cluster.docOutliersSql(),
     "semdedup" -> Cluster.semdedupScaledSql(),
     "semdedup_store" -> Cluster.semdedupScaledSql(),
+    "semdedup_upsert" -> Cluster.semdedupUpsertSql(),
+    "semdedup_upsert_store" -> Cluster.semdedupUpsertSql(),
+    "semdedup_delete" -> Cluster.semdedupDeleteSql(),
+    "semdedup_delete_store" -> Cluster.semdedupDeleteSql(),
+    "semdedup_cycle2" -> Cluster.semdedupCycle2Sql(),
     "semdedup_fixed" -> Cluster.semdedupSql(),
     "semdedup_hier" -> Cluster.semdedupHierSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
@@ -616,6 +630,11 @@ object SparkEntry {
     "ann_sq8_rr" -> ScalarQuant.sq8RerankAdaptiveSql(),
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
     "ann_ivf_pq_store" -> ProductQuant.ivfPqSearchSql(),
+    "ivf_pq_upsert" -> ProductQuant.ivfPqSearchSql(),
+    "ivf_pq_delete" -> ProductQuant.ivfPqSearchSql(survWhere = "vec_id % 10 <> 0"),
+    "ivf_pq_delete_store" -> ProductQuant.ivfPqSearchSql(survWhere = "vec_id % 10 <> 0"),
+    "ann_ivf_pq_cycle2" ->
+      ProductQuant.ivfPqSearchSql(survWhere = "vec_id % 20 NOT IN (5, 15)"),
     "ann_ivf_pq_rr" -> ProductQuant.ivfPqRerankSql(),
     "ann_ivf_pq_rr_ad" -> ProductQuant.ivfPqRerankAdaptiveSql(),
     "ann_ivf_pq_rr_ad_mp" -> ProductQuant.ivfPqRerankAdaptiveSql(nProbeCells = 4),

@@ -120,7 +120,7 @@ object Cluster {
 
   /** The Lloyd training loop alone: returns the trained centroids (the
     * model parameter every quantizer-backed operator broadcasts). */
-  private[operators] def trainCentroids(embeddings: DataFrame, k: Int, iters: Int,
+  private[graft] def trainCentroids(embeddings: DataFrame, k: Int, iters: Int,
                                         init: String = "first"): Array[(Long, Array[Float])] = {
     import embeddings.sparkSession.implicits._
     var cents: Array[(Long, Array[Float])] =
@@ -204,20 +204,26 @@ object Cluster {
     * standing artifact (Stores.semdedupClusters persists it bucketed by
     * cluster, making the within-cluster self-join exchange-free). */
   private[graft] def semdedupAssigned(embeddings: DataFrame, k: Int,
-                                      iters: Int): DataFrame = {
-    val cents = trainCentroids(embeddings, k, iters)
-    // kernel path carries the embedding through — no join back; small-k
-    // expression path keeps the literal-argmax projection + one hash join
+                                      iters: Int): DataFrame =
+    assignUnder(embeddings, trainCentroids(embeddings, k, iters))
+
+  /** Assign ANY vector slice under a FROZEN centroid array as
+    * (cluster, vec_id, embedding) — the unit of semdedup partition
+    * maintenance: arrivals assign in one narrow pass and append; nothing
+    * standing is re-assigned. Kernel path carries the embedding through —
+    * no join back; small-k expression path keeps the literal-argmax
+    * projection. */
+  private[graft] def assignUnder(vectors: DataFrame,
+                                 cents: Array[(Long, Array[Float])]): DataFrame =
     if (cents.length > KernelAssignK)
-      assignedKernel(embeddings, cents)
+      assignedKernel(vectors, cents)
         .select(col("cluster"), col("vec_id"), col("embedding"))
     else {
       val b = best(cents)
-      embeddings.select(col("vec_id"), (-b.getField("negid")).as("cluster"),
+      vectors.select(col("vec_id"), (-b.getField("negid")).as("cluster"),
           col("embedding"))
         .select(col("cluster"), col("vec_id"), col("embedding"))
     }
-  }
 
   /** Within-cluster near-dup pair join over an (already) clustered corpus
     * — the serve half of semdedup: a self-join keyed on cluster, so a
@@ -263,6 +269,85 @@ object Cluster {
                      kMin: Int = 8, kMax: Int = 4096, iters: Int = 1,
                      threshold: Double = 0.3): DataFrame =
     semdedup(embeddings, scaledK(embeddings, targetCell, kMin, kMax), iters, threshold)
+
+  /** UPSERT direction of semdedup maintenance — the daily near-dup loop of
+    * a training-data pipeline (SemDeDup rerun over yesterday's corpus +
+    * today's crawl): the standing trained partition (base slice,
+    * vec_id%10 != 0, quantizer TRAINED ON BASE — frozen before the
+    * arrivals exist, the production timeline) takes the arrival batch
+    * assigned in one narrow pass, and the operator emits ONLY the pairs
+    * the arrivals CREATE — O(Δ · cell occupancy) compute and emission,
+    * never a restatement of the standing pair set. The oracle re-trains
+    * the same base-sliced quantizer, assigns the post-upsert corpus, and
+    * restricts the pair join to arrival-touching pairs — hash equality
+    * proves the delta emission is exactly the from-scratch difference. */
+  def semdedupUpsert(embeddings: DataFrame, targetCell: Int = 64,
+                     kMin: Int = 8, kMax: Int = 4096, iters: Int = 1,
+                     threshold: Double = 0.3): DataFrame = {
+    val isArr = pmod(col("vec_id"), lit(10L)) === 0L
+    val base = embeddings.filter(!isArr)
+    val cents = trainCentroids(base, scaledK(base, targetCell, kMin, kMax), iters)
+    semdedupUpsertFrom(assignUnder(base, cents),
+      assignUnder(embeddings.filter(isArr), cents), threshold)
+  }
+
+  /** Production-shaped core of [[semdedupUpsert]]: given the PERSISTED
+    * standing partition and the (already assigned) arrival rows, emit the
+    * created pairs. Anchored on the arrivals, so only touched cells are
+    * joined; the arrival–arrival half is kept once via the vec_n < vec_m
+    * guard, the arrival–base half regardless of id order (canonicalized
+    * by least/greatest — cosine is bit-symmetric on both engines). */
+  def semdedupUpsertFrom(standing: DataFrame, arrivals: DataFrame,
+                         threshold: Double = 0.3): DataFrame = {
+    val members = standing.select(col("cluster"), col("vec_id").as("vec_m"),
+        col("embedding").as("em"), lit(false).as("m_arr"))
+      .unionByName(arrivals.select(col("cluster"), col("vec_id").as("vec_m"),
+        col("embedding").as("em"), lit(true).as("m_arr")))
+    arrivals.select(col("cluster"), col("vec_id").as("vec_n"), col("embedding").as("en"))
+      .join(members, Seq("cluster"))
+      .filter(col("vec_n") =!= col("vec_m"))
+      .filter(!col("m_arr") || (col("vec_n") < col("vec_m")))
+      .withColumn("cos", VectorOps.cosine(col("en"), col("em")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("vec_n"), col("vec_m")).as("vec_a"),
+        greatest(col("vec_n"), col("vec_m")).as("vec_b"), col("cos"))
+  }
+
+  /** DELETE direction of semdedup maintenance: a departure batch
+    * (vec_id%10 == 0) RETIRES every standing pair it touches — the CDC
+    * verdict a downstream dedup-decision consumer needs (the
+    * minhash_lsh_delete_retired analog for the embedding family). The
+    * quantizer is frozen WITH its training inputs (the ivfDelete
+    * contract), so retirement is a scoped within-cell join anchored on
+    * the departures — O(Δ · cell occupancy), never O(index). Oracle =
+    * the standing pair set of the pre-delete corpus restricted to pairs
+    * with a departing side. */
+  def semdedupDelete(embeddings: DataFrame, targetCell: Int = 64,
+                     kMin: Int = 8, kMax: Int = 4096, iters: Int = 1,
+                     threshold: Double = 0.3): DataFrame = {
+    val cents = trainCentroids(embeddings,
+      scaledK(embeddings, targetCell, kMin, kMax), iters)
+    semdedupDeleteFrom(assignUnder(embeddings, cents),
+      pmod(col("vec_id"), lit(10L)) === 0L, threshold)
+  }
+
+  /** Core of [[semdedupDelete]] over a PERSISTED partition: both join
+    * sides read the same (cluster-bucketed) standing table, so the store
+    * read path runs exchange-free; `depPred` marks the departing rows. */
+  def semdedupDeleteFrom(standing: DataFrame, depPred: Column,
+                         threshold: Double = 0.3): DataFrame = {
+    val members = standing.select(col("cluster"), col("vec_id").as("vec_m"),
+      col("embedding").as("em"), depPred.as("m_dep"))
+    standing.filter(depPred)
+      .select(col("cluster"), col("vec_id").as("vec_n"), col("embedding").as("en"))
+      .join(members, Seq("cluster"))
+      .filter(col("vec_n") =!= col("vec_m"))
+      .filter(!col("m_dep") || (col("vec_n") < col("vec_m")))
+      .withColumn("cos", VectorOps.cosine(col("en"), col("em")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("vec_n"), col("vec_m")).as("vec_a"),
+        greatest(col("vec_n"), col("vec_m")).as("vec_b"), col("cos"))
+  }
 
   /** HIERARCHICAL two-level semdedup quantizer (r13 verdict item 4): the
     * corpus-size ceiling of the flat scaled form is the kMax clamp —
@@ -407,17 +492,21 @@ object Cluster {
   private def centsSql(k: Int, iters: Int): String =
     centsSqlExpr(k.toString, iters)
 
-  private def centsSqlExpr(kExpr: String, iters: Int): String = {
+  private def centsSqlExpr(kExpr: String, iters: Int,
+                           trainWhere: String = "TRUE"): String = {
     // cents_0 = first-k init; cents_{i+1} = decimal-exact per-dim mean of the
     // argmax-cosine assignment against cents_i (cells losing all members
     // drop out on both engines). kExpr may be a literal or a scalar subquery
-    // (the corpus-scaled cluster count).
-    val init = s"cents_0 AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < $kExpr)"
+    // (the corpus-scaled cluster count). trainWhere restricts the TRAINING
+    // corpus (the frozen-model maintenance oracles train on the base slice);
+    // both init and every Lloyd step see only the training rows.
+    val init = s"cents_0 AS (SELECT vec_id AS cell, embedding FROM embeddings " +
+      s"WHERE vec_id < $kExpr AND ($trainWhere))"
     val steps = (0 until iters).map { i =>
       val cos = VectorOps.cosineSql("e.embedding", "c.embedding")
       s"""a_$i AS (
          |  SELECT e.vec_id, e.embedding, c.cell
-         |  FROM embeddings e CROSS JOIN cents_$i c
+         |  FROM (SELECT * FROM embeddings WHERE ($trainWhere)) e CROSS JOIN cents_$i c
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c.cell) = 1),
          |comp_$i AS (
          |  SELECT cell, pos,
@@ -477,6 +566,52 @@ object Cluster {
        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |WHERE $cos >= $threshold""".stripMargin
   }
+
+  /** Shared oracle for the semdedup MAINTENANCE rungs: quantizer trained
+    * over `trainWhere` rows (the frozen model), the `clusteredWhere`
+    * corpus assigned under it, pair join restricted by `pairWhere`. */
+  private def semdedupMaintSql(targetCell: Int, kMin: Int, kMax: Int,
+                               iters: Int, threshold: Double,
+                               trainWhere: String, clusteredWhere: String,
+                               pairWhere: String): String = {
+    val kExpr = s"(SELECT LEAST($kMax, GREATEST($kMin, " +
+      s"CAST(CEIL(COUNT(*) / $targetCell.0) AS BIGINT))) FROM embeddings WHERE ($trainWhere))"
+    val cosC = VectorOps.cosineSql("e.embedding", "c.embedding")
+    val cos = VectorOps.cosineSql("a.embedding", "b.embedding")
+    s"""WITH ${centsSqlExpr(kExpr, iters, trainWhere)},
+       |clustered AS (
+       |  SELECT e.vec_id, e.embedding, c.cell AS cluster
+       |  FROM (SELECT * FROM embeddings WHERE ($clusteredWhere)) e CROSS JOIN cents_$iters c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosC DESC, c.cell) = 1)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos
+       |FROM clustered a JOIN clustered b
+       |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE $cos >= $threshold AND ($pairWhere)""".stripMargin
+  }
+
+  /** Oracle for [[semdedupUpsert]]: base-trained frozen quantizer,
+    * post-upsert corpus assigned, arrival-touching pairs only. */
+  def semdedupUpsertSql(targetCell: Int = 64, kMin: Int = 8, kMax: Int = 4096,
+                        iters: Int = 1, threshold: Double = 0.3): String =
+    semdedupMaintSql(targetCell, kMin, kMax, iters, threshold,
+      "vec_id % 10 <> 0", "TRUE",
+      "a.vec_id % 10 = 0 OR b.vec_id % 10 = 0")
+
+  /** Oracle for [[semdedupDelete]]: full-trained frozen quantizer, standing
+    * (pre-delete) pair set restricted to departure-touching pairs. */
+  def semdedupDeleteSql(targetCell: Int = 64, kMin: Int = 8, kMax: Int = 4096,
+                        iters: Int = 1, threshold: Double = 0.3): String =
+    semdedupMaintSql(targetCell, kMin, kMax, iters, threshold,
+      "TRUE", "TRUE", "a.vec_id % 10 = 0 OR b.vec_id % 10 = 0")
+
+  /** Oracle for the semdedup write-back cycle (Stores.semdedupCycle2Store):
+    * the within-cluster pair set of the post-both-batches corpus
+    * (survivors vec_id %20 ∉ {5, 15}) under the quantizer frozen with its
+    * training inputs. */
+  def semdedupCycle2Sql(targetCell: Int = 64, kMin: Int = 8, kMax: Int = 4096,
+                        iters: Int = 1, threshold: Double = 0.3): String =
+    semdedupMaintSql(targetCell, kMin, kMax, iters, threshold,
+      "TRUE", "vec_id % 20 NOT IN (5, 15)", "TRUE")
 
   /** Cluster topic labeling — the "what IS cluster 7" step after any
     * clustering run: per label, the top-N distinguishing terms by TF-IDF

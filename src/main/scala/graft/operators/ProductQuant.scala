@@ -558,14 +558,25 @@ object ProductQuant extends Serializable {
     * m code bytes per vector instead of Dim floats, so the serving scan
     * reads ~(4·Dim)/m× less data than the raw corpus. */
   private[graft] def ivfPqIndex(embeddings: DataFrame, nCells: Int = 16,
-                                m: Int = 32, nCodes: Int = 128): DataFrame = {
-    val spark = embeddings.sparkSession
+                                m: Int = 32, nCodes: Int = 128): DataFrame =
+    ivfPqEncodeSlice(embeddings, embeddings, nCells, m, nCodes)
+
+  /** Encode an ARBITRARY vector slice under the frozen IVF-PQ model derived
+    * from `modelRel` — the unit of IVF-PQ index maintenance (FAISS `add`):
+    * cell assignment and residual codes are pure per-vector functions of
+    * the frozen (centroids, codebooks) pair, so an arrival batch encodes
+    * in one narrow pass and APPENDS to the standing codes table; nothing
+    * already encoded is ever touched. Same kernel as the full build. */
+  private[graft] def ivfPqEncodeSlice(vectors: DataFrame, modelRel: DataFrame,
+                                      nCells: Int = 16, m: Int = 32,
+                                      nCodes: Int = 128): DataFrame = {
+    val spark = vectors.sparkSession
     import spark.implicits._
     val w = Dim / m
-    val (cents, cbs) = ivfPqModel(embeddings, nCells, m, nCodes)
+    val (cents, cbs) = ivfPqModel(modelRel, nCells, m, nCodes)
     val bcCents = spark.sparkContext.broadcast(cents)
     val bcCbs = spark.sparkContext.broadcast(cbs)
-    embeddings.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    vectors.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .mapPartitions { iter =>
         val centsL = bcCents.value
         val cbsL = bcCbs.value
@@ -574,6 +585,58 @@ object ProductQuant extends Serializable {
           (nid, cell.toLong, encodeOne(residFor(centsL, cell, v), cbsL, m, w))
         }
       }.toDF("vec_id", "cell", "codes")
+  }
+
+  /** UPSERT direction of IVF-PQ index maintenance — FAISS IndexIVFPQ.add:
+    * the standing codes table (base slice, vec_id%10 != 0, encoded under
+    * the frozen model) takes an arrival batch encoded in one narrow pass
+    * and appended; ADC search is then served FROM the maintained codes.
+    * Encoding is a pure per-vector function of the frozen model, so the
+    * maintained table is exactly the from-scratch encode of the
+    * post-upsert corpus — the oracle is [[ivfPqSearchSql]] VERBATIM, and
+    * the hash gate proves append-maintenance lossless for this family
+    * (⇐ reference neo4j_knowledge_service.py:922 search_similar_nodes —
+    * Neo4j's vector index is maintained through entity upserts). */
+  def ivfPqUpsert(embeddings: DataFrame, nCells: Int = 16, m: Int = 32,
+                  nCodes: Int = 128, nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val isArr = pmod(col("vec_id"), lit(10L)) === 0L
+    val base = ivfPqEncodeSlice(embeddings.filter(!isArr), embeddings, nCells, m, nCodes)
+    val arr = ivfPqEncodeSlice(embeddings.filter(isArr), embeddings, nCells, m, nCodes)
+    ivfPqSearchFromCodes(embeddings, base.unionByName(arr), nCells, m, nCodes,
+      nProbes, k)
+  }
+
+  /** DELETE direction of IVF-PQ index maintenance — FAISS remove_ids: a
+    * keyed drop of the departing vec_ids from the standing codes table
+    * (broadcast anti-join; the frozen model keeps its training inputs even
+    * when those vectors depart, exactly the ivfDelete contract), then ADC
+    * search with the SURVIVING probes. The oracle re-derives the frozen
+    * model from the full relation and replays encode + ADC over survivors
+    * only — hash equality proves the dropped codes never score. */
+  def ivfPqDelete(embeddings: DataFrame, nCells: Int = 16, m: Int = 32,
+                  nCodes: Int = 128, nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val delIds = embeddings.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+      .select(col("vec_id"))
+    ivfPqDeleteFrom(embeddings, ivfPqIndex(embeddings, nCells, m, nCodes),
+      delIds, nCells, m, nCodes, nProbes, k)
+  }
+
+  /** Production-shaped core of [[ivfPqDelete]]: given the PERSISTED codes
+    * table and the delete list (ids only), drop the departing rows and
+    * serve ADC search. Probes are the surviving low-id vectors — a deleted
+    * doc does not query — derived from the maintained artifact itself
+    * (semi-join), so the same core serves the %10 delete rung and the %20
+    * write-back cycle without a survivor predicate parameter. */
+  def ivfPqDeleteFrom(embeddings: DataFrame, codesIdx: DataFrame,
+                      delIds: DataFrame, nCells: Int = 16, m: Int = 32,
+                      nCodes: Int = 128, nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val surv = codesIdx.join(broadcast(delIds), Seq("vec_id"), "left_anti")
+    val probeDf = embeddings.filter(col("vec_id") < nProbes)
+      .join(surv.select(col("vec_id")).filter(col("vec_id") < nProbes),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    ivfPqSearchFromCodes(embeddings, surv, nCells, m, nCodes, nProbes, k,
+      probeDf = Some(probeDf))
   }
 
   /** Pure READ path of IVF-PQ serving: score FROM the persisted codes —
@@ -586,13 +649,14 @@ object ProductQuant extends Serializable {
     * this path eliminates), so the oracle is shared verbatim. */
   def ivfPqSearchFromCodes(embeddings: DataFrame, codesIdx: DataFrame,
                            nCells: Int = 16, m: Int = 32, nCodes: Int = 128,
-                           nProbes: Int = 10, k: Int = 3): DataFrame = {
+                           nProbes: Int = 10, k: Int = 3,
+                           probeDf: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val w = Dim / m
     val (cents, cbs) = ivfPqModel(embeddings, nCells, m, nCodes)
     val probes: Array[(Long, Int, Array[Float])] =
-      Probes.resolve(embeddings, None, nProbes)
+      Probes.resolve(embeddings, probeDf, nProbes)
         .as[(Long, Array[Float])]
         .collect().sortBy(_._1).map { case (pid, pv) => (pid, cellOf(cents, pv), pv) }
     val lut: Array[(Long, Int, Double, Array[Array[Double]])] = probes.map { case (pid, pcell, pv) =>
@@ -1016,8 +1080,14 @@ object ProductQuant extends Serializable {
        |QUALIFY rn <= $k""".stripMargin
   }
 
+  /** `survWhere` (a predicate over bare `vec_id`) restricts probes AND
+    * scored candidates to the surviving corpus while the model CTEs keep
+    * deriving from the FULL relation — the frozen-model oracle for the
+    * delete / write-back-cycle maintenance rungs. Default TRUE replays the
+    * full-corpus search unchanged. */
   def ivfPqSearchSql(nCells: Int = 16, m: Int = 32, nCodes: Int = 128,
-                     nProbes: Int = 10, k: Int = 3): String = {
+                     nProbes: Int = 10, k: Int = 3,
+                     survWhere: String = "TRUE"): String = {
     val w = Dim / m
     val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
     val encL2 = VectorOps.l2Sql("sv.sub_e", "c.emb_sub", w)
@@ -1051,13 +1121,14 @@ object ProductQuant extends Serializable {
        |    ${(0 until m).map(s => s"MAX(CASE WHEN s = $s THEN code END) AS c$s").mkString(", ")}
        |  FROM enc GROUP BY 1),
        |probes AS (
-       |  SELECT vec_id AS probe_id, embedding AS pv, cell FROM assigned WHERE vec_id < $nProbes),
+       |  SELECT vec_id AS probe_id, embedding AS pv, cell FROM assigned
+       |  WHERE vec_id < $nProbes AND ($survWhere)),
        |scored AS (
        |  SELECT p.probe_id, n.vec_id AS neighbor_id,
        |    ${(0 until m).map(s =>
              VectorOps.dotSql(s"(p.pv[$s*$w+1 : $s*$w+$w])", s"cb$s.emb_sub", w))
              .foldLeft(s"($baseDot)")((a, b) => s"($a + $b)")} AS approx_score
-       |  FROM encp n
+       |  FROM (SELECT * FROM encp WHERE ($survWhere)) n
        |  JOIN assigned na ON na.vec_id = n.vec_id
        |  ${(0 until m).map(s => s"JOIN cb cb$s ON cb$s.s = $s AND cb$s.code = n.c$s").mkString("\n  ")}
        |  JOIN probes p ON p.cell = na.cell AND n.vec_id <> p.probe_id

@@ -393,6 +393,101 @@ object Stores {
   def semdedupStore(s: SparkSession, d: String): DataFrame =
     Cluster.semdedupPairsFrom(semdedupClusters(s, d))
 
+  /** The BASE-trained frozen semdedup quantizer (cell, embedding) — the
+    * model artifact of the upsert rung, trained once on the base slice
+    * (vec_id%10 != 0) BEFORE any arrival exists (the production
+    * timeline), persisted so the read path never re-trains. Bounded:
+    * ≤ kMax rows of 64 floats. */
+  def semdedupCentsBase(s: SparkSession, d: String): DataFrame =
+    ensureTable(s, "sd_cents_base", d) {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
+      val cents = Cluster.trainCentroids(base, Cluster.scaledK(base), iters = 1)
+      s.createDataset(cents.toSeq).toDF("cell", "embedding")
+    }
+
+  /** The standing BASE-slice partition (cluster, vec_id, embedding) under
+    * the frozen base-trained quantizer, bucketed by cluster. */
+  def semdedupBaseClusters(s: SparkSession, d: String): DataFrame =
+    ensureBucketed(s, "sd_asg_base", d, Seq("cluster"), 32) {
+      val base = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
+      Cluster.assignUnder(base, collectCents(semdedupCentsBase(s, d)))
+    }
+
+  private def collectCents(tbl: DataFrame): Array[(Long, Array[Float])] = {
+    import tbl.sparkSession.implicits._
+    tbl.select(col("cell"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+  }
+
+  /** Read-path semdedup upsert: arrivals assigned under the PERSISTED
+    * frozen model (bounded collect — the model-parameter class), created
+    * pairs joined against the persisted base partition. No per-call
+    * k-means training, no standing row re-assigned. Same oracle as
+    * semdedup_upsert. */
+  def semdedupUpsertStore(s: SparkSession, d: String): DataFrame = {
+    val arrivals = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(10L)) === 0L)
+    Cluster.semdedupUpsertFrom(semdedupBaseClusters(s, d),
+      Cluster.assignUnder(arrivals, collectCents(semdedupCentsBase(s, d))))
+  }
+
+  /** Read-path semdedup delete: the retired-pair join reads BOTH sides
+    * from the persisted cluster-bucketed partition — exchange-free, and
+    * anchored on the departures so only touched cells are scanned. Same
+    * oracle as semdedup_delete. */
+  def semdedupDeleteStore(s: SparkSession, d: String): DataFrame =
+    Cluster.semdedupDeleteFrom(semdedupClusters(s, d),
+      pmod(col("vec_id"), lit(10L)) === 0L)
+
+  /** Cycle 1 of the semdedup write-back loop: arrival batch 1 (%20 == 0)
+    * assigned under the frozen quantizer and appended to the base-slice
+    * partition, departure batch 1 (%20 == 5) dropped, and the maintained
+    * partition WRITTEN BACK to the catalog (cluster-bucketed). */
+  private def ensureSemdedupCycle1(s: SparkSession, d: String): Unit =
+    synchronized {
+      // the frozen quantizer persists WITH the partition (sdc1_cents) so
+      // cycle 2's read path assigns its arrivals from the catalog instead
+      // of re-training over the corpus
+      val cents = collectCents(ensureTable(s, "sdc1_cents", d) {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        s.createDataset(
+          Cluster.trainCentroids(emb, Cluster.scaledK(emb), iters = 1).toSeq)
+          .toDF("cell", "embedding")
+      })
+      val table = s"graft_store_sdc1_asg_${tag(d)}"
+      if (!s.catalog.tableExists(table)) {
+        val emb = Tables.embeddings(s, d)
+        val base = Cluster.assignUnder(emb.filter(!vCyc(0L) && !vCyc(10L)), cents)
+        val arr1 = Cluster.assignUnder(emb.filter(vCyc(0L)), cents)
+        val dep1 = emb.filter(vCyc(5L)).select(col("vec_id"))
+        val asg1 = base.unionByName(arr1)
+          .join(broadcast(dep1), Seq("vec_id"), "left_anti")
+        dropStaleLocation(s, table)
+        Writers.writeBucketedCols(asg1, table, Seq("cluster"), 32)
+      }
+    }
+
+  /** The composed TWO-CYCLE maintained semdedup — cycle 1's partition
+    * written back, cycle 2 (arrivals %20 == 10 assigned + appended,
+    * departures %20 == 15 dropped) served FROM the updated table: the
+    * within-cluster pair set of the post-both-batches corpus. Oracle =
+    * one from-scratch replay over the survivors under the frozen
+    * quantizer (semdedupCycle2Sql). */
+  def semdedupCycle2Store(s: SparkSession, d: String): DataFrame = {
+    ensureSemdedupCycle1(s, d)
+    val emb = Tables.embeddings(s, d)
+    val cents = collectCents(s.table(s"graft_store_sdc1_cents_${tag(d)}"))
+    val arr2 = Cluster.assignUnder(emb.filter(vCyc(10L)), cents)
+    val dep2 = emb.filter(vCyc(15L)).select(col("vec_id"))
+    Cluster.semdedupPairsFrom(
+      s.table(s"graft_store_sdc1_asg_${tag(d)}").unionByName(arr2)
+        .join(broadcast(dep2), Seq("vec_id"), "left_anti"))
+  }
+
   // ---- similarity: k-NN graph store ----------------------------------------
 
   /** The persisted NN-descent k-NN graph (node, nbr, cos) bucketed by node
@@ -807,4 +902,62 @@ object Stores {
     * the per-call corpus encode pass is gone. Same oracle as ann_ivf_pq. */
   def annIvfPqStore(s: SparkSession, d: String): DataFrame =
     ProductQuant.ivfPqSearchFromCodes(Tables.embeddings(s, d), ivfPqCodesStore(s, d))
+
+  /** Read-path IVF-PQ delete: keyed drop of the departing ids from the
+    * PERSISTED codes table (broadcast anti-join — the per-call corpus
+    * encode pass is gone entirely; only the delta ids move) + ADC search
+    * with the surviving probes. Same oracle as ivf_pq_delete. */
+  def ivfPqDeleteStore(s: SparkSession, d: String, nProbes: Int = 10,
+                       k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val delIds = emb.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+      .select(col("vec_id"))
+    ProductQuant.ivfPqDeleteFrom(emb, ivfPqCodesStore(s, d), delIds,
+      nProbes = nProbes, k = k)
+  }
+
+  // ---- ann: IVF-PQ WRITE-BACK cycle ----------------------------------------
+
+  /** Cycle 1 of the IVF-PQ write-back loop: encode arrival batch 1
+    * (vec_id %20 == 0) under the FROZEN (centroids, codebooks) model and
+    * append it to the base-slice codes table, drop departure batch 1
+    * (%20 == 5), and WRITE the maintained codes back to the catalog
+    * (cell-bucketed, the ivfpq_codes layout). Codes are pure per-vector
+    * functions of the frozen model — append + keyed drop, nothing standing
+    * re-encoded. */
+  private def ensureIvfPqCycle1(s: SparkSession, d: String, nCells: Int = 16): Unit =
+    synchronized {
+      // nCells is part of the snapshot identity (the r13 ivfPqCodesStore
+      // advice): a different cell count must build its own store
+      val table = s"graft_store_ipc1_codes${nCells}_${tag(d)}"
+      if (!s.catalog.tableExists(table)) {
+        val emb = Tables.embeddings(s, d)
+        val base = ProductQuant.ivfPqEncodeSlice(
+          emb.filter(!vCyc(0L) && !vCyc(10L)), emb, nCells)
+        val arr1 = ProductQuant.ivfPqEncodeSlice(emb.filter(vCyc(0L)), emb, nCells)
+        val dep1 = emb.filter(vCyc(5L)).select(col("vec_id"))
+        val codes1 = base.unionByName(arr1)
+          .join(broadcast(dep1), Seq("vec_id"), "left_anti")
+        dropStaleLocation(s, table)
+        Writers.writeBucketedCols(codes1, table, Seq("cell"), nCells)
+      }
+    }
+
+  /** The composed TWO-CYCLE maintained IVF-PQ search — cycle 1's maintained
+    * codes written back to the catalog, cycle 2 (arrivals %20 == 10 encoded
+    * + appended, departures %20 == 15 dropped) served FROM the updated
+    * table with the surviving probes. Oracle = the frozen-model ADC replay
+    * over the post-both-batches corpus (ivfPqSearchSql with the %20
+    * survivor restriction) — hash equality proves the persisted codes
+    * compose losslessly across the write-back boundary. */
+  def ivfPqCycle2Store(s: SparkSession, d: String, nCells: Int = 16,
+                       nProbes: Int = 10, k: Int = 3): DataFrame = {
+    ensureIvfPqCycle1(s, d, nCells)
+    val emb = Tables.embeddings(s, d)
+    val arr2 = ProductQuant.ivfPqEncodeSlice(emb.filter(vCyc(10L)), emb, nCells)
+    val dep2 = emb.filter(vCyc(15L)).select(col("vec_id"))
+    ProductQuant.ivfPqDeleteFrom(emb,
+      s.table(s"graft_store_ipc1_codes${nCells}_${tag(d)}").unionByName(arr2),
+      dep2, nCells, nProbes = nProbes, k = k)
+  }
 }

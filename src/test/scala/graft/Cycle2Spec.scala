@@ -53,6 +53,29 @@ class Cycle2Spec extends SparkSpec {
       rows(Dedup.ivfDeleteFrom(idxFinal, noDel)))
   }
 
+  test("ivf-pq write-back cycle: cycle 2 from the updated codes table " +
+    "equals ADC search over the post-both-batches corpus under the frozen model") {
+    val s = spark
+    import graft.operators.ProductQuant
+    val emb = Tables.embeddings(s, dir)
+    val codesFinal = ProductQuant.ivfPqEncodeSlice(
+      emb.filter(!d20("vec_id").isin(5L, 15L)), emb)
+    val noDel = emb.filter(lit(false)).select(col("vec_id"))
+    assert(rows(Stores.ivfPqCycle2Store(s, dir)) ===
+      rows(ProductQuant.ivfPqDeleteFrom(emb, codesFinal, noDel)))
+  }
+
+  test("semdedup write-back cycle: cycle 2 from the updated partition " +
+    "equals the within-cluster pairs of the survivors under the frozen quantizer") {
+    val s = spark
+    import graft.operators.Cluster
+    val emb = Tables.embeddings(s, dir)
+    val cents = Cluster.trainCentroids(emb, Cluster.scaledK(emb), iters = 1)
+    val expected = Cluster.semdedupPairsFrom(
+      Cluster.assignUnder(emb.filter(!d20("vec_id").isin(5L, 15L)), cents))
+    assert(rows(Stores.semdedupCycle2Store(s, dir)) === rows(expected))
+  }
+
   test("graph-ANN write-back cycle: cycle 2 from the persisted maintained " +
     "graph equals two in-memory maintenance passes") {
     val s = spark
@@ -74,7 +97,8 @@ class Cycle2Spec extends SparkSpec {
       s.table(t).queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.headOption.exists(_.relation.bucketSpec.nonEmpty)
-    Seq("bc1_post", "bc1_dl", "cc1_labels", "ag1_graph", "ic1_idx16").foreach { n =>
+    Seq("bc1_post", "bc1_dl", "cc1_labels", "ag1_graph", "ic1_idx16",
+        "ipc1_codes16", "sdc1_asg").foreach { n =>
       val t = s"graft_store_${n}_$tag"
       assert(s.catalog.tableExists(t), s"missing write-back table $t")
       assert(bucketed(t), s"$t must be a bucketed store table")
@@ -104,6 +128,14 @@ class Cycle2Spec extends SparkSpec {
     assert(iv.exists(_.startsWith("graft_store_ic1_idx")))
     assert(!iv.exists(_.startsWith("graft_store_ivf_idx")),
       s"cycle 2 re-read base artifacts: $iv")
+    val pq = scans(Stores.ivfPqCycle2Store(s, dir))
+    assert(pq.exists(_.startsWith("graft_store_ipc1_codes")))
+    assert(!pq.exists(_.startsWith("graft_store_ivfpq_codes_")),
+      s"cycle 2 re-read base artifacts: $pq")
+    val sd = scans(Stores.semdedupCycle2Store(s, dir))
+    assert(sd.exists(_.startsWith("graft_store_sdc1_asg")))
+    assert(!sd.exists(_.startsWith("graft_store_semdedup_asg")),
+      s"cycle 2 re-read base artifacts: $sd")
   }
 
   test("stream-upsert write-back cycle: batch 3 from the UPDATED persisted " +

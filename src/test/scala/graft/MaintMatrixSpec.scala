@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cluster, ProductQuant}
+import graft.sources.{Stores, Tables}
+
+/** Maintenance-direction identities for the two families the r14 session
+  * closed last: IVF-PQ (FAISS add/remove_ids over the persisted codes) and
+  * semdedup (created/retired pair deltas over the trained partition).
+  * Each test pins the algebra the CORRECTNESS gate then re-proves against
+  * DuckDB: maintained state ≡ from-scratch state of the post-change
+  * corpus, delta emission ⊎ unchanged ≡ post-state, and
+  * delete-then-reinsert is the identity. */
+class MaintMatrixSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def isArr = pmod(col("vec_id"), lit(10L)) === 0L
+
+  test("ivf_pq_upsert: base codes + arrival encode under the frozen model " +
+    "serve exactly the from-scratch full-corpus search") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    assert(rows(ProductQuant.ivfPqUpsert(emb)) ===
+      rows(ProductQuant.ivfPqSearchFromCodes(emb, ProductQuant.ivfPqIndex(emb))))
+  }
+
+  test("ivf_pq delete-then-reinsert is the identity on the codes table") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    val codes = ProductQuant.ivfPqIndex(emb)
+    val delIds = emb.filter(isArr).select(col("vec_id"))
+    val reinserted = codes.join(broadcast(delIds), Seq("vec_id"), "left_anti")
+      .unionByName(ProductQuant.ivfPqEncodeSlice(emb.filter(isArr), emb))
+    assert(rows(reinserted.orderBy("vec_id")) === rows(codes.orderBy("vec_id")))
+  }
+
+  test("ivf_pq_delete_store equals the inline delete") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    assert(rows(Stores.ivfPqDeleteStore(s, dir)) ===
+      rows(ProductQuant.ivfPqDelete(emb)))
+  }
+
+  test("semdedup_upsert: created pairs ⊎ standing base pairs = the " +
+    "post-upsert pair set under the base-trained frozen quantizer") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(!isArr)
+    val cents = Cluster.trainCentroids(base, Cluster.scaledK(base), iters = 1)
+    val standingPairs = Cluster.semdedupPairsFrom(Cluster.assignUnder(base, cents))
+    val postPairs = Cluster.semdedupPairsFrom(Cluster.assignUnder(emb, cents))
+    val created = Cluster.semdedupUpsert(emb)
+    assert(rows(created).intersect(rows(standingPairs)).isEmpty,
+      "created pairs must be NEW — no restatement of the standing set")
+    assert(rows(created) ++ rows(standingPairs) === rows(postPairs))
+  }
+
+  test("semdedup_delete: standing pairs ∖ retired = the survivor pair set " +
+    "under the frozen quantizer") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    val cents = Cluster.trainCentroids(emb, Cluster.scaledK(emb), iters = 1)
+    val standingPairs = Cluster.semdedupPairsFrom(Cluster.assignUnder(emb, cents))
+    val survivorPairs = Cluster.semdedupPairsFrom(
+      Cluster.assignUnder(emb.filter(!isArr), cents))
+    val retired = Cluster.semdedupDelete(emb)
+    assert(rows(standingPairs) -- rows(retired) === rows(survivorPairs))
+    assert(rows(retired).subsetOf(rows(standingPairs)),
+      "retired pairs must all have been standing")
+  }
+
+  test("semdedup store twins equal their inline forms") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    assert(rows(Stores.semdedupUpsertStore(s, dir)) ===
+      rows(Cluster.semdedupUpsert(emb)))
+    assert(rows(Stores.semdedupDeleteStore(s, dir)) ===
+      rows(Cluster.semdedupDelete(emb)))
+  }
+
+  test("semdedup upsert read path never trains: the model comes from the " +
+    "persisted cents table") {
+    val s = spark
+    // the store read path's plan touches only catalog store tables + the
+    // raw embeddings scan for the arrival slice — no Lloyd aggregation
+    // (posexplode/groupBy over the corpus) appears in the final plan
+    val plan = Stores.semdedupUpsertStore(s, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("posexplode"),
+      s"read path must not re-train the quantizer:\n$plan")
+  }
+}
