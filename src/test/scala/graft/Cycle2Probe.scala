@@ -18,12 +18,12 @@ import graft.sources.{Stores, Tables}
   *
   *   sbt "Test/runMain graft.Cycle2Probe <dir> [families]"
   *
-  * families: comma-list of bm25,cc,ivf,graph (default all). */
+  * families: comma-list of bm25,cc,ivf,ivfpq,semdedup,graph (default all). */
 object Cycle2Probe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1")
     val fams = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(Set("bm25", "cc", "ivf", "graph"))
+      .getOrElse(Set("bm25", "cc", "ivf", "ivfpq", "semdedup", "graph"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,6 +74,32 @@ object Cycle2Probe {
         Dedup.ivfDeleteFrom(idx, emb.filter(lit(false)).select(col("vec_id"))).count()
       }
       report("ivf", cold, warm, scratch, n)
+    }
+    if (fams("ivfpq")) {
+      import graft.operators.ProductQuant
+      val (n, cold) = t(Stores.ivfPqCycle2Store(spark, dir).count())
+      val (_, warm) = t(Stores.ivfPqCycle2Store(spark, dir).count())
+      val (_, scratch) = t {
+        val emb = Tables.embeddings(spark, dir)
+        val codes = ProductQuant.ivfPqEncodeSlice(
+          emb.filter(!d20("vec_id").isin(5L, 15L)), emb)
+        ProductQuant.ivfPqDeleteFrom(emb, codes,
+          emb.filter(lit(false)).select(col("vec_id"))).count()
+      }
+      report("ivfpq", cold, warm, scratch, n)
+    }
+    if (fams("semdedup")) {
+      import graft.operators.Cluster
+      val (n, cold) = t(Stores.semdedupCycle2Store(spark, dir).count())
+      val (_, warm) = t(Stores.semdedupCycle2Store(spark, dir).count())
+      val (_, scratch) = t {
+        val emb = Tables.embeddings(spark, dir)
+        val cents = Cluster.trainCentroids(emb, Cluster.scaledK(emb), iters = 1)
+        Cluster.semdedupPairsFrom(
+          Cluster.assignUnder(emb.filter(!d20("vec_id").isin(5L, 15L)), cents))
+          .count()
+      }
+      report("semdedup", cold, warm, scratch, n)
     }
     if (fams("graph")) {
       val (n, cold) = t(Stores.annGraphCycle2Store(spark, dir).count())
