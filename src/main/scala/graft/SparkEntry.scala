@@ -287,6 +287,8 @@ object SparkEntry {
     // the probed cells only, zero raw-vector reads; same oracle
     "ann_ivf_pq_store" -> ((s, d) => graft.sources.Stores.annIvfPqStore(s, d)),
     "ivf_pq_upsert" -> ((s, d) => ProductQuant.ivfPqUpsert(Tables.embeddings(s, d))),
+    "ivf_pq_upsert_store" -> ((s, d) => graft.sources.Stores.ivfPqUpsertStore(s, d)),
+    "ivf_pq_drift" -> ((s, d) => ProductQuant.ivfPqDrift(Tables.embeddings(s, d))),
     "ivf_pq_delete" -> ((s, d) => ProductQuant.ivfPqDelete(Tables.embeddings(s, d))),
     "ivf_pq_delete_store" -> ((s, d) => graft.sources.Stores.ivfPqDeleteStore(s, d)),
     "ann_ivf_pq_cycle2" -> ((s, d) => graft.sources.Stores.ivfPqCycle2Store(s, d)),
@@ -631,6 +633,8 @@ object SparkEntry {
     "ann_ivf_pq" -> ProductQuant.ivfPqSearchSql(),
     "ann_ivf_pq_store" -> ProductQuant.ivfPqSearchSql(),
     "ivf_pq_upsert" -> ProductQuant.ivfPqSearchSql(),
+    "ivf_pq_upsert_store" -> ProductQuant.ivfPqSearchSql(),
+    "ivf_pq_drift" -> ProductQuant.ivfPqDriftSql(),
     "ivf_pq_delete" -> ProductQuant.ivfPqSearchSql(survWhere = "vec_id % 10 <> 0"),
     "ivf_pq_delete_store" -> ProductQuant.ivfPqSearchSql(survWhere = "vec_id % 10 <> 0"),
     "ann_ivf_pq_cycle2" ->

@@ -1080,6 +1080,104 @@ object ProductQuant extends Serializable {
        |QUALIFY rn <= $k""".stripMargin
   }
 
+  /** QUANTIZER-DRIFT monitor for the PQ family — the retrain trigger
+    * (FAISS guidance: re-train codebooks when the data distribution
+    * drifts; the residual analog of [[graft.operators.Dedup.ivfUpsert]]'s
+    * occupancy report): per cell, the mean per-subspace quantization
+    * error (min-L2² of each residual subvector to its codebook) of the
+    * BASE population vs the ARRIVAL batch, and a retrain verdict where
+    * the arrivals quantize ≥ `factor`× worse — codewords trained on
+    * yesterday's distribution are spending their resolution in the wrong
+    * place. One narrow kernel pass + one cell-keyed groupBy; errors land
+    * on an exact 2⁻³⁰ grid (floor after the min) so the long sums are
+    * order-free and bit-identical cross-engine. */
+  def ivfPqDrift(embeddings: DataFrame, nCells: Int = 16, m: Int = 32,
+                 nCodes: Int = 128, factor: Double = 1.5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val w = Dim / m
+    val (cents, cbs) = ivfPqModel(embeddings, nCells, m, nCodes)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcCbs = spark.sparkContext.broadcast(cbs)
+    val errs = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val centsL = bcCents.value
+        val cbsL = bcCbs.value
+        iter.flatMap { case (id, v) =>
+          val cell = cellOf(centsL, v)
+          val r = residFor(centsL, cell, v)
+          (0 until m).iterator.map { s =>
+            val sub = r.slice(s * w, s * w + w)
+            var best = Double.PositiveInfinity
+            var c = 0
+            while (c < cbsL(s).length) {
+              val d = l2D(sub, cbsL(s)(c)); if (d < best) best = d; c += 1
+            }
+            (id, cell.toLong, math.floor(best * 1073741824.0).toLong)
+          }
+        }
+      }.toDF("vec_id", "cell", "errq")
+    val isDelta = pmod(col("vec_id"), lit(10L)) === 0L
+    val nB = sum(when(isDelta, 0L).otherwise(1L))
+    val nD = sum(when(isDelta, 1L).otherwise(0L))
+    errs.groupBy(col("cell"))
+      .agg(
+        (nB / m).cast("long").as("n_base"),
+        (nD / m).cast("long").as("n_delta"),
+        (sum(when(!isDelta, col("errq"))).cast("double") / 1073741824.0 /
+          nB.cast("double")).as("err_base"),
+        (sum(when(isDelta, col("errq"))).cast("double") / 1073741824.0 /
+          nD.cast("double")).as("err_delta"))
+      .withColumn("retrain",
+        coalesce(col("err_delta") > col("err_base") * factor, lit(false)))
+  }
+
+  /** Oracle for [[ivfPqDrift]]: the ivfPqSearchSql model/residual preamble,
+    * MIN-L2² per (vec, subspace) floored onto the 2⁻³⁰ grid, long sums. */
+  def ivfPqDriftSql(nCells: Int = 16, m: Int = 32, nCodes: Int = 128,
+                    factor: Double = 1.5): String = {
+    val w = Dim / m
+    val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")
+    val encL2 = VectorOps.l2Sql("sv.sub_e", "c.emb_sub", w)
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cell_id, embedding FROM embeddings WHERE vec_id < $nCells),
+       |assigned AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, c.cell_id AS cell
+       |  FROM embeddings e CROSS JOIN cents c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $ccos DESC, c.cell_id) = 1),
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) AS r
+       |  FROM assigned a JOIN cents c ON c.cell_id = a.cell),
+       |ss AS (SELECT unnest(range(0, $m)) AS s),
+       |cb AS MATERIALIZED (
+       |  SELECT ss.s, r.vec_id AS code, r.r[ss.s*$w+1 : ss.s*$w+$w] AS emb_sub
+       |  FROM resid r CROSS JOIN ss
+       |  WHERE r.vec_id < $nCodes),
+       |sv AS MATERIALIZED (
+       |  SELECT r.vec_id, r.cell, ss.s, r.r[ss.s*$w+1 : ss.s*$w+$w] AS sub_e
+       |  FROM resid r CROSS JOIN ss),
+       |errs AS MATERIALIZED (
+       |  SELECT sv.vec_id, sv.cell,
+       |    CAST(FLOOR(MIN($encL2) * 1073741824.0) AS BIGINT) AS errq
+       |  FROM sv JOIN cb c ON c.s = sv.s
+       |  GROUP BY sv.vec_id, sv.cell, sv.s),
+       |occ AS (
+       |  SELECT cell,
+       |    CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) / $m AS BIGINT) AS n_base,
+       |    CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) / $m AS BIGINT) AS n_delta,
+       |    CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN errq END) AS DOUBLE) / 1073741824.0
+       |      / CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS err_base,
+       |    CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN errq END) AS DOUBLE) / 1073741824.0
+       |      / CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS err_delta
+       |  FROM errs GROUP BY cell)
+       |SELECT cell, n_base, n_delta, err_base, err_delta,
+       |  COALESCE(err_delta > err_base * $factor, FALSE) AS retrain
+       |FROM occ""".stripMargin
+  }
+
   /** `survWhere` (a predicate over bare `vec_id`) restricts probes AND
     * scored candidates to the surviving corpus while the model CTEs keep
     * deriving from the FULL relation — the frozen-model oracle for the

@@ -903,6 +903,28 @@ object Stores {
   def annIvfPqStore(s: SparkSession, d: String): DataFrame =
     ProductQuant.ivfPqSearchFromCodes(Tables.embeddings(s, d), ivfPqCodesStore(s, d))
 
+  /** The BASE-slice persisted IVF-PQ codes (vec_id%10 != 0 encoded under
+    * the frozen model) — the standing artifact of the upsert rung. */
+  def ivfPqCodesBase(s: SparkSession, d: String, nCells: Int = 16): DataFrame =
+    ensureBucketed(s, "ivfpq_codes_base", d, Seq("cell"), nCells) {
+      val emb = Tables.embeddings(s, d)
+      ProductQuant.ivfPqEncodeSlice(
+        emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0L), emb, nCells)
+    }
+
+  /** Read-path IVF-PQ upsert: the arrival batch encoded in one narrow
+    * delta pass (the only encode work in the call) and appended to the
+    * PERSISTED base codes; ADC search served from the union. Same oracle
+    * as ivf_pq_upsert / ann_ivf_pq. */
+  def ivfPqUpsertStore(s: SparkSession, d: String, nProbes: Int = 10,
+                       k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val arr = ProductQuant.ivfPqEncodeSlice(
+      emb.filter(pmod(col("vec_id"), lit(10L)) === 0L), emb)
+    ProductQuant.ivfPqSearchFromCodes(emb,
+      ivfPqCodesBase(s, d).unionByName(arr), nProbes = nProbes, k = k)
+  }
+
   /** Read-path IVF-PQ delete: keyed drop of the departing ids from the
     * PERSISTED codes table (broadcast anti-join — the per-call corpus
     * encode pass is gone entirely; only the delta ids move) + ADC search

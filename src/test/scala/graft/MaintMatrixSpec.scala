@@ -39,6 +39,25 @@ class MaintMatrixSpec extends SparkSpec {
     assert(rows(reinserted.orderBy("vec_id")) === rows(codes.orderBy("vec_id")))
   }
 
+  test("ivf_pq_upsert_store equals the inline upsert") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    assert(rows(Stores.ivfPqUpsertStore(s, dir)) ===
+      rows(ProductQuant.ivfPqUpsert(emb)))
+  }
+
+  test("ivf_pq_drift: per-cell populations partition the corpus and " +
+    "quantization errors are non-negative") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    val drift = ProductQuant.ivfPqDrift(emb).collect()
+    assert(drift.map(r => r.getLong(1) + r.getLong(2)).sum === emb.count())
+    drift.foreach { r =>
+      if (!r.isNullAt(3)) assert(r.getDouble(3) >= 0.0)
+      if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
   test("ivf_pq_delete_store equals the inline delete") {
     val s = spark
     val emb = Tables.embeddings(s, dir)

@@ -66,7 +66,15 @@ object PlanDump {
     // (graph_components_cycle2 / ann_graph_cycle2 are iterative — their
     // store-only contract is pinned by Cycle2Spec, not a lazy dump)
     "bm25_cycle2",         // delta tokenize + maintenance over bc1_* scans
-    "ann_ivf_cycle2")      // frozen-model append/drop over the ic1_idx scan
+    "ann_ivf_cycle2",      // frozen-model append/drop over the ic1_idx scan
+    // r14 session 3: the last two families' maintenance rungs
+    "ivf_pq_upsert_store", // delta encode appended to persisted base codes
+    "ivf_pq_delete_store", // keyed drop from persisted codes, probed-cell scan
+    "ivf_pq_drift",        // narrow error kernel + cell-keyed groupBy
+    "semdedup_upsert_store", // arrival assign off persisted cents, created-pair join
+    "semdedup_delete_store", // retired pairs: bucketed partition both sides
+    "ann_ivf_pq_cycle2",   // frozen-model codes append/drop over ipc1_codes scan
+    "semdedup_cycle2")     // partition append/drop over the sdc1_asg scan
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
