@@ -275,6 +275,9 @@ object SparkEntry {
     // flat form's kMax·targetCell ceiling removed); sub-model stays
     // distributed (cell-keyed join, nothing collected)
     "semdedup_hier" -> ((s, d) => Cluster.semdedupHier(Tables.embeddings(s, d))),
+    "semdedup_hier_store" -> ((s, d) => graft.sources.Stores.semdedupHierStore(s, d)),
+    "semdedup_hier_upsert" -> ((s, d) => Cluster.semdedupHierUpsert(Tables.embeddings(s, d))),
+    "semdedup_hier_delete" -> ((s, d) => Cluster.semdedupHierDelete(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
     "ann_pq_tr" -> ((s, d) => ProductQuant.pqSearchTrained(Tables.embeddings(s, d))),
     "ann_pq_rerank" -> ((s, d) => ProductQuant.pqRerank(Tables.embeddings(s, d))),
@@ -623,6 +626,9 @@ object SparkEntry {
     "semdedup_cycle2" -> Cluster.semdedupCycle2Sql(),
     "semdedup_fixed" -> Cluster.semdedupSql(),
     "semdedup_hier" -> Cluster.semdedupHierSql(),
+    "semdedup_hier_store" -> Cluster.semdedupHierSql(),
+    "semdedup_hier_upsert" -> Cluster.semdedupHierUpsertSql(),
+    "semdedup_hier_delete" -> Cluster.semdedupHierDeleteSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
     "ann_pq_tr" -> ProductQuant.pqSearchTrainedSql(),
     "ann_pq_rerank" -> ProductQuant.pqRerankSql(),

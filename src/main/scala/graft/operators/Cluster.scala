@@ -378,13 +378,28 @@ object Cluster {
   private[graft] def hierAssigned(embeddings: DataFrame, targetCell: Int,
                                   fan: Int, kMin: Int, kMax: Int,
                                   iters: Int): DataFrame = {
+    val (_, seeds, coarse) = hierModel(embeddings, targetCell, fan, kMin, kMax, iters)
+    assignSub(coarse, seeds)
+      .select((col("cell") * lit(4294967296L) + col("sub")).as("cluster"),
+        col("vec_id"), col("embedding"))
+  }
+
+  /** The frozen TWO-LEVEL quantizer trained on `trainRel`: (coarse
+    * centroid array, final sub-centroid DataFrame, materialized coarse
+    * assignment of the training corpus). The model artifacts of the
+    * hierarchical maintenance rungs — assignment of any slice under them
+    * is [[hierAssignUnder]]. */
+  private[graft] def hierModel(trainRel: DataFrame, targetCell: Int,
+                               fan: Int, kMin: Int, kMax: Int, iters: Int)
+      : (Array[(Long, Array[Float])], DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import Iterative._
     // level 1: the flat trained partition at fan× the occupancy target —
     // materialized: consumed by the seed ranking, every sub-Lloyd
     // assignment join, and the final assignment
-    val coarse = semdedupAssigned(embeddings,
-        scaledK(embeddings, targetCell * fan, kMin, kMax), iters)
+    val cents = trainCentroids(trainRel,
+      scaledK(trainRel, targetCell * fan, kMin, kMax), iters)
+    val coarse = assignUnder(trainRel, cents)
       .select(col("cluster").as("cell"), col("vec_id"), col("embedding"))
       .materialize
     // level 2 init: per cell, the first ceil(n_c/targetCell) members in
@@ -412,10 +427,53 @@ object Cluster {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
           x => x.getField("comp")).as("cv"))
     }
+    (cents, seeds, coarse)
+  }
+
+  /** Assign ANY vector slice under the frozen two-level model as
+    * (cluster, vec_id, embedding) — coarse broadcast argmax, then the
+    * cell-keyed sub argmax. A slice vector landing in a coarse cell with
+    * NO training members has no sub-quantizer and drops out (inner join)
+    * — identically on both engines; it seeds the next retrain. */
+  private[graft] def hierAssignUnder(vectors: DataFrame,
+                                     cents: Array[(Long, Array[Float])],
+                                     seeds: DataFrame): DataFrame = {
+    val coarse = assignUnder(vectors, cents)
+      .select(col("cluster").as("cell"), col("vec_id"), col("embedding"))
     assignSub(coarse, seeds)
       .select((col("cell") * lit(4294967296L) + col("sub")).as("cluster"),
         col("vec_id"), col("embedding"))
   }
+
+  /** UPSERT direction for the HIERARCHICAL quantizer — the scale-path
+    * twin of [[semdedupUpsert]]: the two-level model (coarse Lloyd +
+    * per-cell sub-Lloyd) is TRAINED ON BASE and frozen; the arrival
+    * batch pays one coarse broadcast argmax + one cell-keyed sub argmax,
+    * and the rung emits only the created pairs. Oracle = the full
+    * two-level replay trained on the base slice, assignment of the
+    * post-upsert corpus, arrival-touching pairs. */
+  def semdedupHierUpsert(embeddings: DataFrame, targetCell: Int = 64,
+                         fan: Int = 64, kMin: Int = 8, kMax: Int = 4096,
+                         iters: Int = 1, threshold: Double = 0.3): DataFrame = {
+    val isArr = pmod(col("vec_id"), lit(10L)) === 0L
+    val (cents, seeds, coarseTrain) =
+      hierModel(embeddings.filter(!isArr), targetCell, fan, kMin, kMax, iters)
+    val standing = assignSub(coarseTrain, seeds)
+      .select((col("cell") * lit(4294967296L) + col("sub")).as("cluster"),
+        col("vec_id"), col("embedding"))
+    semdedupUpsertFrom(standing,
+      hierAssignUnder(embeddings.filter(isArr), cents, seeds), threshold)
+  }
+
+  /** DELETE direction for the hierarchical quantizer: retired pairs of
+    * the departing batch over the standing two-level partition (model
+    * frozen WITH its training inputs). */
+  def semdedupHierDelete(embeddings: DataFrame, targetCell: Int = 64,
+                         fan: Int = 64, kMin: Int = 8, kMax: Int = 4096,
+                         iters: Int = 1, threshold: Double = 0.3): DataFrame =
+    semdedupDeleteFrom(
+      hierAssigned(embeddings, targetCell, fan, kMin, kMax, iters),
+      pmod(col("vec_id"), lit(10L)) === 0L, threshold)
 
   /** Cell-local argmax-cosine assignment against a sub-centroid DataFrame
     * (ties to the smaller sub id) — the distributed-model counterpart of
@@ -436,16 +494,23 @@ object Cluster {
     * assignment, within-(cell, sub) pair join. */
   def semdedupHierSql(targetCell: Int = 64, fan: Int = 64, kMin: Int = 8,
                       kMax: Int = 4096, iters: Int = 1,
-                      threshold: Double = 0.3): String = {
+                      threshold: Double = 0.3,
+                      trainWhere: String = "TRUE",
+                      pairWhere: String = "TRUE"): String = {
+    // `trainWhere` restricts the TRAINING corpus of BOTH quantizer levels
+    // (the frozen-model maintenance oracles train on the base slice);
+    // assignment (`clustered`) always covers the full relation, and
+    // `pairWhere` restricts the emitted pairs (the delta-emission rungs).
     val kExpr = s"(SELECT LEAST($kMax, GREATEST($kMin, " +
-      s"CAST(CEIL(COUNT(*) / ${targetCell.toLong * fan}.0) AS BIGINT))) FROM embeddings)"
+      s"CAST(CEIL(COUNT(*) / ${targetCell.toLong * fan}.0) AS BIGINT))) " +
+      s"FROM embeddings WHERE ($trainWhere))"
     val cosC = VectorOps.cosineSql("e.embedding", "c.embedding")
     val cosS = VectorOps.cosineSql("m.embedding", "s.cv")
     val cos = VectorOps.cosineSql("a.embedding", "b.embedding")
     val lloyd = (0 until iters).map { i =>
       s"""sasg_$i AS (
          |  SELECT m.cell, s.sub, m.vec_id, m.embedding
-         |  FROM clustered m JOIN seeds_$i s ON m.cell = s.cell
+         |  FROM clustered_t m JOIN seeds_$i s ON m.cell = s.cell
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY m.vec_id
          |    ORDER BY $cosS DESC, s.sub) = 1),
          |scomp_$i AS (
@@ -462,7 +527,11 @@ object Cluster {
          |  SELECT cell, sub, list(CAST(sm / CAST(cnt AS DOUBLE) AS FLOAT) ORDER BY pos) AS cv
          |  FROM scomp_$i GROUP BY cell, sub)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${centsSqlExpr(kExpr, iters)},
+    s"""WITH ${centsSqlExpr(kExpr, iters, trainWhere)},
+       |clustered_t AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, c.cell
+       |  FROM (SELECT * FROM embeddings WHERE ($trainWhere)) e CROSS JOIN cents_$iters c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosC DESC, c.cell) = 1),
        |clustered AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, c.cell
        |  FROM embeddings e CROSS JOIN cents_$iters c
@@ -471,7 +540,7 @@ object Cluster {
        |  SELECT cell, vec_id, embedding,
        |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn,
        |    COUNT(*) OVER (PARTITION BY cell) AS n_c
-       |  FROM clustered),
+       |  FROM clustered_t),
        |seeds_0 AS (
        |  SELECT cell, CAST(rn - 1 AS BIGINT) AS sub, embedding AS cv FROM ranked
        |  WHERE rn <= CAST(CEIL(CAST(n_c AS DOUBLE) / $targetCell) AS BIGINT)),
@@ -484,8 +553,25 @@ object Cluster {
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos
        |FROM final a JOIN final b
        |  ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
-       |WHERE $cos >= $threshold""".stripMargin
+       |WHERE $cos >= $threshold AND ($pairWhere)""".stripMargin
   }
+
+  /** Oracle for [[semdedupHierUpsert]]: both quantizer levels trained on
+    * the base slice, post-upsert corpus assigned, arrival-touching pairs. */
+  def semdedupHierUpsertSql(targetCell: Int = 64, fan: Int = 64, kMin: Int = 8,
+                            kMax: Int = 4096, iters: Int = 1,
+                            threshold: Double = 0.3): String =
+    semdedupHierSql(targetCell, fan, kMin, kMax, iters, threshold,
+      trainWhere = "vec_id % 10 <> 0",
+      pairWhere = "a.vec_id % 10 = 0 OR b.vec_id % 10 = 0")
+
+  /** Oracle for [[semdedupHierDelete]]: full-trained frozen two-level
+    * model, standing pair set restricted to departure-touching pairs. */
+  def semdedupHierDeleteSql(targetCell: Int = 64, fan: Int = 64, kMin: Int = 8,
+                            kMax: Int = 4096, iters: Int = 1,
+                            threshold: Double = 0.3): String =
+    semdedupHierSql(targetCell, fan, kMin, kMax, iters, threshold,
+      pairWhere = "a.vec_id % 10 = 0 OR b.vec_id % 10 = 0")
 
   // ---- DuckDB oracle ----
 

@@ -442,6 +442,23 @@ object Stores {
     Cluster.semdedupDeleteFrom(semdedupClusters(s, d),
       pmod(col("vec_id"), lit(10L)) === 0L)
 
+  /** The persisted HIERARCHICAL two-level semdedup partition (composite
+    * cluster = cell·2³² + sub) bucketed by cluster — the scale-path
+    * quantizer's standing artifact: the two-level train/assign (coarse
+    * Lloyd + per-cell sub-Lloyd) is paid once at ingest. */
+  def semdedupHierClusters(s: SparkSession, d: String): DataFrame =
+    ensureBucketed(s, "sd_hier_asg", d, Seq("cluster"), 32) {
+      Cluster.hierAssigned(Tables.embeddings(s, d), targetCell = 64, fan = 64,
+        kMin = 8, kMax = 4096, iters = 1)
+    }
+
+  /** Read-path hierarchical semdedup: the within-(cell, sub) pair join
+    * over the persisted two-level partition — exchange-free off the one
+    * bucketed table, no per-call two-level training. Same oracle as
+    * semdedup_hier. */
+  def semdedupHierStore(s: SparkSession, d: String): DataFrame =
+    Cluster.semdedupPairsFrom(semdedupHierClusters(s, d))
+
   /** Cycle 1 of the semdedup write-back loop: arrival batch 1 (%20 == 0)
     * assigned under the frozen quantizer and appended to the base-slice
     * partition, departure batch 1 (%20 == 5) dropped, and the maintained

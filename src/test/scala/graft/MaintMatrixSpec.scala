@@ -93,6 +93,38 @@ class MaintMatrixSpec extends SparkSpec {
       "retired pairs must all have been standing")
   }
 
+  test("semdedup_hier_upsert: created pairs ⊎ standing base pairs = the " +
+    "post-upsert pair set under the base-trained two-level model") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    val (cents, seeds, coarseTrain) =
+      Cluster.hierModel(emb.filter(!isArr), 64, 64, 8, 4096, 1)
+    val standing = Cluster.semdedupPairsFrom(
+      Cluster.hierAssignUnder(emb.filter(!isArr), cents, seeds))
+    val postPairs = Cluster.semdedupPairsFrom(
+      Cluster.hierAssignUnder(emb, cents, seeds))
+    val created = Cluster.semdedupHierUpsert(emb)
+    coarseTrain.count() // touch the materialized frame before comparing
+    assert(rows(created).intersect(rows(standing)).isEmpty)
+    assert(rows(created) ++ rows(standing) === rows(postPairs))
+  }
+
+  test("semdedup_hier_delete: standing ∖ retired = survivor pairs under " +
+    "the frozen two-level model; hier store equals inline pairs") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    val standing = Cluster.semdedupPairsFrom(
+      Cluster.hierAssigned(emb, 64, 64, 8, 4096, 1))
+    val retired = Cluster.semdedupHierDelete(emb)
+    val survivors = {
+      val (cents, seeds, _) = Cluster.hierModel(emb, 64, 64, 8, 4096, 1)
+      Cluster.semdedupPairsFrom(
+        Cluster.hierAssignUnder(emb.filter(!isArr), cents, seeds))
+    }
+    assert(rows(standing) -- rows(retired) === rows(survivors))
+    assert(rows(Stores.semdedupHierStore(s, dir)) === rows(standing))
+  }
+
   test("semdedup store twins equal their inline forms") {
     val s = spark
     val emb = Tables.embeddings(s, dir)
