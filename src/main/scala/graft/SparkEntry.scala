@@ -277,6 +277,7 @@ object SparkEntry {
     "semdedup_hier" -> ((s, d) => Cluster.semdedupHier(Tables.embeddings(s, d))),
     "semdedup_hier_store" -> ((s, d) => graft.sources.Stores.semdedupHierStore(s, d)),
     "semdedup_hier_upsert" -> ((s, d) => Cluster.semdedupHierUpsert(Tables.embeddings(s, d))),
+    "semdedup_hier_upsert_store" -> ((s, d) => graft.sources.Stores.semdedupHierUpsertStore(s, d)),
     "semdedup_hier_delete" -> ((s, d) => Cluster.semdedupHierDelete(Tables.embeddings(s, d))),
     "ann_pq" -> ((s, d) => ProductQuant.pqSearch(Tables.embeddings(s, d))),
     "ann_pq_tr" -> ((s, d) => ProductQuant.pqSearchTrained(Tables.embeddings(s, d))),
@@ -628,6 +629,7 @@ object SparkEntry {
     "semdedup_hier" -> Cluster.semdedupHierSql(),
     "semdedup_hier_store" -> Cluster.semdedupHierSql(),
     "semdedup_hier_upsert" -> Cluster.semdedupHierUpsertSql(),
+    "semdedup_hier_upsert_store" -> Cluster.semdedupHierUpsertSql(),
     "semdedup_hier_delete" -> Cluster.semdedupHierDeleteSql(),
     "ann_pq" -> ProductQuant.pqSearchSql(),
     "ann_pq_tr" -> ProductQuant.pqSearchTrainedSql(),

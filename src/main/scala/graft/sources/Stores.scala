@@ -459,6 +459,51 @@ object Stores {
   def semdedupHierStore(s: SparkSession, d: String): DataFrame =
     Cluster.semdedupPairsFrom(semdedupHierClusters(s, d))
 
+  /** The BASE-trained frozen TWO-LEVEL quantizer + base partition — the
+    * three persisted artifacts of the hierarchical upsert rung: coarse
+    * centroids (≤ kMax rows), sub-centroids keyed by cell (the
+    * distributed half of the model), and the standing base partition
+    * bucketed by cluster. Trained once on the base slice, before any
+    * arrival exists. */
+  private def ensureHierBase(s: SparkSession, d: String): Unit = synchronized {
+    val tCents = s"graft_store_sdh_cents_base_${tag(d)}"
+    val tSeeds = s"graft_store_sdh_seeds_base_${tag(d)}"
+    val tAsg = s"graft_store_sdh_asg_base_${tag(d)}"
+    if (!s.catalog.tableExists(tCents) || !s.catalog.tableExists(tSeeds) ||
+        !s.catalog.tableExists(tAsg)) {
+      import s.implicits._
+      val base = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
+      val (cents, seeds, _) =
+        Cluster.hierModel(base, targetCell = 64, fan = 64, kMin = 8,
+          kMax = 4096, iters = 1)
+      dropStaleLocation(s, tCents)
+      s.createDataset(cents.toSeq).toDF("cell", "embedding")
+        .write.mode("overwrite").saveAsTable(tCents)
+      dropStaleLocation(s, tSeeds)
+      seeds.write.mode("overwrite").saveAsTable(tSeeds)
+      dropStaleLocation(s, tAsg)
+      Writers.writeBucketedCols(
+        Cluster.hierAssignUnder(base, cents, seeds), tAsg, Seq("cluster"), 32)
+    }
+  }
+
+  /** Read-path hierarchical semdedup upsert: arrivals assigned under the
+    * PERSISTED two-level model (coarse cents collected — the bounded
+    * model-parameter class; sub-centroids joined from the catalog) and
+    * the created pairs emitted against the persisted base partition. NO
+    * training anywhere in the call. Same oracle as semdedup_hier_upsert. */
+  def semdedupHierUpsertStore(s: SparkSession, d: String): DataFrame = {
+    ensureHierBase(s, d)
+    val arrivals = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(10L)) === 0L)
+    val cents = collectCents(s.table(s"graft_store_sdh_cents_base_${tag(d)}"))
+    Cluster.semdedupUpsertFrom(
+      s.table(s"graft_store_sdh_asg_base_${tag(d)}"),
+      Cluster.hierAssignUnder(arrivals, cents,
+        s.table(s"graft_store_sdh_seeds_base_${tag(d)}")))
+  }
+
   /** Cycle 1 of the semdedup write-back loop: arrival batch 1 (%20 == 0)
     * assigned under the frozen quantizer and appended to the base-slice
     * partition, departure batch 1 (%20 == 5) dropped, and the maintained

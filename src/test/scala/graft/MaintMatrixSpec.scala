@@ -132,6 +132,8 @@ class MaintMatrixSpec extends SparkSpec {
       rows(Cluster.semdedupUpsert(emb)))
     assert(rows(Stores.semdedupDeleteStore(s, dir)) ===
       rows(Cluster.semdedupDelete(emb)))
+    assert(rows(Stores.semdedupHierUpsertStore(s, dir)) ===
+      rows(Cluster.semdedupHierUpsert(emb)))
   }
 
   test("semdedup upsert read path never trains: the model comes from the " +

@@ -24,7 +24,7 @@ object PqSemMaintProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1")
     val fams = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(Set("ivfpq", "semdedup"))
+      .getOrElse(Set("ivfpq", "semdedup", "hier"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -84,6 +84,25 @@ object PqSemMaintProbe {
             cents)).count()
       }
       report("semdedup", "delete_store", buildD, maintD, scratchD, n2)
+    }
+    if (fams("hier")) {
+      // store read path: two-level train paid once at ingest, the pair
+      // join served exchange-free vs the inline per-call two-level train
+      val (_, build) = t(Stores.semdedupHierClusters(spark, dir).count())
+      val (n, maint) = t(Stores.semdedupHierStore(spark, dir).count())
+      val (_, scratch) = t(
+        Cluster.semdedupHier(Tables.embeddings(spark, dir)).count())
+      report("semdedup_hier", "store", build, maint, scratch, n)
+      // delta emission vs full restatement (both gate-coverage forms
+      // paying their train in-call): the upsert emits created pairs only
+      val (n2, up) = t(
+        Cluster.semdedupHierUpsert(Tables.embeddings(spark, dir)).count())
+      report("semdedup_hier", "upsert_vs_restate", 0.0, up, scratch, n2)
+      // the production shape: arrivals assigned under the PERSISTED
+      // two-level model, created pairs off the persisted base partition
+      val (_, buildU) = t(Stores.semdedupHierUpsertStore(spark, dir).count())
+      val (n3, maintU) = t(Stores.semdedupHierUpsertStore(spark, dir).count())
+      report("semdedup_hier", "upsert_store", buildU, maintU, scratch, n3)
     }
     spark.stop()
   }
