@@ -293,20 +293,29 @@ object Cluster {
 
   /** Production-shaped core of [[semdedupUpsert]]: given the PERSISTED
     * standing partition and the (already assigned) arrival rows, emit the
-    * created pairs. Anchored on the arrivals, so only touched cells are
-    * joined; the arrival–arrival half is kept once via the vec_n < vec_m
-    * guard, the arrival–base half regardless of id order (canonicalized
-    * by least/greatest — cosine is bit-symmetric on both engines). */
+    * created pairs. The two member halves join SEPARATELY and the pair
+    * OUTPUTS union — unioning the inputs would discard the standing
+    * table's cluster-bucketed distribution and shuffle the index side,
+    * the one cost that grows with the corpus instead of the batch. With
+    * the O(Δ) arrival side BROADCAST, the standing scan never exchanges
+    * (a broadcast hash join in place); the arrival–arrival half is a
+    * Δ×Δ self-join kept once via the vec_n < vec_m guard, the
+    * arrival–base half regardless of id order (canonicalized by
+    * least/greatest — cosine is bit-symmetric on both engines). */
   def semdedupUpsertFrom(standing: DataFrame, arrivals: DataFrame,
                          threshold: Double = 0.3): DataFrame = {
-    val members = standing.select(col("cluster"), col("vec_id").as("vec_m"),
-        col("embedding").as("em"), lit(false).as("m_arr"))
-      .unionByName(arrivals.select(col("cluster"), col("vec_id").as("vec_m"),
-        col("embedding").as("em"), lit(true).as("m_arr")))
-    arrivals.select(col("cluster"), col("vec_id").as("vec_n"), col("embedding").as("en"))
-      .join(members, Seq("cluster"))
+    val arrN = arrivals.select(col("cluster"), col("vec_id").as("vec_n"),
+      col("embedding").as("en"))
+    val vsBase = standing.select(col("cluster"), col("vec_id").as("vec_m"),
+        col("embedding").as("em"))
+      .join(broadcast(arrN), Seq("cluster"))
       .filter(col("vec_n") =!= col("vec_m"))
-      .filter(!col("m_arr") || (col("vec_n") < col("vec_m")))
+    val vsArr = arrN
+      .join(broadcast(arrivals.select(col("cluster"), col("vec_id").as("vec_m"),
+        col("embedding").as("em"))), Seq("cluster"))
+      .filter(col("vec_n") < col("vec_m"))
+    vsBase.select(col("vec_n"), col("vec_m"), col("en"), col("em"))
+      .unionByName(vsArr.select(col("vec_n"), col("vec_m"), col("en"), col("em")))
       .withColumn("cos", VectorOps.cosine(col("en"), col("em")))
       .filter(col("cos") >= threshold)
       .select(least(col("vec_n"), col("vec_m")).as("vec_a"),

@@ -968,7 +968,9 @@ object Stores {
   /** The BASE-slice persisted IVF-PQ codes (vec_id%10 != 0 encoded under
     * the frozen model) — the standing artifact of the upsert rung. */
   def ivfPqCodesBase(s: SparkSession, d: String, nCells: Int = 16): DataFrame =
-    ensureBucketed(s, "ivfpq_codes_base", d, Seq("cell"), nCells) {
+    // nCells is part of the snapshot identity (the r13 ivfPqCodesStore
+    // advice class): a different cell count must build its own store
+    ensureBucketed(s, s"ivfpq_codes_base$nCells", d, Seq("cell"), nCells) {
       val emb = Tables.embeddings(s, d)
       ProductQuant.ivfPqEncodeSlice(
         emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0L), emb, nCells)

@@ -136,6 +136,34 @@ class MaintMatrixSpec extends SparkSpec {
       rows(Cluster.semdedupHierUpsert(emb)))
   }
 
+  test("semdedup_upsert_store plan: zero shuffle exchange — the standing " +
+    "bucketed scan is probed by the broadcast arrival side in place") {
+    val s = spark
+    Stores.semdedupUpsertStore(s, dir).count() // ensure stores exist
+    val exchanges = Stores.semdedupUpsertStore(s, dir)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(exchanges.isEmpty,
+      s"standing side must never shuffle: ${exchanges.mkString(";")}")
+  }
+
+  test("semdedup_hier_upsert_store plan: the persisted partition scan is " +
+    "never under a shuffle exchange") {
+    val s = spark
+    Stores.semdedupHierUpsertStore(s, dir).count()
+    val shuffledScans = Stores.semdedupHierUpsertStore(s, dir)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.collectLeaves().collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.tableIdentifier.map(_.table).getOrElse("")
+          }
+      }.flatten.filter(_.startsWith("graft_store_sdh_asg_base"))
+    assert(shuffledScans.isEmpty,
+      s"persisted partition must not shuffle: $shuffledScans")
+  }
+
   test("semdedup upsert read path never trains: the model comes from the " +
     "persisted cents table") {
     val s = spark

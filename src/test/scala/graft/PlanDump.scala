@@ -72,6 +72,7 @@ object PlanDump {
     "ivf_pq_delete_store", // keyed drop from persisted codes, probed-cell scan
     "ivf_pq_drift",        // narrow error kernel + cell-keyed groupBy
     "semdedup_upsert_store", // arrival assign off persisted cents, created-pair join
+    "semdedup_hier_upsert_store", // two-level model from catalog, zero training
     "semdedup_delete_store", // retired pairs: bucketed partition both sides
     "ann_ivf_pq_cycle2",   // frozen-model codes append/drop over ipc1_codes scan
     "semdedup_cycle2")     // partition append/drop over the sdc1_asg scan
