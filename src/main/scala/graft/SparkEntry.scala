@@ -202,6 +202,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => Containment.containmentPairs(Tables.documents(s, d))),
     "cms_freq" -> ((s, d) => CountMin.cmsFreq(Tables.documents(s, d))),
+    "cms_turnstile" -> ((s, d) => CountMin.cmsTurnstile(Tables.documents(s, d))),
     // rows-only: transitive clustering is not bounded-depth SQL
     "dedup_resolve" -> ((s, d) => Dedup.resolve(Tables.documents(s, d))),
     "dedup_resolve_inc" -> ((s, d) => ResolveInc.resolveInc(Tables.documents(s, d))),
@@ -664,6 +665,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dedup_containment" -> Containment.containmentPairsSql(),
     "cms_freq" -> CountMin.cmsFreqSql(),
+    "cms_turnstile" -> CountMin.cmsFreqSql(srcWhere = "doc_id % 10 <> 5"),
     "minhash_portable" -> MinhashPortable.minhashPortableSql(),
     "minhash_lsh_portable" -> MinhashPortable.minhashLshPortableSql(),
     "minhash_lsh_upsert" -> MinhashPortable.minhashLshUpsertSql(),

@@ -28,43 +28,99 @@ object CountMin {
 
   val Mod: Long = MinhashPortable.Mod
 
-  /** (term, tf, cms_est) for the top-`probes` exact terms: true count next
-    * to the sketch estimate. Spec asserts est ≥ tf always (the CMS
-    * guarantee); the oracle asserts bit-equality. */
-  def cmsFreq(documents: DataFrame, d: Int = 4, width: Int = 256,
-              probes: Int = 20): DataFrame = {
-    require(d > 0 && width > 0 && probes > 0, s"bad params d=$d width=$width probes=$probes")
-    val tf = documents
+  /** (term, tf) over the corpus slice — the distinct-term aggregate both
+    * sketch builders share. */
+  private def termCounts(documents: DataFrame): DataFrame =
+    documents
       .select(explode(split(trim(col("text")), "\\s+")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("tf"))
-    // per-char fold over the bounded distinct-term vocabulary
-    val hx = tf.withColumn("x",
+
+  /** Per-char base-31 fold over the bounded distinct-term vocabulary. */
+  private def withHash(tf: DataFrame): DataFrame =
+    tf.withColumn("x",
       aggregate(split(col("term"), ""), lit(0L),
         (acc, c) => (acc * 31L + ascii(c)) % Mod))
-    // all d (row, cell) coordinates in ONE pass (a union of d branches
-    // would re-run the distinct-term aggregate d times)
-    val coords = array((0 until d).map { i =>
+
+  /** All d (row, cell) coordinates in ONE pass (a union of d branches
+    * would re-run the distinct-term aggregate d times). */
+  private def coordsCol(d: Int, width: Int) =
+    array((0 until d).map { i =>
       val a = ((i + 1).toLong * 2654435761L) % Mod
       val b = ((i + 1).toLong * 40503L) % Mod
       struct(lit(i.toLong).as("row"),
         ((lit(a) * col("x") + lit(b)) % Mod % width).as("cell"))
     }: _*)
-    val rows = hx.select(col("tf"), explode(coords).as("rc"))
+
+  /** Signed cell contributions of one corpus slice — a CMS is a vector in
+    * an additive group, so a slice's sketch is just its (row, cell, ±tf)
+    * stream and deletion is negation. */
+  private def cellStream(documents: DataFrame, d: Int, width: Int,
+                         sign: Long): DataFrame =
+    withHash(termCounts(documents))
+      .select((col("tf") * sign).as("tf"), explode(coordsCol(d, width)).as("rc"))
       .select(col("rc.row").as("row"), col("rc.cell").as("cell"), col("tf"))
-    val sketch = rows.groupBy(col("row"), col("cell")).agg(sum(col("tf")).as("total"))
-    val probeCells = hx.orderBy(desc("tf"), col("term")).limit(probes)
-      .select(col("term"), col("tf"), explode(coords).as("rc"))
+
+  /** Point estimates for the top-`probes` exact terms of `corpus` against
+    * a (row, cell, total) sketch: MIN over the term's d cells. */
+  private def estimates(corpus: DataFrame, sketch: DataFrame, d: Int,
+                        width: Int, probes: Int): DataFrame = {
+    val probeCells = withHash(termCounts(corpus))
+      .orderBy(desc("tf"), col("term")).limit(probes)
+      .select(col("term"), col("tf"), explode(coordsCol(d, width)).as("rc"))
       .select(col("term"), col("tf"), col("rc.row").as("row"), col("rc.cell").as("cell"))
     probeCells.join(sketch, Seq("row", "cell"))
       .groupBy(col("term"), col("tf"))
       .agg(min(col("total")).as("cms_est"))
   }
 
-  def cmsFreqSql(d: Int = 4, width: Int = 256, probes: Int = 20): String =
+  /** (term, tf, cms_est) for the top-`probes` exact terms: true count next
+    * to the sketch estimate. Spec asserts est ≥ tf always (the CMS
+    * guarantee); the oracle asserts bit-equality. */
+  def cmsFreq(documents: DataFrame, d: Int = 4, width: Int = 256,
+              probes: Int = 20): DataFrame = {
+    require(d > 0 && width > 0 && probes > 0, s"bad params d=$d width=$width probes=$probes")
+    val sketch = cellStream(documents, d, width, 1L)
+      .groupBy(col("row"), col("cell")).agg(sum(col("tf")).as("total"))
+    estimates(documents, sketch, d, width, probes)
+  }
+
+  /** TURNSTILE maintenance of the CMS — the model the sketch is named for
+    * (Cormode & Muthukrishnan's turnstile stream: signed updates, so
+    * deletion is exact negation; the CMS family's delete direction next
+    * to turnstile_distinct's). The standing sketch (base corpus,
+    * doc_id%10 != 0) composes CELL-WISE with an arrival batch (+,
+    * %10 == 0) and a departure batch (−, %10 == 5): three mergeable
+    * (row, cell) streams, one groupBy — no standing cell is ever
+    * rebuilt, and the composed sketch is EXACTLY the from-scratch sketch
+    * of the post-change corpus because the cells live in an additive
+    * group. The registered result serves point estimates for the
+    * post-corpus top terms; the oracle rebuilds the post-corpus sketch
+    * from scratch — hash equality proves signed composition lossless. */
+  def cmsTurnstile(documents: DataFrame, d: Int = 4, width: Int = 256,
+                   probes: Int = 20): DataFrame = {
+    require(d > 0 && width > 0 && probes > 0, s"bad params d=$d width=$width probes=$probes")
+    val cls = pmod(col("doc_id"), lit(10L))
+    val sketch = cellStream(documents.filter(cls =!= 0L), d, width, 1L)
+      .unionByName(cellStream(documents.filter(cls === 0L), d, width, 1L))
+      .unionByName(cellStream(documents.filter(cls === 5L), d, width, -1L))
+      .groupBy(col("row"), col("cell")).agg(sum(col("tf")).as("total"))
+      // a fully-retired cell (total 0) drops from the stored sketch; the
+      // estimate join is unaffected (min over surviving cells only sees
+      // cells its own terms still touch — absent cells cannot be a term's
+      // min because every standing term keeps d positive cells)
+      .filter(col("total") =!= 0L)
+    estimates(documents.filter(cls =!= 5L), sketch, d, width, probes)
+  }
+
+  /** `srcWhere` restricts the sketched corpus — the turnstile oracle
+    * rebuilds the post-change sketch from scratch (doc_id %10 <> 5). */
+  def cmsFreqSql(d: Int = 4, width: Int = 256, probes: Int = 20,
+                 srcWhere: String = "TRUE"): String =
     s"""WITH tf AS (
        |  SELECT term, COUNT(*) AS tf FROM (
-       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents)
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |    FROM documents WHERE ($srcWhere))
        |  WHERE term <> '' GROUP BY 1),
        |hx AS (
        |  SELECT term, tf, list_reduce(

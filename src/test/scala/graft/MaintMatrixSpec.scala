@@ -164,6 +164,19 @@ class MaintMatrixSpec extends SparkSpec {
       s"persisted partition must not shuffle: $shuffledScans")
   }
 
+  test("cms_turnstile: signed composition equals the from-scratch sketch " +
+    "of the post-change corpus, and estimates keep the CMS guarantee") {
+    val s = spark
+    val docs = Tables.documents(s, dir)
+    val composed = graft.operators.CountMin.cmsTurnstile(docs)
+    val scratch = graft.operators.CountMin.cmsFreq(
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 5L))
+    assert(rows(composed) === rows(scratch))
+    composed.collect().foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"est < tf in $r")
+    }
+  }
+
   test("semdedup upsert read path never trains: the model comes from the " +
     "persisted cents table") {
     val s = spark
