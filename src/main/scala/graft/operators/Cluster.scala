@@ -276,8 +276,13 @@ object Cluster {
     * vec_id%10 != 0, quantizer TRAINED ON BASE — frozen before the
     * arrivals exist, the production timeline) takes the arrival batch
     * assigned in one narrow pass, and the operator emits ONLY the pairs
-    * the arrivals CREATE — O(Δ · cell occupancy) compute and emission,
-    * never a restatement of the standing pair set. The oracle re-trains
+    * the arrivals CREATE — O(Δ · cell occupancy) EMISSION, never a
+    * restatement of the standing pair set. Cost honesty: THIS registered
+    * inline form still re-trains the base quantizer and re-assigns the
+    * base slice in-call (oracle-coverage shape — the gate must see the
+    * whole derivation); the O(Δ) COMPUTE claim belongs to
+    * [[semdedupUpsertFrom]] / Stores.semdedupUpsertStore, where the
+    * frozen model and standing partition come persisted. The oracle re-trains
     * the same base-sliced quantizer, assigns the post-upsert corpus, and
     * restricts the pair join to arrival-touching pairs — hash equality
     * proves the delta emission is exactly the from-scratch difference. */

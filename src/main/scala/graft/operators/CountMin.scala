@@ -100,18 +100,34 @@ object CountMin {
   def cmsTurnstile(documents: DataFrame, d: Int = 4, width: Int = 256,
                    probes: Int = 20): DataFrame = {
     require(d > 0 && width > 0 && probes > 0, s"bad params d=$d width=$width probes=$probes")
+    estimates(documents.filter(pmod(col("doc_id"), lit(10L)) =!= 5L),
+      turnstileSketch(documents, d, width), d, width, probes)
+  }
+
+  /** The composed signed sketch itself — package-visible so the spec can
+    * pin the cell-drop claim directly: the (row, cell, total) set of the
+    * composed sketch (retired cells filtered) must equal the from-scratch
+    * sketch of the post-change corpus, which never materializes a zero
+    * cell in the first place. The estimate join is unaffected by the drop
+    * (min over surviving cells only sees cells its own terms still touch —
+    * absent cells cannot be a standing term's min because every standing
+    * term keeps d positive cells). */
+  private[graft] def turnstileSketch(documents: DataFrame, d: Int = 4,
+                                     width: Int = 256): DataFrame = {
     val cls = pmod(col("doc_id"), lit(10L))
-    val sketch = cellStream(documents.filter(cls =!= 0L), d, width, 1L)
+    cellStream(documents.filter(cls =!= 0L), d, width, 1L)
       .unionByName(cellStream(documents.filter(cls === 0L), d, width, 1L))
       .unionByName(cellStream(documents.filter(cls === 5L), d, width, -1L))
       .groupBy(col("row"), col("cell")).agg(sum(col("tf")).as("total"))
-      // a fully-retired cell (total 0) drops from the stored sketch; the
-      // estimate join is unaffected (min over surviving cells only sees
-      // cells its own terms still touch — absent cells cannot be a term's
-      // min because every standing term keeps d positive cells)
       .filter(col("total") =!= 0L)
-    estimates(documents.filter(cls =!= 5L), sketch, d, width, probes)
   }
+
+  /** From-scratch sketch of an arbitrary corpus slice — the spec's
+    * reference side for the turnstile cell identity. */
+  private[graft] def scratchSketch(documents: DataFrame, d: Int = 4,
+                                   width: Int = 256): DataFrame =
+    cellStream(documents, d, width, 1L)
+      .groupBy(col("row"), col("cell")).agg(sum(col("tf")).as("total"))
 
   /** `srcWhere` restricts the sketched corpus — the turnstile oracle
     * rebuilds the post-change sketch from scratch (doc_id %10 <> 5). */

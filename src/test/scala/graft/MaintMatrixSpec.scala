@@ -58,6 +58,23 @@ class MaintMatrixSpec extends SparkSpec {
     }
   }
 
+  test("persisted PQ model (ivfPqModelStore) is bit-identical to the " +
+    "per-call derived model") {
+    val s = spark
+    val emb = Tables.embeddings(s, dir)
+    val (dc, db) = ProductQuant.ivfPqModel(emb, 16, 32, 128)
+    val (pc, pb) = Stores.ivfPqModelStore(s, dir)
+    assert(pc.length === dc.length)
+    pc.zip(dc).foreach { case ((pid, pv), (did, dv)) =>
+      assert(pid === did); assert(pv.toSeq === dv.toSeq)
+    }
+    assert(pb.length === db.length)
+    pb.zip(db).foreach { case (ps, ds) =>
+      assert(ps.length === ds.length)
+      ps.zip(ds).foreach { case (pcw, dcw) => assert(pcw.toSeq === dcw.toSeq) }
+    }
+  }
+
   test("ivf_pq_delete_store equals the inline delete") {
     val s = spark
     val emb = Tables.embeddings(s, dir)
@@ -175,6 +192,18 @@ class MaintMatrixSpec extends SparkSpec {
     composed.collect().foreach { r =>
       assert(r.getLong(2) >= r.getLong(1), s"est < tf in $r")
     }
+  }
+
+  test("cms_turnstile: the stored sketch's (row, cell, total) set equals " +
+    "the from-scratch sketch — retired cells actually drop") {
+    val s = spark
+    val docs = Tables.documents(s, dir)
+    // the composed sketch filters total == 0 cells; the from-scratch
+    // post-change sketch never materializes them — set equality pins the
+    // cell-drop behavior the estimates-only gate can't see
+    assert(rows(graft.operators.CountMin.turnstileSketch(docs)) ===
+      rows(graft.operators.CountMin.scratchSketch(
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 5L))))
   }
 
   test("semdedup upsert read path never trains: the model comes from the " +
