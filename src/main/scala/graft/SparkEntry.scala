@@ -252,9 +252,13 @@ object SparkEntry {
     // read path over the persisted cell-bucketed inverted file: probed
     // cells only (bucket prune), no per-call assignment pass; same oracle
     "ann_ivf_store" -> ((s, d) => graft.sources.Stores.annIvfStore(s, d)),
-    // two-cycle WRITE-BACK: cycle 1's maintained inverted file persisted
-    // back to the catalog, cycle 2 appended/dropped from the UPDATED table
+    // two-cycle WRITE-BACK over O(Δ) DELTA SEGMENTS: each cycle appends
+    // (upserts, tombstones) and search serves the merge-on-read view
     "ann_ivf_cycle2" -> ((s, d) => graft.sources.Stores.ivfCycle2Store(s, d)),
+    // scheduled COMPACTION of the delta store: fold base + segments into
+    // one fresh bucketed base, same search, same oracle — OPTIMIZE is
+    // value-preserving by construction and the hash gate proves it
+    "ann_ivf_compact" -> ((s, d) => graft.sources.Stores.ivfCompactStore(s, d)),
     "ann_ivf_mp" -> ((s, d) => Dedup.annIvfMultiprobe(Tables.embeddings(s, d))),
     "ann_ivf_tr" -> ((s, d) => Cluster.annIvfTrained(Tables.embeddings(s, d))),
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
@@ -681,6 +685,7 @@ object SparkEntry {
     "dedup_resolve_inc_store" -> ResolveInc.resolveIncSql(),
     "dedup_resolve_cycle2" -> ResolveInc.resolveCycle2Sql(),
     "ann_ivf_cycle2" -> Dedup.ivfCycle2Sql(),
+    "ann_ivf_compact" -> Dedup.ivfCycle2Sql(),
     "dedup_resolve_delta" -> ResolveInc.resolveIncDeltaSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)

@@ -276,12 +276,35 @@ object GraphAnn {
 
   /** The MAINTAINED graph after the arrival batch — exposed so the spec
     * can pin the structural contract (arrival adjacency present, untouched
-    * base rows verbatim). */
+    * base rows verbatim). Assembled from [[upsertedGraphDelta]]: untouched
+    * base adjacency verbatim ∪ the touched-node delta — the identity the
+    * write-back cycle's DeltaStore.merged view relies on. */
   private[graft] def upsertedGraph(gBase: DataFrame, embeddings: DataFrame,
                                    kNbrs: Int = 16, entries: Int = 4,
                                    beam: Int = 16, searchRounds: Int = 4,
                                    cap: Int = 64,
                                    arrPred: Column = isArrVec): DataFrame = {
+    import Iterative._
+    val gT = upsertedGraphDelta(gBase, embeddings, kNbrs, entries, beam,
+      searchRounds, cap, arrPred)
+    val gM = gBase
+      .join(gT.select(col("node")).distinct(), Seq("node"), "left_anti")
+      .unionByName(gT).materialize
+    release(gBase); release(gT)
+    gM
+  }
+
+  /** The O(Δ)-write DELTA of the arrival upsert: the full new adjacency
+    * of every TOUCHED node (arrivals ∪ base nodes that adopted a reverse
+    * edge or entered the local descent round) — rows out = O(|touched|·K),
+    * corpus-size-independent. Untouched nodes never appear: a write-back
+    * cycle persists exactly this frame (wholesale per-node pk) instead of
+    * rewriting the whole graph. */
+  private[graft] def upsertedGraphDelta(gBase: DataFrame, embeddings: DataFrame,
+                                        kNbrs: Int = 16, entries: Int = 4,
+                                        beam: Int = 16, searchRounds: Int = 4,
+                                        cap: Int = 64,
+                                        arrPred: Column = isArrVec): DataFrame = {
     import Iterative._
     // `embeddings` is the POST-BATCH corpus (standing ∪ arrivals); arrPred
     // picks the arrival slice — parametrized so the write-back cycle
@@ -302,9 +325,10 @@ object GraphAnn {
     val eArr = topKScored(seedPairs(arrivals, tables = 4, nPlanes = 6,
       ringSpan = 4), embeddings, kNbrs).materialize
     // union graph (arrival nodes are new — base rows can't duplicate; the
-    // two arrival seed sets are base- vs arrival-pointing, also disjoint)
+    // two arrival seed sets are base- vs arrival-pointing, also disjoint).
+    // gBase is NOT released here: the caller still reads it to assemble
+    // the merged graph (untouched rows verbatim)
     val g1 = gBase.unionByName(eNew).unionByName(eArr).materialize
-    release(gBase)
     val touched = eNew.select(col("node"))
       .unionAll(eNew.select(col("nbr").as("node")))
       .unionAll(eArr.select(col("node")))
@@ -331,10 +355,11 @@ object GraphAnn {
       .select(col("node"), explode(col("topk")).as("e"))
       .select(col("node"), col("e.id").as("nbr"))
     val candT = symT.unionAll(nnCapped).distinct()
-    val gT = topKScored(candT, embeddings, kNbrs)
-    val gM = g1.join(touched, Seq("node"), "left_anti").unionByName(gT).materialize
+    // every touched node re-emits its full top-kNbrs adjacency here (each
+    // has ≥1 sym1 edge, so candT covers it) — nodes(gT) IS the touched set
+    val gT = topKScored(candT, embeddings, kNbrs).materialize
     release(eNew); release(eArr); release(g1); release(sym1); release(touched)
-    gM
+    gT
   }
 
   /** DELETE direction: one departure batch (vec_id%10 == 0) removed from

@@ -636,6 +636,47 @@ object GraphOps {
     * traversal. */
   def componentsUpsertFrom(labelsBase: DataFrame, deltaEdges: DataFrame,
                            maxIters: Int = 30): DataFrame = {
+    val (mapping, newNodes) = upsertMergeMapping(labelsBase, deltaEdges, maxIters)
+    // relabel: standing rows plus the batch's brand-new nodes; only labels
+    // in a merged group rewrite (broadcast — the mapping is delta-bounded).
+    // relabel each side BEFORE unioning: a join ABOVE the union pushes its
+    // constraints into Spark 4.1's UnionBase.rewriteConstraints, which
+    // throws NoSuchElementException when a child constraint references a
+    // pre-union attribute; with the union last, nothing rewrites into it
+    def relabel(side: DataFrame): DataFrame = side
+      .join(broadcast(mapping), col("label") === col("old_label"), "left_outer")
+      .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+    relabel(labelsBase).unionByName(relabel(newNodes))
+  }
+
+  /** The CHANGED-ROW delta of [[componentsUpsertFrom]] — what a write-back
+    * cycle actually needs to PERSIST: the batch's brand-new nodes plus the
+    * standing nodes whose label rewrites under the merge mapping. The
+    * standing scan is one broadcast join over the node-bucketed labeling
+    * (no exchange, rows out = O(touched components)); the WRITE is O(Δ)
+    * where persisting the full maintained labeling is O(graph).
+    * Identity: componentsUpsertFrom(base, e) ≡
+    * base ∖ (delta's nodes) ∪ componentsUpsertDelta(base, e) — the
+    * DeltaStore.merged contract, pinned by ComponentsSpec. */
+  def componentsUpsertDelta(labelsBase: DataFrame, deltaEdges: DataFrame,
+                            maxIters: Int = 30): DataFrame = {
+    val (mapping, newNodes) = upsertMergeMapping(labelsBase, deltaEdges, maxIters)
+    // only genuinely-rewriting labels (old ≠ new) mark a base row changed
+    val changing = mapping.filter(col("old_label") =!= col("new_label"))
+    val changedBase = labelsBase
+      .join(broadcast(changing), col("label") === col("old_label"))
+      .select(col("node"), col("new_label").as("label"))
+    val newRelabel = newNodes
+      .join(broadcast(mapping), col("label") === col("old_label"), "left_outer")
+      .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+    changedBase.unionByName(newRelabel)
+  }
+
+  /** Shared derivation of the upsert merge: the delta-bounded label→label
+    * mapping plus the batch's brand-new nodes (with their pre-merge
+    * labels). */
+  private def upsertMergeMapping(labelsBase: DataFrame, deltaEdges: DataFrame,
+                                 maxIters: Int): (DataFrame, DataFrame) = {
     // endpoints via explode, not a self-union: a Union of two aliased
     // projections of the same source trips Spark 4.1's
     // UnionBase.rewriteConstraints once join constraints push into it
@@ -656,17 +697,8 @@ object GraphOps {
       .select(col("la").as("src"), col("lb").as("dst")).distinct()
     val mapping = labelPropagation(labelEdges, maxIters)
       .select(col("node").as("old_label"), col("label").as("new_label"))
-    // relabel: standing rows plus the batch's brand-new nodes; only labels
-    // in a merged group rewrite (broadcast — the mapping is delta-bounded)
     val newNodes = endLab.join(labelsBase.select(col("node")), Seq("node"), "left_anti")
-    // relabel each side BEFORE unioning: a join ABOVE the union pushes its
-    // constraints into Spark 4.1's UnionBase.rewriteConstraints, which
-    // throws NoSuchElementException when a child constraint references a
-    // pre-union attribute; with the union last, nothing rewrites into it
-    def relabel(side: DataFrame): DataFrame = side
-      .join(broadcast(mapping), col("label") === col("old_label"), "left_outer")
-      .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
-    relabel(labelsBase).unionByName(relabel(newNodes))
+    (mapping, newNodes)
   }
 
   /** DELETE direction of connected-components maintenance — the

@@ -185,6 +185,67 @@ object ResolveInc {
     (sigM, keysM, surviving, labelsFinal)
   }
 
+  /** The O(Δ)-WRITE delta decomposition of [[maintainState]] — per
+    * standing artifact, the rows a write-back cycle actually persists
+    * (the r14 shape wrote all four maintained artifacts back in full):
+    *
+    *   - sigU / keysU: the arrival batch's surviving sketch rows — pure
+    *     per-doc functions, O(Δ) by construction (tombstones = the
+    *     departure ids, supplied by the caller);
+    *   - pairsU: the surviving CREATED pairs (delta-created, not retired
+    *     same cycle); pairsT: the retired pair keys — both delta-bounded
+    *     (created pairs touch an arrival, retired pairs touch a
+    *     departure);
+    *   - labelsU: the labeling rows that differ from the base — new nodes
+    *     + relabeled touched nodes; labelsT: base nodes ABSENT from the
+    *     maintained labeling (the departures plus any survivor the delete
+    *     left pair-less — componentsDeleteFrom drops nodes whose touched
+    *     component lost every edge). Both computed as one co-bucketed
+    *     anti-join against the standing labeling (an exchange-free
+    *     compare; rows OUT are O(touched), which is what the write pays).
+    *
+    * Identity (DeltaStoreSpec / the cycle2 oracle): for each artifact,
+    * base ∖ (delta keys) ∪ upserts ≡ the corresponding maintainState
+    * output. */
+  def maintainDeltas(sigBase: DataFrame, keysBase: DataFrame,
+                     pairsBase: DataFrame, labelsBase: DataFrame,
+                     arrivals: DataFrame, departedIds: DataFrame,
+                     nPerms: Int = 16, bands: Int = 4)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import Iterative._
+    val sigDelta = MinhashPortable.minhashPortable(arrivals, nPerms).materialize
+    val keysDelta = MinhashPortable.bandKeys(sigDelta, nPerms / bands)
+    val deltaPairs = MinhashPortable.upsertPairsFrom(sigBase, keysBase,
+      sigDelta, keysDelta, nPerms).materialize
+    val pairsUp = pairsBase.unionByName(deltaPairs).materialize
+    val labelsUp = GraphOps.componentsUpsertFrom(labelsBase,
+      deltaPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val delA = departedIds.select(col("doc_id").as("doc_a"))
+    val delB = departedIds.select(col("doc_id").as("doc_b"))
+    val retired = pairsUp.join(broadcast(delA), Seq("doc_a"), "left_semi")
+      .unionByName(pairsUp.join(broadcast(delB), Seq("doc_b"), "left_semi")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard")))
+    val surviving = pairsUp.join(broadcast(delA), Seq("doc_a"), "left_anti")
+      .join(broadcast(delB), Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val labelsFinal = GraphOps.componentsDeleteFrom(labelsUp,
+      surviving.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      retired.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val delIds = departedIds.select(col("doc_id"))
+    val sigU = sigDelta.join(broadcast(delIds), Seq("doc_id"), "left_anti")
+    val keysU = keysDelta.join(broadcast(delIds), Seq("doc_id"), "left_anti")
+    val pairsU = deltaPairs.join(broadcast(delA), Seq("doc_a"), "left_anti")
+      .join(broadcast(delB), Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val pairsT = retired.select(col("doc_a"), col("doc_b")).distinct()
+    // labelPropagation checkpoints inside componentsDeleteFrom, so the two
+    // diffs below scan a clean materialized frame, not a doubled lineage
+    val labelsU = labelsFinal.join(labelsBase, Seq("node", "label"), "left_anti")
+    val labelsT = labelsBase.select(col("node"))
+      .join(labelsFinal.select(col("node")), Seq("node"), "left_anti")
+    (sigU, keysU, pairsU, pairsT, labelsU, labelsT)
+  }
+
   /** CTE chain (no WITH keyword) computing the fixed-point labeling of the
     * LSH pair graph over one corpus slice, namespaced by `pfx`: emits
     * `p_$pfx` (pairs), `e_$pfx` (symmetric edges), `l_${pfx}_0..rounds`.

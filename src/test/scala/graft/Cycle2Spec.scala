@@ -88,29 +88,42 @@ class Cycle2Spec extends SparkSpec {
     assert(rows(Stores.annGraphCycle2Store(s, dir)) === rows(expected))
   }
 
-  test("cycle-1 write-back artifacts are catalog tables with the store layouts") {
+  test("write-back cycles persist DELTA SEGMENTS: bucketed base + tiny " +
+    "per-cycle upsert/tombstone tables in the catalog") {
     val s = spark
     // the cycle2 stores above have already run; their ensure* builders
-    // must have landed every cycle-1 artifact in the catalog
+    // must have landed the base segment plus both cycles' delta segments
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     def bucketed(t: String): Boolean =
       s.table(t).queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.headOption.exists(_.relation.bucketSpec.nonEmpty)
-    Seq("bc1_post", "bc1_dl", "cc1_labels", "ag1_graph", "ic1_idx16",
-        "ipc1_codes16", "sdc1_asg").foreach { n =>
+    // base segments keep the bucketed store layout (the consuming join's
+    // distribution); bm25's base segments are the standing bm25u_* stores
+    Seq("ivfd_base16", "ipqd_base16", "sdd_base", "ann_graph_b20",
+        "cp_base_labels", "bm25u_post", "bm25u_dl").foreach { n =>
       val t = s"graft_store_${n}_$tag"
-      assert(s.catalog.tableExists(t), s"missing write-back table $t")
+      assert(s.catalog.tableExists(t), s"missing base segment $t")
       assert(bucketed(t), s"$t must be a bucketed store table")
     }
-    Seq("bc1_df", "bc1_sc").foreach { n =>
-      assert(s.catalog.tableExists(s"graft_store_${n}_$tag"),
-        s"missing write-back table graft_store_${n}_$tag")
+    // per-cycle delta segments: O(Δ) upsert + tombstone tables
+    Seq("ivfd16", "ipqd16", "sdd", "bmp", "bmdl").foreach { n =>
+      Seq(s"${n}_u1", s"${n}_t1", s"${n}_u2", s"${n}_t2").foreach { seg =>
+        assert(s.catalog.tableExists(s"graft_store_${seg}_$tag"),
+          s"missing delta segment graft_store_${seg}_$tag")
+      }
+    }
+    // upsert-only families write no tombstone rows but still land both
+    // tables; additive counter families land one signed table per cycle
+    Seq("agd_u1", "agd_u2", "ccd_u1", "ccd_u2",
+        "bmdf_a1", "bmdf_a2", "bmsc_a1", "bmsc_a2").foreach { seg =>
+      assert(s.catalog.tableExists(s"graft_store_${seg}_$tag"),
+        s"missing delta segment graft_store_${seg}_$tag")
     }
   }
 
-  test("cycle 2's standing side scans ONLY the write-back tables, " +
-    "never cycle 1's base artifacts") {
+  test("cycle 2's read path scans the base segment + delta segments — " +
+    "never a rewritten full index") {
     val s = spark
     // pre-AQE physical plan: concrete scan nodes, no listener needed (the
     // two declarative cycle2 rungs; the iterative ones checkpoint eagerly)
@@ -121,21 +134,21 @@ class Cycle2Spec extends SparkSpec {
             .getOrElse(f.relation.location.rootPaths.mkString(","))
       }
     val bm = scans(Stores.bm25Cycle2Store(s, dir, SparkEntry.kwTerms))
-    assert(bm.exists(_.startsWith("graft_store_bc1_")))
-    assert(!bm.exists(_.startsWith("graft_store_bm25u_")),
-      s"cycle 2 re-read base artifacts: $bm")
+    assert(bm.exists(_.startsWith("graft_store_bm25u_post")), s"no base scan: $bm")
+    assert(bm.exists(_.startsWith("graft_store_bmp_u")), s"no delta scan: $bm")
+    assert(!bm.exists(_.startsWith("graft_store_bc1_")),
+      s"cycle 2 read a rewritten full index: $bm")
     val iv = scans(Stores.ivfCycle2Store(s, dir))
-    assert(iv.exists(_.startsWith("graft_store_ic1_idx")))
-    assert(!iv.exists(_.startsWith("graft_store_ivf_idx")),
-      s"cycle 2 re-read base artifacts: $iv")
+    assert(iv.exists(_.startsWith("graft_store_ivfd_base")), s"no base scan: $iv")
+    assert(iv.exists(_.startsWith("graft_store_ivfd16_u")), s"no delta scan: $iv")
+    assert(!iv.exists(_.startsWith("graft_store_ic1_idx")),
+      s"cycle 2 read a rewritten full index: $iv")
     val pq = scans(Stores.ivfPqCycle2Store(s, dir))
-    assert(pq.exists(_.startsWith("graft_store_ipc1_codes")))
-    assert(!pq.exists(_.startsWith("graft_store_ivfpq_codes_")),
-      s"cycle 2 re-read base artifacts: $pq")
+    assert(pq.exists(_.startsWith("graft_store_ipqd_base")), s"no base scan: $pq")
+    assert(pq.exists(_.startsWith("graft_store_ipqd16_u")), s"no delta scan: $pq")
     val sd = scans(Stores.semdedupCycle2Store(s, dir))
-    assert(sd.exists(_.startsWith("graft_store_sdc1_asg")))
-    assert(!sd.exists(_.startsWith("graft_store_semdedup_asg")),
-      s"cycle 2 re-read base artifacts: $sd")
+    assert(sd.exists(_.startsWith("graft_store_sdd_base")), s"no base scan: $sd")
+    assert(sd.exists(_.startsWith("graft_store_sdd_u")), s"no delta scan: $sd")
   }
 
   test("stream-upsert write-back cycle: batch 3 from the UPDATED persisted " +

@@ -61,12 +61,12 @@ object PlanDump {
     "minhash_lsh_upsert_store", // delta sketch ⋈ persisted base index
     "minhash_lsh_upsert_delta", // CDC changefeed: S/K appends + created pairs
     "minhash_lsh_upsert_delta_store", // same feed off the persisted index
-    // write-back cycle matrix: cycle 2's standing side must scan ONLY the
-    // cycle-1 write-back tables (bc1_*/ic1_*), never the base artifacts
+    // write-back cycle matrix (r15 delta segments): the read path scans
+    // the bucketed base segment + the O(Δ) per-cycle delta tables
     // (graph_components_cycle2 / ann_graph_cycle2 are iterative — their
-    // store-only contract is pinned by Cycle2Spec, not a lazy dump)
-    "bm25_cycle2",         // delta tokenize + maintenance over bc1_* scans
-    "ann_ivf_cycle2",      // frozen-model append/drop over the ic1_idx scan
+    // segment contract is pinned by Cycle2Spec, not a lazy dump)
+    "bm25_cycle2",         // merged postings/doclens + summed df/sc segments
+    "ann_ivf_cycle2",      // merge-on-read over ivfd_base + ivfd16 segments
     // r14 session 3: the last two families' maintenance rungs
     "ivf_pq_upsert_store", // delta encode appended to persisted base codes
     "ivf_pq_delete_store", // keyed drop from persisted codes, probed-cell scan
@@ -74,8 +74,8 @@ object PlanDump {
     "semdedup_upsert_store", // arrival assign off persisted cents, created-pair join
     "semdedup_hier_upsert_store", // two-level model from catalog, zero training
     "semdedup_delete_store", // retired pairs: bucketed partition both sides
-    "ann_ivf_pq_cycle2",   // frozen-model codes append/drop over ipc1_codes scan
-    "semdedup_cycle2")     // partition append/drop over the sdc1_asg scan
+    "ann_ivf_pq_cycle2",   // merge-on-read over ipqd_base + ipqd16 segments
+    "semdedup_cycle2")     // merge-on-read over sdd_base + sdd segments
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

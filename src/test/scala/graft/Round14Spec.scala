@@ -54,17 +54,15 @@ class Round14Spec extends SparkSpec {
       .select(col("node").as("doc_id"), col("label").as("canonical_id"),
         (col("node") === col("label")).as("keep"))
     assert(rows(out) === rows(expected))
-    // the write-back actually landed: all four cycle-1 artifacts are
-    // bucketed catalog tables and cycle 2's standing inputs scan them
+    // the write-back actually landed as DELTA SEGMENTS: each of the four
+    // artifacts has both cycles' upsert/tombstone tables in the catalog,
+    // and the bucketed ri_* base segments stay untouched underneath
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    Seq("rc1_sig", "rc1_keys", "rc1_pairs", "rc1_labels").foreach { n =>
-      val t = s"graft_store_${n}_$tag"
-      assert(s.catalog.tableExists(t), s"missing write-back table $t")
-      val scans = s.table(t).queryExecution.executedPlan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    Seq("rsig", "rkeys", "rpairs", "rlab").foreach { n =>
+      Seq(s"${n}_u1", s"${n}_t1", s"${n}_u2", s"${n}_t2").foreach { seg =>
+        assert(s.catalog.tableExists(s"graft_store_${seg}_$tag"),
+          s"missing delta segment graft_store_${seg}_$tag")
       }
-      assert(scans.nonEmpty && scans.head.relation.bucketSpec.nonEmpty,
-        s"$t must be a bucketed store table")
     }
   }
 
