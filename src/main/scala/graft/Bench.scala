@@ -179,6 +179,29 @@ object Bench {
             Recall.recallAtK(Search.knnJoin(embSurv, nProbes = 10, k = 3),
               graft.operators.GraphAnn.annGraphDelete(emb, nProbes = 10, k = 3))
           },
+          // sustained-maintenance quality (r15): four alternating
+          // upsert/delete cycles vs a from-scratch rebuild of the same
+          // final corpus — the number that catches quality decay the
+          // lossless-persistence cycle2 gate cannot see
+          "ann_graph_cycleN@3" -> {
+            val (gM, corpusF) =
+              graft.operators.GraphAnn.maintainedGraphCycleN(emb)
+            Recall.recallAtK(Search.knnJoin(corpusF, nProbes = 10, k = 3),
+              graft.operators.GraphAnn.annGraphSearchFrom(gM, corpusF,
+                nProbes = 10, k = 3, releaseGraph = true))
+          },
+          "ann_graph_rebuildN@3" -> {
+            val corpusF = emb.filter(
+              org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.col("vec_id"),
+                org.apache.spark.sql.functions.lit(40L)) =!= 5L &&
+                org.apache.spark.sql.functions.pmod(
+                  org.apache.spark.sql.functions.col("vec_id"),
+                  org.apache.spark.sql.functions.lit(40L)) =!= 25L)
+            Recall.recallAtK(Search.knnJoin(corpusF, nProbes = 10, k = 3),
+              graft.operators.GraphAnn.annGraphSearch(corpusF,
+                nProbes = 10, k = 3))
+          },
           "ann_ivf_mp@3" -> Recall.recallAtK(
             exact, Dedup.annIvfMultiprobe(emb, nProbes = 10, k = 3)),
           "ann_ivf_tr@3" -> Recall.recallAtK(

@@ -122,6 +122,15 @@ object SparkEntry {
     // two-cycle WRITE-BACK for the k-NN graph: cycle 1's maintained graph
     // persisted back to the catalog, cycle 2 upserted from the UPDATED table
     "ann_graph_cycle2" -> ((s, d) => graft.sources.Stores.annGraphCycle2Store(s, d)),
+    // staleness monitor (retrain trigger): arrivals beating stored worst
+    // edges, bucket-aggregated with an integer verdict; gate form builds
+    // the base graph in-call, the store twin serves the persisted index
+    "ann_graph_drift" -> ((s, d) => GraphAnn.annGraphDrift(Tables.embeddings(s, d))),
+    "ann_graph_drift_store" -> ((s, d) => graft.sources.Stores.annGraphDriftStore(s, d)),
+    // LSH rebucket trigger: per-band bucket-occupancy concentration of
+    // arrivals vs the standing base index, exact counts
+    "minhash_lsh_drift" -> ((s, d) =>
+      MinhashPortable.minhashLshDrift(Tables.documents(s, d))),
     "mmr_rerank" -> ((s, d) => Search.mmrRerank(Tables.embeddings(s, d))),
     "mmr_rerank_dist" -> ((s, d) => Search.mmrRerankDist(Tables.embeddings(s, d))),
     "hybrid_search" -> ((s, d) =>
@@ -602,6 +611,9 @@ object SparkEntry {
     "ann_graph_delete" -> GraphAnn.annGraphDeleteSql(),
     "ann_graph_delete_store" -> GraphAnn.annGraphDeleteSql(),
     "ann_graph_cycle2" -> GraphAnn.annGraphCycle2Sql(),
+    "ann_graph_drift" -> GraphAnn.annGraphDriftSql(),
+    "ann_graph_drift_store" -> GraphAnn.annGraphDriftSql(),
+    "minhash_lsh_drift" -> MinhashPortable.minhashLshDriftSql(),
     "mmr_rerank" -> Search.mmrRerankSql(),
     "mmr_rerank_dist" -> Search.mmrRerankSql(),
     "ivf_upsert" -> Dedup.ivfUpsertSql(),

@@ -443,11 +443,12 @@ object GraphAnn {
     * structural spec (no departed endpoint survives; untouched rows
     * verbatim). */
   private[graft] def deletedGraph(g: DataFrame, embeddings: DataFrame,
-                                  kNbrs: Int = 16): DataFrame = {
+                                  kNbrs: Int = 16,
+                                  delPred: Column = isArrVec): DataFrame = {
     import Iterative._
-    val delN = embeddings.filter(isArrVec).select(col("vec_id").as("node"))
+    val delN = embeddings.filter(delPred).select(col("vec_id").as("node"))
     val delB = delN.select(col("node").as("nbr"))
-    val embSurv = embeddings.filter(!isArrVec)
+    val embSurv = embeddings.filter(!delPred)
     val sym = g.select(col("node"), col("nbr"))
       .unionAll(g.select(col("nbr").as("node"), col("node").as("nbr")))
       .distinct().materialize
@@ -477,6 +478,110 @@ object GraphAnn {
     release(sym); release(surv); release(touched)
     gM
   }
+
+  /** The maintained graph after FOUR alternating upsert/delete cycles —
+    * the sustained-maintenance quality probe (cycle2 proves the
+    * persistence boundary lossless; THIS measures whether index QUALITY
+    * survives repeated touched-scoped repair, the family's known failure
+    * mode). Batch plan over vec_id %40: base corpus excludes classes
+    * {0, 20}; cycle 1 upserts 0s, cycle 2 deletes 5s, cycle 3 upserts
+    * 20s, cycle 4 deletes 25s — final corpus = all but {5, 25}. Returns
+    * (maintained graph, final corpus); Bench records recall@3 of beam
+    * search over it vs exact kNN, next to the from-scratch rebuild's
+    * recall on the same final corpus (`ann_graph_cycleN@3` /
+    * `ann_graph_rebuildN@3`). */
+  def maintainedGraphCycleN(embeddings: DataFrame, kNbrs: Int = 16,
+                            rounds: Int = 4, cap: Int = 64)
+      : (DataFrame, DataFrame) = {
+    def c40(r: Long) = pmod(col("vec_id"), lit(40L)) === r
+    val base = embeddings.filter(!c40(0L) && !c40(20L))
+    val corpus1 = embeddings.filter(!c40(20L))
+    val corpus3 = embeddings.filter(!c40(5L))
+    val g0 = knnGraph(base, kNbrs, rounds = rounds, cap = cap)
+    val g1 = upsertedGraph(g0, corpus1, kNbrs, cap = cap, arrPred = c40(0L))
+    val g2 = deletedGraph(g1, corpus1, kNbrs, delPred = c40(5L))
+    val g3 = upsertedGraph(g2, corpus3, kNbrs, cap = cap, arrPred = c40(20L))
+    val g4 = deletedGraph(g3, corpus3, kNbrs, delPred = c40(25L))
+    (g4, embeddings.filter(!c40(5L) && !c40(25L)))
+  }
+
+  /** Graph-ANN STALENESS monitor — the retrain trigger that completes the
+    * index family's maintenance matrix (the IVF analog is occupancy
+    * drift, the PQ analog residual drift; a k-NN graph's failure mode is
+    * STALE ADJACENCY: stored neighbor lists that the arrival stream has
+    * quietly out-ranked). Per standing node, count the arrivals whose
+    * EXACT cosine beats the node's worst stored edge (the displacement
+    * threshold); aggregate per node-bucket (pmod(node, nBuckets)) into
+    * (n_nodes, n_stale, n_beat) with a retrain verdict where ≥
+    * `threshPct`% of a bucket's nodes are stale — decided by integer
+    * cross-multiplication, so every output value is an exact count or an
+    * exact comparison of identically-derived doubles and the DuckDB
+    * replay hash-matches. Scale shape: the standing graph comes from the
+    * persisted store (no build in the serving call); the scoring pass is
+    * one broadcast nested-loop join of the node-bucketed graph against
+    * the BOUNDED arrival batch — O(N·Δ) narrow work (at 100 TB the
+    * arrivals would pre-bucket by LSH before the join; the monitor's
+    * threshold semantics are unchanged). */
+  def annGraphDriftFrom(gBase: DataFrame, embeddings: DataFrame,
+                        nBuckets: Int = 8, threshPct: Int = 20): DataFrame = {
+    val base = embeddings.filter(!isArrVec)
+    val worst = gBase.groupBy(col("node")).agg(min(col("cos")).as("wcos"))
+    val nodesEmb = worst.join(
+      base.select(col("vec_id").as("node"), col("embedding").as("nv")), "node")
+    val arr = embeddings.filter(isArrVec)
+      .select(col("vec_id").as("aid"), col("embedding").as("av"))
+    val perNode = nodesEmb.join(broadcast(arr), col("aid") =!= col("node"))
+      .withColumn("beats",
+        (VectorOps.cosine(col("nv"), col("av")) > col("wcos")).cast("long"))
+      .groupBy(col("node")).agg(sum(col("beats")).as("nb"))
+    perNode
+      .groupBy(pmod(col("node"), lit(nBuckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum((col("nb") > 0L).cast("long")).as("n_stale"),
+        sum(col("nb")).as("n_beat"))
+      .withColumn("retrain",
+        col("n_stale") * 100L >= col("n_nodes") * threshPct.toLong)
+  }
+
+  /** Gate-coverage form of [[annGraphDriftFrom]]: builds the standing
+    * base graph in-call so the oracle's replay covers the whole
+    * derivation (the registered key uses the persisted store via
+    * Stores.annGraphDriftStore — same values by the ann_graph_store
+    * identity). */
+  def annGraphDrift(embeddings: DataFrame, nBuckets: Int = 8,
+                    threshPct: Int = 20, kNbrs: Int = 16, rounds: Int = 4,
+                    cap: Int = 64): DataFrame =
+    annGraphDriftFrom(knnGraph(embeddings.filter(!isArrVec), kNbrs,
+      rounds = rounds, cap = cap), embeddings, nBuckets, threshPct)
+
+  /** Oracle for the graph staleness monitor: the base-slice build chain
+    * replayed in full, per-node worst stored edge, the arrival
+    * cross-score, and the bucket aggregation with the integer verdict. */
+  def annGraphDriftSql(nBuckets: Int = 8, threshPct: Int = 20,
+                       kNbrs: Int = 16, tables: Int = 4, nPlanes: Int = 6,
+                       ringSpan: Int = 4, rounds: Int = 4,
+                       cap: Int = 64): String =
+    s"""WITH bcorp AS MATERIALIZED (
+       |  SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+       |${buildChainFragSql("bcorp", "b", kNbrs, tables, nPlanes, ringSpan, rounds, cap)},
+       |worst AS (SELECT node, MIN(cos) AS wcos FROM bg_$rounds GROUP BY node),
+       |arr AS (
+       |  SELECT vec_id AS aid, embedding AS av FROM embeddings
+       |  WHERE vec_id % 10 = 0),
+       |pern AS (
+       |  SELECT w.node,
+       |    CAST(SUM(CASE WHEN ${VectorOps.cosineSql("en.embedding", "a.av")} > w.wcos
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |  FROM worst w
+       |  JOIN bcorp en ON en.vec_id = w.node
+       |  JOIN arr a ON a.aid <> w.node
+       |  GROUP BY w.node)
+       |SELECT node % $nBuckets AS bucket, COUNT(*) AS n_nodes,
+       |  CAST(SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+       |  CAST(SUM(nb) AS BIGINT) AS n_beat,
+       |  CAST(SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) * 100
+       |    >= COUNT(*) * $threshPct AS retrain
+       |FROM pern GROUP BY 1""".stripMargin
 
   // ---- SQL fragments shared by the maintenance oracles --------------------
 

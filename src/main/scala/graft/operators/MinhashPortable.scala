@@ -723,4 +723,73 @@ object MinhashPortable {
        |  CAST(LEAST(na, nb) AS DOUBLE) / CAST(GREATEST(na, nb) AS DOUBLE) AS len_ratio,
        |  lang_a = lang_b AS same_lang
        |FROM f""".stripMargin
+
+  /** LSH-INDEX drift monitor — the rebucket trigger that completes the
+    * retrain-trigger matrix (IVF occupancy: ivf_upsert's report; PQ
+    * residual drift: ivf_pq_drift; graph staleness: ann_graph_drift):
+    * per LSH band, the bucket-occupancy CONCENTRATION of the arrival
+    * batch vs the standing base index. An LSH table whose arrivals pile
+    * into few buckets has drifted away from the banding assumption
+    * (near-dup cliques or a shifted shingle distribution) — candidate
+    * generation degenerates toward the bucket² worst case and the band
+    * key recipe should be re-drawn. Verdict per band: arrivals' max
+    * bucket share exceeds `factor`× the base's max bucket share, decided
+    * by INTEGER cross-multiplication (max_delta·tot_base >
+    * factor·max_base·tot_delta) — every output value is an exact count
+    * or an exact-integer comparison, so the DuckDB replay is a direct
+    * hash match (at petabyte counts the cross-products would move to
+    * DECIMAL; bench SFs stay far inside long range). One sketch pass per
+    * slice + two (band, bkey) groupBys — O(corpus) narrow work, the
+    * monitor's contract. */
+  def minhashLshDrift(documents: DataFrame, nPerms: Int = 16, bands: Int = 4,
+                      factor: Long = 2L): DataFrame = {
+    val isArr = pmod(col("doc_id"), lit(10L)) === 0L
+    val rows = nPerms / bands
+    def occ(slice: DataFrame, cnt: String) =
+      bandKeys(minhashPortable(slice, nPerms), rows)
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as(cnt))
+    val aggB = occ(documents.filter(!isArr), "nb")
+      .groupBy(col("band")).agg(sum(col("nb")).as("tot_base"),
+        count(lit(1)).as("buckets_base"), max(col("nb")).as("max_base"))
+    val aggA = occ(documents.filter(isArr), "na")
+      .groupBy(col("band")).agg(sum(col("na")).as("tot_delta"),
+        count(lit(1)).as("buckets_delta"), max(col("na")).as("max_delta"))
+    aggB.join(aggA, Seq("band"), "full_outer")
+      .withColumn("rebucket", coalesce(
+        col("max_delta") * col("tot_base") >
+          lit(factor) * col("max_base") * col("tot_delta"), lit(false)))
+  }
+
+  /** Oracle for [[minhashLshDrift]]: the portable sketch replayed per
+    * slice, the same two-level occupancy aggregation, the same integer
+    * cross-multiplied verdict. */
+  def minhashLshDriftSql(nPerms: Int = 16, bands: Int = 4,
+                         factor: Long = 2L): String = {
+    val rows = nPerms / bands
+    def keysCte(sigRel: String) =
+      s"""SELECT doc_id, CAST(perm // $rows AS BIGINT) AS band,
+         |    STRING_AGG(CAST(minh AS VARCHAR), ',' ORDER BY perm) AS bkey
+         |  FROM $sigRel GROUP BY doc_id, perm // $rows""".stripMargin
+    s"""WITH sigb AS MATERIALIZED (
+       |${minhashPortableSqlFrom("(SELECT * FROM documents WHERE doc_id % 10 <> 0)", nPerms)}),
+       |siga AS MATERIALIZED (
+       |${minhashPortableSqlFrom("(SELECT * FROM documents WHERE doc_id % 10 = 0)", nPerms)}),
+       |kb AS (${keysCte("sigb")}),
+       |ka AS (${keysCte("siga")}),
+       |ob AS (SELECT band, bkey, COUNT(*) AS nb FROM kb GROUP BY 1, 2),
+       |oa AS (SELECT band, bkey, COUNT(*) AS na FROM ka GROUP BY 1, 2),
+       |ab AS (
+       |  SELECT band, CAST(SUM(nb) AS BIGINT) AS tot_base,
+       |    COUNT(*) AS buckets_base, MAX(nb) AS max_base
+       |  FROM ob GROUP BY 1),
+       |aa AS (
+       |  SELECT band, CAST(SUM(na) AS BIGINT) AS tot_delta,
+       |    COUNT(*) AS buckets_delta, MAX(na) AS max_delta
+       |  FROM oa GROUP BY 1)
+       |SELECT COALESCE(ab.band, aa.band) AS band, tot_base, buckets_base,
+       |  max_base, tot_delta, buckets_delta, max_delta,
+       |  COALESCE(max_delta * tot_base > $factor * max_base * tot_delta,
+       |    FALSE) AS rebucket
+       |FROM ab FULL OUTER JOIN aa ON ab.band = aa.band""".stripMargin
+  }
 }

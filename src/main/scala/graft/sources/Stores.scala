@@ -620,6 +620,15 @@ object Stores {
     graft.operators.GraphAnn.annGraphDeleteFrom(knnGraphStore(s, d),
       Tables.embeddings(s, d))
 
+  /** The graph staleness monitor served from the PERSISTED base graph —
+    * the production shape: the monitor runs against the standing index,
+    * never building one. Same oracle as the gate-coverage inline form
+    * (the persisted graph is the inline build bit-exactly — the
+    * ann_graph_store identity). */
+  def annGraphDriftStore(s: SparkSession, d: String): DataFrame =
+    graft.operators.GraphAnn.annGraphDriftFrom(knnGraphStoreBase(s, d),
+      Tables.embeddings(s, d))
+
   // ---- ann: k-NN graph WRITE-BACK cycle ------------------------------------
 
   private def vCyc(r: Long) = pmod(col("vec_id"), lit(20L)) === r
