@@ -268,6 +268,9 @@ object SparkEntry {
     // one fresh bucketed base, same search, same oracle — OPTIMIZE is
     // value-preserving by construction and the hash gate proves it
     "ann_ivf_compact" -> ((s, d) => graft.sources.Stores.ivfCompactStore(s, d)),
+    // FOUR delta cycles folded merge-on-read — the segment-list regime
+    // the compaction cadence amortizes; oracle = %40-survivor search
+    "ann_ivf_cycle4" -> ((s, d) => graft.sources.Stores.ivfCycle4Store(s, d)),
     "ann_ivf_mp" -> ((s, d) => Dedup.annIvfMultiprobe(Tables.embeddings(s, d))),
     "ann_ivf_tr" -> ((s, d) => Cluster.annIvfTrained(Tables.embeddings(s, d))),
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
@@ -698,6 +701,7 @@ object SparkEntry {
     "dedup_resolve_cycle2" -> ResolveInc.resolveCycle2Sql(),
     "ann_ivf_cycle2" -> Dedup.ivfCycle2Sql(),
     "ann_ivf_compact" -> Dedup.ivfCycle2Sql(),
+    "ann_ivf_cycle4" -> Dedup.ivfCycle4Sql(),
     "dedup_resolve_delta" -> ResolveInc.resolveIncDeltaSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)

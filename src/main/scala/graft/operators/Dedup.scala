@@ -612,6 +612,12 @@ object Dedup {
   def ivfCycle2Sql(nCells: Int = 16, nProbes: Int = 10, k: Int = 3): String =
     ivfSurvivorSearchSql("vec_id % 20 NOT IN (5, 15)", nCells, nProbes, k)
 
+  /** Oracle for the FOUR-cycle delta-segment rung (Stores.ivfCycle4Store):
+    * same frozen-model cell-local search, survivors = everything but the
+    * four departure batches (vec_id %40 ∉ {5, 15, 25, 35}). */
+  def ivfCycle4Sql(nCells: Int = 16, nProbes: Int = 10, k: Int = 3): String =
+    ivfSurvivorSearchSql("vec_id % 40 NOT IN (5, 15, 25, 35)", nCells, nProbes, k)
+
   private def ivfSurvivorSearchSql(survWhere: String, nCells: Int,
                                    nProbes: Int, k: Int): String = {
     val ccos = VectorOps.cosineSql("e.embedding", "c.embedding")

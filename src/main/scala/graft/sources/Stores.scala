@@ -1013,6 +1013,38 @@ object Stores {
       nProbes, k)
   }
 
+  /** The FOUR-CYCLE delta store — the segment list past cycle 2, the
+    * regime the compaction cadence exists for: base = vec_id %40 ∉
+    * arrivals {0,10,20,30}; cycles i = 1..4 each append (assigned
+    * arrival batch 10(i−1), departure tombstones 10(i−1)+5) and the
+    * search folds FOUR segments merge-on-read. Oracle = frozen-model
+    * cell-local search over the %40 survivors (ivfCycle4Sql) — hash
+    * equality proves the longer fold stays lossless. */
+  private def a40(r: Long) = pmod(col("vec_id"), lit(40L)) === r
+
+  private def ivfDelta4Base(s: SparkSession, d: String, nCells: Int): DataFrame =
+    ensureBucketed(s, s"ivfq_base$nCells", d, Seq("cell"), nCells) {
+      val emb = Tables.embeddings(s, d)
+      Dedup.ivfAssign(
+        emb.filter(!a40(0L) && !a40(10L) && !a40(20L) && !a40(30L)),
+        Dedup.frozenCents(emb, nCells))
+    }
+
+  def ivfCycle4Store(s: SparkSession, d: String, nCells: Int = 16,
+                     nProbes: Int = 10, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    lazy val cents = Dedup.frozenCents(emb, nCells)
+    (1 to 4).foreach { i =>
+      DeltaStore.writeCycle(s, s"ivfq$nCells", d, i,
+        Dedup.ivfAssign(emb.filter(a40(10L * (i - 1))), cents),
+        emb.filter(a40(10L * (i - 1) + 5L)).select(col("vec_id")))
+    }
+    Dedup.ivfSearchFromIndex(
+      DeltaStore.merged(s, s"ivfq$nCells", d, ivfDelta4Base(s, d, nCells),
+        Seq("vec_id"), cycles = 4),
+      nProbes, k)
+  }
+
   /** COMPACTION rung of the IVF delta store — the scheduled OPTIMIZE job:
     * fold base + both delta segments into one fresh cell-bucketed base
     * and serve the same search from it. Same oracle as ann_ivf_cycle2
