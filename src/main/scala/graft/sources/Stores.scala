@@ -1069,12 +1069,21 @@ object Stores {
     * rung's 'only the delta ids move' claim was paying an O(corpus)
     * model pass per invocation). nCells is part of the snapshot
     * identity, like the codes stores. */
+  /** Per-JVM memo of the loaded model arrays — the model is an immutable
+    * pure function of the snapshot, so repeated serving calls skip the
+    * two (tiny but job-scheduling-priced) table collects; a real
+    * deployment holds the loaded model in the serving process exactly
+    * like this. */
+  private val ipqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ProductQuant.PqModel]()
+
   def ivfPqModelStore(s: SparkSession, d: String, nCells: Int = 16,
                       m: Int = 32, nCodes: Int = 128): ProductQuant.PqModel =
     synchronized {
       val tc = s"graft_store_ipq_cents${nCells}_${tag(d)}"
       val tb = s"graft_store_ipq_cbs${nCells}_${tag(d)}"
       if (!s.catalog.tableExists(tc) || !s.catalog.tableExists(tb)) {
+        ipqModelCache.remove(tc)
         val model = ProductQuant.ivfPqModel(Tables.embeddings(s, d), nCells, m, nCodes)
         val (centsDf, cbsDf) = ProductQuant.modelToTables(s, model)
         dropStaleLocation(s, tc)
@@ -1082,7 +1091,8 @@ object Stores {
         dropStaleLocation(s, tb)
         cbsDf.write.mode("overwrite").saveAsTable(tb)
       }
-      ProductQuant.modelFromTables(s.table(tc), s.table(tb))
+      ipqModelCache.computeIfAbsent(tc,
+        _ => ProductQuant.modelFromTables(s.table(tc), s.table(tb)))
     }
 
   /** Standing IVF-PQ codes (vec_id, cell, codes) bucketed by cell — the
