@@ -271,6 +271,10 @@ object SparkEntry {
     // FOUR delta cycles folded merge-on-read — the segment-list regime
     // the compaction cadence amortizes; oracle = %40-survivor search
     "ann_ivf_cycle4" -> ((s, d) => graft.sources.Stores.ivfCycle4Store(s, d)),
+    // segment manifest off the PERSISTED tables — the compaction
+    // scheduler's input; oracle counts the %40 batch classes from the
+    // corpus, so the hash gate proves segments == batch algebra
+    "ivf_segment_manifest" -> ((s, d) => graft.sources.Stores.ivfSegmentManifest(s, d)),
     "ann_ivf_mp" -> ((s, d) => Dedup.annIvfMultiprobe(Tables.embeddings(s, d))),
     "ann_ivf_tr" -> ((s, d) => Cluster.annIvfTrained(Tables.embeddings(s, d))),
     "doc_cluster" -> ((s, d) => Cluster.kmeans(Tables.embeddings(s, d))),
@@ -702,6 +706,16 @@ object SparkEntry {
     "ann_ivf_cycle2" -> Dedup.ivfCycle2Sql(),
     "ann_ivf_compact" -> Dedup.ivfCycle2Sql(),
     "ann_ivf_cycle4" -> Dedup.ivfCycle4Sql(),
+    "ivf_segment_manifest" -> {
+      val base = "SELECT 'base' AS segment, 'base' AS kind, COUNT(*) AS n_rows " +
+        "FROM embeddings WHERE vec_id % 40 NOT IN (0, 10, 20, 30)"
+      val segs = (1 to 4).flatMap { i =>
+        Seq(
+          s"SELECT 'u$i', 'upsert', COUNT(*) FROM embeddings WHERE vec_id % 40 = ${10 * (i - 1)}",
+          s"SELECT 't$i', 'tombstone', COUNT(*) FROM embeddings WHERE vec_id % 40 = ${10 * (i - 1) + 5}")
+      }
+      (base +: segs).mkString("\nUNION ALL\n")
+    },
     "dedup_resolve_delta" -> ResolveInc.resolveIncDeltaSql(),
     // dedup_minhash_lsh, dedup_simhash, minhash_signature: rows-only
     // (xxhash64-based families not SQL-portable)

@@ -135,6 +135,26 @@ object DeltaStore {
     else agg.filter(values.map(v => col(v) =!= 0L).reduce(_ || _))
   }
 
+  /** The (segment, kind, n_rows) MANIFEST of a delta store — the catalog
+    * metadata a compaction scheduler consumes (the input shape of
+    * operators/Compaction.compactionPlan: segments are the "files", row
+    * counts the "sizes"; a scheduler bins small segments into rewrite
+    * jobs exactly like OPTIMIZE bins small files). Counts come from the
+    * PERSISTED segment tables, so a registered manifest's hash gate
+    * proves the landed segments carry exactly the batch algebra the
+    * cycle writers claim — a missing tombstone or a double-written
+    * upsert breaks the hash. Bounded: one count job per segment,
+    * metadata-sized output. */
+  def manifest(s: SparkSession, name: String, d: String, base: DataFrame,
+               cycles: Int): DataFrame = {
+    import s.implicits._
+    val rows = (("base", "base", base.count())) +:
+      (1 to cycles).flatMap(i => Seq(
+        (s"u$i", "upsert", s.table(uTable(name, d, i)).count()),
+        (s"t$i", "tombstone", s.table(tTable(name, d, i)).count())))
+    s.createDataset(rows.toSeq).toDF("segment", "kind", "n_rows")
+  }
+
   // ---- spec / probe support ------------------------------------------------
 
   /** (upsert rows, tombstone rows) of one persisted cycle — the numbers

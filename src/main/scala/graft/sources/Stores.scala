@@ -1030,8 +1030,7 @@ object Stores {
         Dedup.frozenCents(emb, nCells))
     }
 
-  def ivfCycle4Store(s: SparkSession, d: String, nCells: Int = 16,
-                     nProbes: Int = 10, k: Int = 3): DataFrame = {
+  private def ensureIvfDeltas4(s: SparkSession, d: String, nCells: Int): Unit = {
     val emb = Tables.embeddings(s, d)
     lazy val cents = Dedup.frozenCents(emb, nCells)
     (1 to 4).foreach { i =>
@@ -1039,10 +1038,27 @@ object Stores {
         Dedup.ivfAssign(emb.filter(a40(10L * (i - 1))), cents),
         emb.filter(a40(10L * (i - 1) + 5L)).select(col("vec_id")))
     }
+  }
+
+  def ivfCycle4Store(s: SparkSession, d: String, nCells: Int = 16,
+                     nProbes: Int = 10, k: Int = 3): DataFrame = {
+    ensureIvfDeltas4(s, d, nCells)
     Dedup.ivfSearchFromIndex(
       DeltaStore.merged(s, s"ivfq$nCells", d, ivfDelta4Base(s, d, nCells),
         Seq("vec_id"), cycles = 4),
       nProbes, k)
+  }
+
+  /** The four-cycle IVF delta store's SEGMENT MANIFEST — the catalog
+    * metadata a compaction scheduler bins (compaction_plan's input
+    * shape). Counts read the PERSISTED tables; the oracle counts the
+    * corresponding %40 batch classes straight from the corpus — hash
+    * equality proves the landed segments carry exactly the batch
+    * algebra (a missing tombstone or double-written upsert breaks it). */
+  def ivfSegmentManifest(s: SparkSession, d: String, nCells: Int = 16): DataFrame = {
+    ensureIvfDeltas4(s, d, nCells)
+    DeltaStore.manifest(s, s"ivfq$nCells", d, ivfDelta4Base(s, d, nCells),
+      cycles = 4)
   }
 
   /** COMPACTION rung of the IVF delta store — the scheduled OPTIMIZE job:
