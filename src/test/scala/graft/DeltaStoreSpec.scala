@@ -103,6 +103,30 @@ class DeltaStoreSpec extends SparkSpec {
     assert(rows(mergedDf) === rows(scratchDf))
   }
 
+  test("the probed-cell filter pushes THROUGH the merge view to a " +
+    "bucket-pruned base-segment scan") {
+    val s = spark
+    // pre-AQE physical plan: concrete scan nodes (the Cycle2Spec pattern —
+    // executedPlan wraps everything in an unexecuted AdaptiveSparkPlan)
+    val plan = Stores.ivfCycle2Store(s, dir).queryExecution.sparkPlan
+    val baseScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("graft_store_ivfd_base")) => f
+    }
+    assert(baseScans.nonEmpty, "expected a base-segment scan")
+    val sc = baseScans.head
+    assert(sc.bucketedScan, "base segment must scan bucketed")
+    // the anti-join + union above the scan must not block pushdown: the
+    // probed-cell In() restriction reaches the parquet scan and prunes
+    // buckets (SelectedBucketsCount < total) — the read stays
+    // probed-cells-only exactly as the single-table store did
+    assert(sc.metadata.get("PushedFilters").exists(_.contains("In(cell")),
+      s"cell filter not pushed: ${sc.metadata.get("PushedFilters")}")
+    assert(sc.optionalNumCoalescedBuckets.isEmpty &&
+      sc.toString.contains("SelectedBucketsCount"),
+      "expected a bucket-pruned scan")
+  }
+
   test("compaction preserves the merged view and resets to one bucketed " +
     "segment") {
     val s = spark
