@@ -84,6 +84,12 @@ object GraphAnn {
       .filter(col("node") =!= col("nbr")).distinct()
   }
 
+  /** Probe-only visibility into the seed pass ([[AnnCostProbe]]'s stage
+    * decomposition — seedPairs itself stays private). */
+  private[graft] def seedPairsProbe(embeddings: DataFrame, tables: Int = 4,
+                                    nPlanes: Int = 6, ringSpan: Int = 4): DataFrame =
+    seedPairs(embeddings, tables, nPlanes, ringSpan)
+
   /** Exact-cosine scores for candidate pairs — the embedding-fetch join
     * that dominates a descent round's cost (two 64-float vectors + 128
     * MACs per pair). Kept separate from the ranking tail so already-

@@ -769,6 +769,48 @@ object GraphOps {
       .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
   }
 
+  /** Probe-only: the round-1 propagate frame of [[labelPropagation]],
+    * UNEXECUTED — the loop body's plan for the PlanSnap before/after
+    * artifacts (the loop itself checkpoints eagerly, so the registered
+    * query's lazy plan is just a checkpoint scan). Mirrors the loop body
+    * verbatim; labels0 = every node its own label. */
+  private[graft] def labelPropRoundProbe(edgeTable: DataFrame): DataFrame = {
+    val edges = edgeTable.select(col("src"), col("dst"))
+    val labels = selfLoopedSym(edges).filter(col("self"))
+      .select(col("src").as("node"))
+      .withColumn("label", col("node"))
+    propagateOnce(selfLoopedSym(edges), labels)
+  }
+
+  /** The symmetrized edge set PLUS one `self` row per node — the frame
+    * every propagate round joins. The self row carries the node's own
+    * label through its own aggregation group, which (r15 optimization)
+    * lets [[propagateOnce]] emit `(new_label, old_label)` straight from
+    * the aggregate — the per-round label-update join (a node-sized
+    * SortMergeJoin + Exchange in the committed before-plan) disappears,
+    * and the node set is preserved without it (every node appears as its
+    * own dst). */
+  private def selfLoopedSym(edges: DataFrame): DataFrame = {
+    val sym0 = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    sym0.select(col("src"), col("dst"), lit(false).as("self"))
+      .unionAll(sym0.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"), lit(true).as("self")))
+  }
+
+  /** One propagate step of [[labelPropagation]] — shared by the loop and
+    * the PlanSnap probe so the committed plan artifact IS the loop body.
+    * `sym` must be [[selfLoopedSym]]-shaped: exactly one self row per
+    * node, so `old_label` (the min over the single self contribution) IS
+    * the node's previous label and `chg` matches the pre-r15 spelling
+    * `coalesce(nmin, label) < label` row for row. */
+  private def propagateOnce(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym.join(labels.hint("SHUFFLE_HASH"), col("src") === col("node"))
+      .groupBy(col("dst"))
+      .agg(min(col("label")).as("new_label"),
+        min(when(col("self"), col("label"))).as("old_label"))
+      .select(col("dst").as("node"), col("new_label"),
+        (col("new_label") < col("old_label")).as("chg"))
+
   /** Generic min-label propagation over ANY `(src, dst)` edge table —
     * reused by connectedComponents (co-purchase graph) and by dedup
     * cluster resolution (near-dup pair graph). Returns (node, label)
@@ -785,41 +827,44 @@ object GraphOps {
     // (HitsPlanProbe) which silently resurrects the per-round exchange;
     // the SHUFFLE_HASH hint on the node-sized labels side keeps the
     // edge side sort-free as well.
-    val sym = edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).persist()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).materialize
+    val sym = selfLoopedSym(edges).repartition(col("src")).persist()
     var changed = 1L
     var it = 0
+    // pointer jumping: follow label → label-of-label, halving chain depth
+    // each jump (label propagation alone needs diameter rounds; with
+    // compression convergence is O(log diameter)). label values are always
+    // member ids, so the lookup always matches — left_outer + coalesce is
+    // belt-and-braces, same values.
+    def jump(cur: DataFrame): DataFrame = cur.as("a")
+      .join(cur.select(col("node").as("ln"), col("label").as("ll")).as("b"),
+        col("a.label") === col("b.ln"), "left_outer")
+      .select(col("a.node").as("node"),
+        least(col("a.label"), coalesce(col("ll"), col("a.label"))).as("label"))
+    // labels0 = every node its own label — read off the persisted frame's
+    // self rows (no second distinct over the edge set). Lazy: round 1's
+    // propagate computes the filter inline, a single reference.
+    var labels = sym.filter(col("self")).select(col("src").as("node"))
+      .withColumn("label", col("node"))
+    var prevRound: DataFrame = null
     try {
     while (changed > 0 && it < maxIters) {
-      val neighborMin = sym
-        .join(labels.hint("SHUFFLE_HASH"), col("src") === col("node"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
       // carry the change flag through the update so convergence detection
       // is a cheap count on the materialized round, not a second join
-      val propagated = labels
-        .join(neighborMin, col("node") === col("dst"), "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("chg")).materialize
+      val propagated = propagateOnce(sym, labels).materialize
       changed = propagated.filter(col("chg")).count()
-      // pointer jumping: follow label → label-of-label, halving chain depth
-      // each round (label propagation alone needs diameter rounds; with
-      // compression convergence is O(log diameter))
-      val cur = propagated.select(col("node"), col("new_label").as("label"))
-      val next = cur.as("a")
-        .join(cur.select(col("node").as("ln"), col("label").as("ll")).as("b"),
-          col("a.label") === col("b.ln"), "left_outer")
-        .select(col("a.node").as("node"),
-          least(col("a.label"), coalesce(col("ll"), col("a.label"))).as("label")).materialize
-      // the new round is materialized — the previous labels and the interim
-      // propagated frame are superseded; free their blocks now instead of
-      // pinning O(rounds) node-sized frames for the session
-      release(labels); release(propagated)
+      val next =
+        jump(propagated.select(col("node"), col("new_label").as("label"))).materialize
+      // superseded checkpoints are unreferenced once the new round is
+      // materialized — free their blocks instead of pinning O(rounds)
+      // node-sized frames for the session
+      release(prevRound); release(propagated)
+      prevRound = next
       labels = next
       it += 1
     }
+    // maxIters == 0: labels is still the lazy filter over loop-scoped
+    // frames — pin it before the finally releases them
+    if (prevRound == null) labels = labels.materialize
     // the returned plan scans only the final labels checkpoint — the edge
     // tables were loop-only; finally-scoped so a failed job can't pin them
     } finally { sym.unpersist(blocking = false); release(edges) }

@@ -15,10 +15,19 @@ private[operators] object Iterative {
     * `sparkContext.setCheckpointDir`) to switch every per-round
     * materialization to reliable `checkpoint()` on cluster storage. */
   implicit class Materialize(private val df: DataFrame) extends AnyVal {
+    /** Both checkpoint flavors INHERIT the child plan's estimated
+      * Statistics (Spark 4 `LogicalRDD.fromDataset`); join estimates are
+      * products, so iterative self-joins over the previous round's
+      * checkpoint square the inherited BigInt every round — exponential-
+      * bit-length driver arithmetic by round ~10 (measured: a minutes-long
+      * single-threaded stall inside stats estimation). Capping at the
+      * materialize boundary keeps every round's estimate word-sized; see
+      * Bridge.capCheckpointStats for why the cap is semantics-free. */
     def materialize: DataFrame =
-      if (df.sparkSession.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean)
-        df.checkpoint()
-      else df.localCheckpoint()
+      org.apache.spark.sql.graftbridge.Bridge.capCheckpointStats(
+        if (df.sparkSession.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean)
+          df.checkpoint()
+        else df.localCheckpoint())
   }
 
   /** Release the storage behind a SUPERSEDED materialized frame. A
