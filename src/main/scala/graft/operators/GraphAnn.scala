@@ -65,22 +65,44 @@ object GraphAnn {
     * by the full build and the upsert direction's arrival-batch seeding. */
   private def seedPairs(embeddings: DataFrame, tables: Int, nPlanes: Int,
                         ringSpan: Int): DataFrame = {
-    val bucketed = (0 until tables).map { t =>
-      embeddings.select(lit(t.toLong).as("t"),
-        Dedup.lshBucket(col("embedding"), nPlanes, seed = t * 7).as("bucket"),
-        col("vec_id"))
-    }.reduce(_.unionAll(_))
+    // r15 shape: the pair set is UNCHANGED ({(v@p, v@(p+c) mod sz) : c in
+    // 1..ringSpan}, then self-filter + distinct), but it is produced by
+    //   - ONE embeddings scan (posexplode over the per-table buckets, not
+    //     a `tables`-way union of scans), and
+    //   - lead(vec_id, c) columns in the SAME window pass for the
+    //     non-wrapping successors (pos+c < sz) — the committed before-plan
+    //     paid ringSpan positional self-joins of the bucket membership
+    //     (2 exchanges each); only the RING-WRAP tail (pos+c >= sz, a few
+    //     rows per bucket, pmod for buckets smaller than the span) still
+    //     joins back against the membership, once.
     val w = Window.partitionBy(col("t"), col("bucket")).orderBy(col("vec_id"))
+    val bucketed = embeddings.select(col("vec_id"), posexplode(array(
+        (0 until tables).map(t =>
+          Dedup.lshBucket(col("embedding"), nPlanes, seed = t * 7)): _*)))
+      .select(col("pos").cast("long").as("t"), col("col").as("bucket"),
+        col("vec_id"))
     val mem = bucketed.select(col("t"), col("bucket"), col("vec_id"),
       (row_number().over(w) - 1).cast("long").as("pos"),
-      count(lit(1)).over(Window.partitionBy(col("t"), col("bucket"))).as("sz"))
-    (1 to ringSpan).map { c =>
-      val a = mem.select(col("t"), col("bucket"), col("vec_id").as("node"),
-        pmod(col("pos") + c, col("sz")).as("tgt"))
-      val b = mem.select(col("t"), col("bucket"), col("vec_id").as("nbr"),
-        col("pos").as("tgt"))
-      a.join(b, Seq("t", "bucket", "tgt")).select(col("node"), col("nbr"))
-    }.reduce(_.unionAll(_))
+      count(lit(1)).over(Window.partitionBy(col("t"), col("bucket"))).as("sz"),
+      array((1 to ringSpan).map(c => lead(col("vec_id"), c).over(w)): _*).as("succ"))
+    val noWrap = mem
+      .select(col("vec_id").as("node"), explode(col("succ")).as("nbr"))
+      .filter(col("nbr").isNotNull)
+    val wrapA = mem
+      // only ring positions whose span actually wraps — without the filter
+      // sequence(start > stop) would DESCEND and fabricate pairs
+      .filter(col("pos") + ringSpan >= col("sz"))
+      .select(col("t"), col("bucket"), col("vec_id").as("node"), col("pos"),
+        col("sz"), explode(sequence(
+          greatest(col("sz") - col("pos"), lit(1L)), lit(ringSpan.toLong))).as("c"))
+      .select(col("t"), col("bucket"), col("node"),
+        pmod(col("pos") + col("c"), col("sz")).as("tgt"))
+    val wrap = wrapA.join(
+        mem.select(col("t"), col("bucket"), col("vec_id").as("nbr"),
+          col("pos").as("tgt")),
+        Seq("t", "bucket", "tgt"))
+      .select(col("node"), col("nbr"))
+    noWrap.unionAll(wrap)
       .filter(col("node") =!= col("nbr")).distinct()
   }
 
@@ -186,12 +208,16 @@ object GraphAnn {
       val next = topKRanked(symC.unionAll(scoreCos(fresh, embeddings)), kb)
         .materialize
       // (b): one tiny probe job per round — any edge in next ∖ g or
-      // g ∖ next? (pair sets; cos is functionally determined by the pair)
+      // g ∖ next? (pair sets; cos is functionally determined by the pair).
+      // The two anti-joins ride ONE job via union (isEmpty short-circuits
+      // through the limit-1) — the pre-r15 spelling paid a second job on
+      // every converged round.
       val nextPairs = next.select(col("node"), col("nbr"))
       val gPairs = g.select(col("node"), col("nbr"))
       converged =
-        nextPairs.join(gPairs, Seq("node", "nbr"), "left_anti").isEmpty &&
-          gPairs.join(nextPairs, Seq("node", "nbr"), "left_anti").isEmpty
+        nextPairs.join(gPairs, Seq("node", "nbr"), "left_anti")
+          .unionAll(gPairs.join(nextPairs, Seq("node", "nbr"), "left_anti"))
+          .isEmpty
       release(g)
       g = next
       r += 1
