@@ -1093,6 +1093,14 @@ object Stores {
   private val ipqModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, ProductQuant.PqModel]()
 
+  /** Drop every per-JVM memo (currently: the loaded PQ model). Called by
+    * the bench's between-query sweep so nothing survives a rep boundary —
+    * the harness invariant the memo silently violated (r15 verdict item 6:
+    * rep 1 paid the two model-load collects, reps 2-3 reported the
+    * memoized number). Serving-process semantics are unchanged — callers
+    * outside the bench never clear it. */
+  def clearSessionMemos(): Unit = ipqModelCache.clear()
+
   def ivfPqModelStore(s: SparkSession, d: String, nCells: Int = 16,
                       m: Int = 32, nCodes: Int = 128): ProductQuant.PqModel =
     synchronized {
