@@ -97,7 +97,12 @@ object GraphAnn {
           greatest(col("sz") - col("pos"), lit(1L)), lit(ringSpan.toLong))).as("c"))
       .select(col("t"), col("bucket"), col("node"),
         pmod(col("pos") + col("c"), col("sz")).as("tgt"))
-    val wrap = wrapA.join(
+    // r16 (verdict item 5): the wrap tail is a few rows per bucket
+    // (≤ ringSpan·(ringSpan+1)/2 per (t, bucket) by the pos+span ≥ sz
+    // filter — bucket-count-bounded, corpus-size-independent), so it rides
+    // a broadcast and the membership side keeps its window partitioning
+    // instead of re-exchanging on (t, bucket, tgt).
+    val wrap = broadcast(wrapA).join(
         mem.select(col("t"), col("bucket"), col("vec_id").as("nbr"),
           col("pos").as("tgt")),
         Seq("t", "bucket", "tgt"))
@@ -177,36 +182,7 @@ object GraphAnn {
     var r = 1
     var converged = false
     while (r <= rounds && !converged) {
-      val symC = g.select(col("node"), col("nbr"), col("cos"))
-        .unionAll(g.select(col("nbr").as("node"), col("node").as("nbr"), col("cos")))
-        .distinct()
-      val sym = symC.select(col("node"), col("nbr"))
-      val nn = sym.as("a").join(sym.as("b"), col("a.nbr") === col("b.node"))
-        .select(col("a.node").as("node"), col("b.nbr").as("nbr"))
-        .filter(col("node") =!= col("nbr"))
-      // deterministic sampling cap on the NEW candidates ONLY (classic
-      // NN-descent keeps current neighbors and samples fresh ones): keep
-      // `cap` DISTINCT nn-candidates per node in portable-hash order
-      // BEFORE the cosine pass — bounds a round to O(N·(cap + 2K)) scored
-      // pairs at any corpus size. Capping the union instead silently
-      // DROPPED current best edges each round (non-monotone descent —
-      // measured edge recall stuck ≈ 0.1 until this split). The dedup
-      // lives INSIDE the bounded aggregate (TopKDistinctAgg — duplicates
-      // carry identical hash scores, so the result equals distinct-then-
-      // cap exactly) — the O(N·(2K)²)-row distinct exchange this join
-      // used to pay is gone; one k-bounded shuffle remains.
-      val nnCapped = nn
-        .groupBy(col("node"))
-        .agg(graft.functions.TopKDistinctAgg.topKDistinct(
-          pairHash(col("node"), col("nbr")) * -1, col("nbr"), cap).as("topk"))
-        .select(col("node"), explode(col("topk")).as("e"))
-        .select(col("node"), col("e.id").as("nbr"))
-      // (a): only candidates NOT already scored pay the cosine join; the
-      // union below re-ranks known + fresh together — same candidate set,
-      // same values, as rescoring everything
-      val fresh = nnCapped.join(sym, Seq("node", "nbr"), "left_anti")
-      val next = topKRanked(symC.unionAll(scoreCos(fresh, embeddings)), kb)
-        .materialize
+      val next = descentRound(g, embeddings, cap, kb).materialize
       // (b): one tiny probe job per round — any edge in next ∖ g or
       // g ∖ next? (pair sets; cos is functionally determined by the pair).
       // The two anti-joins ride ONE job via union (isEmpty short-circuits
@@ -227,6 +203,74 @@ object GraphAnn {
       .agg(graft.functions.TopKAgg.topK(col("cos"), col("nbr"), kNbrs).as("topk"))
       .select(col("node"), explode(col("topk")).as("e"))
       .select(col("node"), col("e.id").as("nbr"), col("e.score").as("cos"))
+  }
+
+  /** One NN-descent round over the CURRENT graph `g` — the loop body of
+    * [[knnGraph]], factored out so the committed plan artifact (PlanSnap's
+    * `ann_descent_round_*`) IS the loop the optimization targets, exactly
+    * like GraphOps.labelPropRoundProbe. Returns the round's next graph,
+    * unmaterialized (the loop checkpoints it). */
+  private[graft] def descentRound(g: DataFrame, embeddings: DataFrame,
+                                  cap: Int, kb: Int): DataFrame = {
+    val symC = g.select(col("node"), col("nbr"), col("cos"))
+      .unionAll(g.select(col("nbr").as("node"), col("node").as("nbr"), col("cos")))
+      .distinct()
+    val sym = symC.select(col("node"), col("nbr"))
+    val nn = sym.as("a").join(sym.as("b"), col("a.nbr") === col("b.node"))
+      .select(col("a.node").as("node"), col("b.nbr").as("nbr"))
+      .filter(col("node") =!= col("nbr"))
+    // deterministic sampling cap on the NEW candidates ONLY (classic
+    // NN-descent keeps current neighbors and samples fresh ones): keep
+    // `cap` DISTINCT nn-candidates per node in portable-hash order
+    // BEFORE the cosine pass — bounds a round to O(N·(cap + 2K)) scored
+    // pairs at any corpus size. Capping the union instead silently
+    // DROPPED current best edges each round (non-monotone descent —
+    // measured edge recall stuck ≈ 0.1 until this split).
+    //
+    // Known-score reuse (r15): only candidates NOT already scored pay the
+    // cosine join; the union below re-ranks known + fresh together — same
+    // candidate set, same values, as rescoring everything. r16 (verdict
+    // item 1): the cap-then-anti-join tail is ONE fused aggregation —
+    // current edges ride the same node-keyed exchange as the nn candidates
+    // (cur=true rows feed the exclusion set, evaluated after the cap
+    // exactly like the (node, nbr) anti-join it replaces), so the
+    // per-round plan drops the anti-join's exchange + its second sym scan.
+    // Dedup/cap equivalence is TopKDistinctAgg's argument (duplicate
+    // candidates carry identical pure-function hash scores).
+    val fresh = nn
+      .select(col("node"), col("nbr"),
+        (pairHash(col("node"), col("nbr")) * -1).as("h"), lit(false).as("cur"))
+      .unionAll(sym.select(col("node"), col("nbr"), lit(0.0).as("h"),
+        lit(true).as("cur")))
+      .groupBy(col("node"))
+      .agg(graft.functions.TopKDistinctExceptAgg.topKDistinctExcept(
+        col("h"), col("nbr"), col("cur"), cap).as("topk"))
+      .select(col("node"), explode(col("topk")).as("nbr"))
+    topKRanked(symC.unionAll(scoreCos(fresh, embeddings)), kb)
+  }
+
+  /** One beam-search round over graph adjacency `sym` from frontier
+    * `beamDf` — the [[annGraphSearchFrom]] loop body for the PlanSnap
+    * artifact (`ann_beam_round_*`), unexecuted. Mirrors the loop verbatim:
+    * expand, score by exact cosine against the probe vectors, keep the
+    * top-`beam` per probe. */
+  private[graft] def beamRoundProbe(beamDf: DataFrame, sym: DataFrame,
+                                    embeddings: DataFrame, probeDf: DataFrame,
+                                    beam: Int = 16): DataFrame = {
+    val expanded = beamDf.select(col("probe_id"), col("node"))
+      .join(sym, "node")
+      .select(col("probe_id"), col("nbr").as("node"))
+      .unionAll(beamDf.select(col("probe_id"), col("node")))
+    val scored = expanded
+      .join(embeddings.select(col("vec_id").as("node"), col("embedding")), "node")
+      .join(broadcast(probeDf), "probe_id")
+      .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
+      .select(col("probe_id"), col("node"), col("cos"))
+    scored.groupBy(col("probe_id"))
+      .agg(graft.functions.TopKDistinctAgg.topKDistinct(
+        col("cos"), col("node"), beam).as("topk"))
+      .select(col("probe_id"), explode(col("topk")).as("e"))
+      .select(col("probe_id"), col("e.id").as("node"), col("e.score").as("cos"))
   }
 
   /** Beam-search ANN over the k-NN graph: (probe_id, neighbor_id, rn, cos)
@@ -262,9 +306,18 @@ object GraphAnn {
       .join(broadcast(probeDf), "probe_id")
       .withColumn("cos", VectorOps.cosine(col("embedding"), col("pv")))
       .select(col("probe_id"), col("node"), col("cos"))
+    // r16: top-b DEDUPS inside the bounded aggregate (TopKDistinctAgg — a
+    // duplicate candidate carries the identical pure-function cos, so the
+    // result equals distinct-then-topB exactly), which lets every beam
+    // round feed its raw expansion straight into the scoring join: the
+    // per-round (probe_id, node) distinct exchange is gone (1 Exchange ×
+    // searchRounds per search/upsert-seeding call). Duplicates pay a
+    // redundant 64-float cosine each — narrow per-task work traded for a
+    // full shuffle pass (guide §2.3 "aggregate before you shuffle").
     def topB(scored: DataFrame, b: Int): DataFrame = scored
       .groupBy(col("probe_id"))
-      .agg(graft.functions.TopKAgg.topK(col("cos"), col("node"), b).as("topk"))
+      .agg(graft.functions.TopKDistinctAgg.topKDistinct(
+        col("cos"), col("node"), b).as("topk"))
       .select(col("probe_id"), explode(col("topk")).as("e"))
       .select(col("probe_id"), col("e.id").as("node"), col("e.score").as("cos"))
     // entry points: the PROBE ITSELF (a corpus member — its own graph
@@ -276,14 +329,14 @@ object GraphAnn {
     var beamDf = topB(score(probeDf.select(col("probe_id"))
       .crossJoin(embeddings.filter(col("vec_id") < entries)
         .select(col("vec_id").as("node")))
-      .unionAll(probeDf.select(col("probe_id"), col("probe_id").as("node")))
-      .distinct()), beam).materialize
+      .unionAll(probeDf.select(col("probe_id"), col("probe_id").as("node")))),
+      beam).materialize
     for (_ <- 1 to searchRounds) {
+      // no distinct: topB dedups inside its bounded buffer (see above)
       val expanded = beamDf.select(col("probe_id"), col("node"))
         .join(sym, "node")
         .select(col("probe_id"), col("nbr").as("node"))
         .unionAll(beamDf.select(col("probe_id"), col("node")))
-        .distinct()
       val next = topB(score(expanded), beam).materialize
       release(beamDf)
       beamDf = next
@@ -420,12 +473,16 @@ object GraphAnn {
       .unionAll(g1.select(col("nbr").as("node"), col("node").as("nbr")))
       .distinct().materialize
     val symT = sym1.join(touched, Seq("node"), "left_semi")
+    // r16: the knnGraph-round pattern applied to the touched round — the
+    // candidate dedup lives INSIDE the bounded cap aggregate
+    // (TopKDistinctAgg: duplicates carry identical hash scores, so the
+    // result equals the previous distinct-then-TopKAgg exactly) and the
+    // O(touched·deg²)-row distinct exchange is gone.
     val nnT = symT.as("a").join(sym1.as("b"), col("a.nbr") === col("b.node"))
       .select(col("a.node").as("node"), col("b.nbr").as("nbr"))
       .filter(col("node") =!= col("nbr"))
-      .distinct()
     val nnCapped = nnT.groupBy(col("node"))
-      .agg(graft.functions.TopKAgg.topK(
+      .agg(graft.functions.TopKDistinctAgg.topKDistinct(
         pairHash(col("node"), col("nbr")) * -1, col("nbr"), cap).as("topk"))
       .select(col("node"), explode(col("topk")).as("e"))
       .select(col("node"), col("e.id").as("nbr"))
