@@ -150,8 +150,8 @@ object GraphOps {
     // KhopProbe (SCALING.md r11) decomposed the 100× wall: ~2/3 is THIS
     // derive+distribute step, the BFS itself is ~1/3 — which is why the
     // production form below consumes a PERSISTED edge store instead.
-    val eSrc = edges(orders, lineitem).select(col("src"), col("dst"))
-      .repartition(col("src")).persist()
+    val eSrc = Iterative.build(edges(orders, lineitem)
+      .select(col("src"), col("dst")).repartition(col("src")).persist())
     val seeds = customer.filter(col("c_acctbal") > 9000)
       .select(col("c_custkey").cast("long").as("node"), lit(0L).as("hops"))
     try khopFrom(eSrc, seeds, k)
@@ -222,7 +222,7 @@ object GraphOps {
     // scans erase partitioning — HitsPlanProbe) so each level exchanges
     // only the frontier, never the edge set.
     val cp = copurchase(lineitem).materialize
-    val cpSrc = cp.repartition(col("src")).persist()
+    val cpSrc = Iterative.build(cp.repartition(col("src")).persist())
     val start = cp.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
     var all = start
@@ -249,7 +249,7 @@ object GraphOps {
     * bounded string (≤ maxDepth ids). */
   def shortestPathTrace(lineitem: DataFrame, maxDepth: Int = 3): DataFrame = {
     val cp = copurchase(lineitem).materialize
-    val cpSrc = cp.repartition(col("src")).persist() // see shortestPaths
+    val cpSrc = Iterative.build(cp.repartition(col("src")).persist()) // see shortestPaths
     val start = cp.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0L).as("dist"), col("node").cast("string").as("path"))
     var all = start
@@ -343,7 +343,7 @@ object GraphOps {
   def closeness(lineitem: DataFrame, seedMod: Long = 20L): DataFrame = {
     require(seedMod > 0L, s"seedMod must be positive: $seedMod")
     val cp = copurchase(lineitem).materialize
-    val cpSrc = cp.repartition(col("src")).persist() // see shortestPaths
+    val cpSrc = Iterative.build(cp.repartition(col("src")).persist()) // see shortestPaths
     val seeds = cp.select(col("src").as("s")).distinct()
       .filter(pmod(col("s"), lit(seedMod)) === 0L)
     var all = seeds.select(col("s"), col("s").as("node"), lit(0L).as("dist"))
@@ -480,7 +480,7 @@ object GraphOps {
   def betweenness(lineitem: DataFrame, maxDepth: Int = 3, seedMod: Long = 50L): DataFrame = {
     require(seedMod > 0L, s"seedMod must be positive: $seedMod")
     val cp = copurchase(lineitem).materialize
-    val cpSrc = cp.repartition(col("src")).persist() // see shortestPaths
+    val cpSrc = Iterative.build(cp.repartition(col("src")).persist()) // see shortestPaths
     val s0 = cp.select(col("src")).distinct()
       .filter(pmod(col("src"), lit(seedMod)) === 0L)
       .select(col("src").as("seed"), col("src").as("node"), lit(1L).as("sigma")).materialize
@@ -725,11 +725,43 @@ object GraphOps {
     * global one. */
   def componentsDelete(lineitem: DataFrame, maxIters: Int = 30): DataFrame = {
     val isDelOrder = pmod(col("l_orderkey"), lit(1000L)) === 0L
-    // standing labeling over the full graph (persisted table in production)
-    val labelsBase = connectedComponents(lineitem, maxIters)
-    componentsDeleteFrom(labelsBase,
-      copurchase(lineitem.filter(!isDelOrder)),
-      copurchase(lineitem.filter(isDelOrder)), maxIters)
+    // r16 (verdict item 3): ONE full labeling pass instead of two. The
+    // pre-r16 gate form ran connectedComponents over the FULL graph (the
+    // standing labeling, in-call for oracle coverage) and then
+    // componentsDeleteFrom's touched-scope recompute — which at gate SFs
+    // touches the giant component, i.e. a second full pass. Both needs are
+    // now fed from the SURVIVING graph's labeling, materialized once:
+    //   - the standing labeling is derived through the upsert identity
+    //     (CC(surviving ∪ deleted) ≡ componentsUpsertFrom(CC(surviving),
+    //     deleted edges) — the graph_components_inc gate's proven
+    //     identity; the deleted orders' edges are additions relative to
+    //     the surviving graph, and copurchase(all) = copurchase(surviving)
+    //     ∪ copurchase(deleted) since every within-order pair comes from a
+    //     surviving or a deleted order) — O(Δ) label-graph work;
+    //   - the touched-scope recompute is the surviving labeling BY
+    //     RESTRICTION: the touched components' surviving subgraph is a
+    //     union of whole surviving-graph components (an edge's endpoints
+    //     share a component), so labelPropagation over it returns exactly
+    //     the surviving labeling's rows for touched nodes, and a touched
+    //     node with no surviving edge is absent from both.
+    // The merge below is componentsDeleteFrom's single-pass merge with
+    // relab := the surviving labeling. The production shape (persisted
+    // standing labeling + genuinely scoped recompute) is unchanged in
+    // componentsDeleteFrom — the _store twin still runs it.
+    val survEdges = copurchase(lineitem.filter(!isDelOrder))
+    val delEdges = copurchase(lineitem.filter(isDelOrder))
+    val labelsSurv = labelPropagation(survEdges, maxIters)
+    val labelsBase = componentsUpsertFrom(labelsSurv, delEdges, maxIters)
+    val delNodes = delEdges
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+    val touched = delNodes.join(labelsBase, "node").select(col("label")).distinct()
+    labelsBase
+      .join(broadcast(touched.withColumn("touched", lit(true))),
+        Seq("label"), "left_outer")
+      .join(labelsSurv.withColumnRenamed("label", "new_label"),
+        Seq("node"), "left_outer")
+      .filter(col("touched").isNull || col("new_label").isNotNull)
+      .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
   }
 
   /** Production-shaped core of [[componentsDelete]]: given the PERSISTED
@@ -782,6 +814,49 @@ object GraphOps {
     propagateOnce(selfLoopedSym(edges), labels)
   }
 
+  /** Probe-only: ONE PageRank iteration's update frame over the
+    * pre-partitioned persisted edge copy, UNEXECUTED — the loop-body plan
+    * artifact (plans/r16) + the RankPlanSpec pin that the edge side stays
+    * exchange-free and the rank-vector joins stay SHUFFLE_HASH under the
+    * checkpoint stats cap. Mirrors [[pageRankFrom]]'s loop body verbatim
+    * (round ≥ 1 shape: ranks is a checkpoint scan). */
+  private[graft] def pageRankRoundProbe(edgeTable: DataFrame): DataFrame = {
+    import Iterative._
+    val edges = edgeTable.select(col("src"), col("dst")).materialize
+    val nodes = edges.select(col("src").as("node")).distinct().materialize
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).materialize
+    val eSrc = Iterative.build(edges.repartition(col("src")).persist())
+    val ranks = nodes.select(col("node"), lit(1.0 / 1000.0).as("rank")).materialize
+    val contribs = eSrc
+      .join(ranks.hint("SHUFFLE_HASH"), col("src") === col("node"))
+      .join(outDeg.hint("SHUFFLE_HASH"), "src")
+      .select(col("dst"), (col("rank") / col("deg")).as("c"))
+      .groupBy(col("dst"))
+      .agg(sum(col("c").cast("string").cast("decimal(38,18)")).cast("double").as("inflow"))
+    nodes.join(contribs, col("node") === col("dst"), "left_outer")
+      .select(col("node"),
+        (lit(0.15 / 1000.0) + lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+  }
+
+  /** Probe-only: ONE HITS round (auth half-round + hub half-round, raw,
+    * pre-normalization) over the two per-key persisted edge copies,
+    * UNEXECUTED — the hitsFrom loop-body plan artifact, same purpose as
+    * [[pageRankRoundProbe]]. */
+  private[graft] def hitsRoundProbe(e0: DataFrame): DataFrame = {
+    import Iterative._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("string").cast("decimal(38,18)")
+    val eBySrc = e0.repartition(col("src")).persist()
+    val eByDst = Iterative.build(eBySrc.repartition(col("dst")).persist())
+    val hub = eBySrc.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("hub")).materialize
+    val hubD = hub.select(col("node"), dec(col("hub")).as("d"))
+    val authRaw = eBySrc.join(hubD.hint("SHUFFLE_HASH"), col("src") === col("node"))
+      .groupBy(col("dst")).agg(sum(col("d")).cast("string").cast("double").as("raw"))
+    val authD = authRaw.select(col("dst").as("node"), dec(col("raw")).as("d"))
+    eByDst.join(authD.hint("SHUFFLE_HASH"), col("dst") === col("node"))
+      .groupBy(col("src")).agg(sum(col("d")).cast("string").cast("double").as("raw"))
+  }
+
   /** The symmetrized edge set PLUS one `self` row per node — the frame
     * every propagate round joins. The self row carries the node's own
     * label through its own aggregation group, which (r15 optimization)
@@ -827,7 +902,10 @@ object GraphOps {
     // (HitsPlanProbe) which silently resurrects the per-round exchange;
     // the SHUFFLE_HASH hint on the node-sized labels side keeps the
     // edge side sort-free as well.
-    val sym = selfLoopedSym(edges).repartition(col("src")).persist()
+    // built EAGERLY (Iterative.build): round 1 otherwise plans against the
+    // unbuilt cache (UnknownPartitioning) and re-exchanges the edge set
+    val sym = Iterative.build(
+      selfLoopedSym(edges).repartition(col("src")).persist())
     var changed = 1L
     var it = 0
     // pointer jumping: follow label → label-of-label, halving chain depth
@@ -899,7 +977,7 @@ object GraphOps {
     // every iteration joins the edge set on src — persisted co-partition
     // (NOT checkpoint: its scan erases the partitioning, HitsPlanProbe)
     // so only the node-sized rank/deg sides move per round
-    val eSrc = edges.repartition(col("src")).persist()
+    val eSrc = Iterative.build(edges.repartition(col("src")).persist())
     val nNodes = nodes.count().toDouble
     var ranks = nodes.select(col("node"), lit(1.0 / nNodes).as("rank"))
     try {
@@ -975,7 +1053,7 @@ object GraphOps {
     val nodes = edges.select(col("src").as("node")).distinct().materialize
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).materialize
     // persisted co-partition, same reasoning as pageRank
-    val eSrc = edges.repartition(col("src")).persist()
+    val eSrc = Iterative.build(edges.repartition(col("src")).persist())
     val srcRow = nodes.agg(min(col("node")).as("s"))
     var ranks = nodes.crossJoin(broadcast(srcRow))
       .select(col("node"),
@@ -1236,7 +1314,10 @@ object GraphOps {
     // write+read and competes with the two loop caches for storage);
     // derive dst from the src cache = 127 s with a single base compute.
     val eBySrc = e0.repartition(col("src")).persist()
-    val eByDst = eBySrc.repartition(col("dst")).persist()
+    // built EAGERLY: building the dst copy scans (and so populates) the src
+    // copy too, so both half-rounds of round 1 plan against BUILT caches —
+    // otherwise each paid a redundant full edge exchange (CachePartProbe)
+    val eByDst = Iterative.build(eBySrc.repartition(col("dst")).persist())
     // decimal→double goes through a string cast: DuckDB's direct
     // decimal→double (int128/1e18 in FP) can land 1 ulp off Spark's
     // BigDecimal.doubleValue; both engines' decimal→string and
@@ -1413,7 +1494,7 @@ object GraphOps {
     // every round joins the static edge set on src — persisted co-partition
     // (NOT checkpoint: its scan erases the partitioning, HitsPlanProbe) so
     // only the node-sized label side moves per round
-    val eSrc = e.repartition(col("src")).persist()
+    val eSrc = Iterative.build(e.repartition(col("src")).persist())
     try {
     for (_ <- 1 to rounds) {
       val best = eSrc.join(labels.hint("SHUFFLE_HASH"), col("src") === col("node"))

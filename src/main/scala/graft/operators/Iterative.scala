@@ -30,6 +30,18 @@ private[operators] object Iterative {
         else df.localCheckpoint())
   }
 
+  /** Force a persisted frame's cache to build NOW (one count job). An
+    * InMemoryRelation whose cached plan has not executed yet reports
+    * UnknownPartitioning (measured — CachePartProbe), so an iterative loop
+    * whose ROUND-1 plan is created before any job touched the cache pays
+    * one redundant full-size ENSURE_REQUIREMENTS exchange on the
+    * pre-partitioned edge side — the exact shuffle the persisted
+    * co-partition exists to remove; rounds ≥ 2 plan against the built
+    * cache and were already exchange-free. Building eagerly trades that
+    * round-1 edge shuffle (write + fetch of the whole edge set) for one
+    * cache-scan count job. r16; guide §2.4. */
+  def build(df: DataFrame): DataFrame = { df.count(); df }
+
   /** Release the storage behind a SUPERSEDED materialized frame. A
     * localCheckpoint's cached blocks ARE its data (the lineage is
     * truncated — there is nothing to recompute from), so this must only be

@@ -63,6 +63,8 @@ object Pca {
     val c = x.join(broadcast(mu), "pos")
       .select(col("vec_id"), col("pos"), (col("val") - col("m")).as("c"))
       .repartition(col("vec_id")).sortWithinPartitions("vec_id").persist()
+      .transform(Iterative.build) // round 1 must plan against the BUILT
+      // cache or it re-exchanges + re-sorts the matrix (CachePartProbe)
     try {
       var v = (0 until dim).map(p => (p, 1.0)).toDF("pos", "v")
       // per-row score s_i = Σ_p c[i,p]·v[p] as a WINDOW sum over the
@@ -132,6 +134,8 @@ object Pca {
     val c = x.join(broadcast(mu), "pos")
       .select(col("vec_id"), col("pos"), (col("val") - col("m")).as("c"))
       .repartition(col("vec_id")).sortWithinPartitions("vec_id").persist()
+      .transform(Iterative.build) // round 1 must plan against the BUILT
+      // cache or it re-exchanges + re-sorts the matrix (CachePartProbe)
     try {
       val byVec = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
       val us = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
