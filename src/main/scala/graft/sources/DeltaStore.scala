@@ -76,20 +76,38 @@ object DeltaStore {
     }
 
   /** The MERGE-ON-READ union view over base + delta segments 1..`cycles`:
-    * fold newest-last, per-pk latest-wins. Each fold step is one
-    * broadcast anti-join on the bucketed base side (touched pks are
-    * delta-bounded) plus a union of the delta's upsert rows — the base
-    * scan never exchanges, and consuming joins that broadcast their probe
-    * side (the store read-path convention) are unaffected by the union. */
+    * per-pk latest-wins, folded in CONSTANT plan depth (r15 verdict item
+    * 7: the previous newest-last foldLeft put one anti-join + union on the
+    * base PER SEGMENT — read amplification linear in un-compacted cycles,
+    * visible as ann_ivf_cycle4 ≈ 2.7× ann_ivf_cycle2). The segments are
+    * delta-bounded by contract, so the winner resolution (latest upsert
+    * per pk unless a strictly-later tombstone retired it; a same-cycle
+    * tombstone+upsert resolves to the upsert, matching the old fold order)
+    * runs entirely over tiny segment tables, and the bucketed base pays
+    * exactly ONE broadcast anti-join regardless of segment count — the
+    * base scan still never exchanges, and consuming joins that broadcast
+    * their probe side (the store read-path convention) are unaffected by
+    * the union. */
   def merged(s: SparkSession, name: String, d: String, base: DataFrame,
              pk: Seq[String], cycles: Int): DataFrame =
-    (1 to cycles).foldLeft(base) { (cur, i) =>
-      val u = s.table(uTable(name, d, i))
-      val t = s.table(tTable(name, d, i))
-      val touched = u.select(pk.map(col): _*)
-        .unionByName(t.select(pk.map(col): _*)).distinct()
-      cur.join(broadcast(touched), pk, "left_anti")
-        .unionByName(u.select(cur.columns.map(col).toSeq: _*))
+    if (cycles <= 0) base
+    else {
+      val pkc = pk.map(col)
+      val allU = (1 to cycles).map(i =>
+        s.table(uTable(name, d, i)).withColumn("_cyc", lit(i))).reduce(_ unionByName _)
+      val allT = (1 to cycles).map(i =>
+        s.table(tTable(name, d, i)).select(pkc: _*).withColumn("_cyc", lit(i)))
+        .reduce(_ unionByName _)
+      val lastUp = allU.groupBy(pkc: _*).agg(max(col("_cyc")).as("_upc"))
+      val lastTomb = allT.groupBy(pkc: _*).agg(max(col("_cyc")).as("_tc"))
+      val live = lastUp.join(lastTomb, pk, "left_outer")
+        .filter(col("_tc").isNull || col("_upc") >= col("_tc"))
+        .select(pkc :+ col("_upc"): _*)
+      val winners = allU.join(broadcast(live), pk)
+        .filter(col("_cyc") === col("_upc"))
+        .select(base.columns.map(col).toSeq: _*)
+      val touched = allU.select(pkc: _*).unionByName(allT.select(pkc: _*)).distinct()
+      base.join(broadcast(touched), pk, "left_anti").unionByName(winners)
     }
 
   /** COMPACTION — the OPTIMIZE job run on a cadence: fold the merged view
