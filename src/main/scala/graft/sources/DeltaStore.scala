@@ -91,7 +91,17 @@ object DeltaStore {
   def merged(s: SparkSession, name: String, d: String, base: DataFrame,
              pk: Seq[String], cycles: Int): DataFrame =
     if (cycles <= 0) base
-    else {
+    else if (cycles == 1) {
+      // one segment needs no winner resolution — keep the single-fold
+      // shape (one anti-join + union) instead of paying the multi-segment
+      // machinery's extra broadcast stages on every read
+      val u = s.table(uTable(name, d, 1))
+      val t = s.table(tTable(name, d, 1))
+      val touched = u.select(pk.map(col): _*)
+        .unionByName(t.select(pk.map(col): _*)).distinct()
+      base.join(broadcast(touched), pk, "left_anti")
+        .unionByName(u.select(base.columns.map(col).toSeq: _*))
+    } else {
       val pkc = pk.map(col)
       val allU = (1 to cycles).map(i =>
         s.table(uTable(name, d, i)).withColumn("_cyc", lit(i))).reduce(_ unionByName _)
